@@ -1,0 +1,57 @@
+"""The C kernel must produce byte-identical output to the Python oracle."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from golden_corpora import CORPORA  # noqa: E402
+
+from fsst_ray.kernel import fsst, native
+
+
+def _pack_rows(lines):
+    offsets = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum([len(ln) for ln in lines], out=offsets[1:])
+    data = np.frombuffer(b"".join(lines), dtype=np.uint8)
+    return data, offsets
+
+
+def test_native_available():
+    assert native.get_lib() is not None, "C kernel failed to build (cc missing?)"
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_native_matches_oracle(name):
+    lines = CORPORA[name]()
+    comp = fsst.train(lines)
+    data, offsets = _pack_rows(lines)
+
+    codes, code_offsets = native.compress_bulk(data, offsets, comp)
+    # parity vs the Python oracle, row by row
+    expected = [comp.compress(ln) for ln in lines]
+    for r, exp in enumerate(expected):
+        got = codes[code_offsets[r] : code_offsets[r + 1]].tobytes()
+        assert got == exp, f"{name}: row {r} compressed bytes differ"
+
+    total_plain = int(offsets[-1])
+    out, out_offsets = native.decompress_bulk(
+        codes, code_offsets, comp.symbols, comp.lengths, decoded_size_hint=total_plain
+    )
+    assert out.tobytes() == b"".join(lines)
+    assert np.array_equal(out_offsets, offsets)
+
+
+def test_decode_capacity_guard():
+    lines = [b"abcabcabc" * 10]
+    comp = fsst.train(lines * 5)
+    data, offsets = _pack_rows(lines)
+    codes, code_offsets = native.compress_bulk(data, offsets, comp)
+    with pytest.raises(ValueError):
+        native.decompress_bulk(
+            codes, code_offsets, comp.symbols, comp.lengths, decoded_size_hint=-8
+        )
