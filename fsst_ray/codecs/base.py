@@ -1,0 +1,62 @@
+"""Codec protocol + registry + payload framing."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC_VERSION = 1
+
+CODEC_BY_ID: dict[int, "Codec"] = {}
+CODEC_BY_NAME: dict[str, "Codec"] = {}
+
+
+def register(codec: "Codec") -> "Codec":
+    assert codec.codec_id not in CODEC_BY_ID, f"duplicate codec id {codec.codec_id}"
+    assert codec.name not in CODEC_BY_NAME, f"duplicate codec name {codec.name}"
+    CODEC_BY_ID[codec.codec_id] = codec
+    CODEC_BY_NAME[codec.name] = codec
+    return codec
+
+
+class Codec:
+    """One chunk codec. Stateless singletons; partition-trained state
+    (e.g. an FSST symbol table) is passed explicitly as `state` bytes."""
+
+    name: str = "?"
+    codec_id: int = -1
+
+    # -- training (pass 1) ------------------------------------------------
+    def train(self, sample_values: np.ndarray) -> bytes | None:
+        """Build partition-level state from a bounded sample. None for
+        codecs with no cross-chunk state."""
+        return None
+
+    # -- selection --------------------------------------------------------
+    def estimate(self, stats: dict, state: bytes | None) -> float:
+        """Estimated encoded bytes for a chunk with the given stats
+        (see select.chunk_stats). float('inf') = not applicable."""
+        raise NotImplementedError
+
+    # -- encode / decode --------------------------------------------------
+    def encode_values(self, values: np.ndarray, state: bytes | None) -> bytes:
+        """Encode int32 values into the codec-specific body (no frame)."""
+        raise NotImplementedError
+
+    def decode_values(self, body: bytes, n_values: int) -> np.ndarray:
+        """Decode the codec-specific body back into int32 values."""
+        raise NotImplementedError
+
+    # -- framing ----------------------------------------------------------
+    def encode(self, values: np.ndarray, state: bytes | None = None) -> bytes:
+        body = self.encode_values(np.ascontiguousarray(values, dtype=np.int32), state)
+        return struct.pack("<BBq", self.codec_id, _MAGIC_VERSION, len(values)) + body
+
+
+def decode_payload(payload: bytes) -> np.ndarray:
+    """Decode any framed chunk payload back to its int32 values array."""
+    codec_id, version, n_values = struct.unpack_from("<BBq", payload, 0)
+    assert version == _MAGIC_VERSION, f"unknown payload version {version}"
+    codec = CODEC_BY_ID[codec_id]
+    return codec.decode_values(payload[10:], n_values)

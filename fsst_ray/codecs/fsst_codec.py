@@ -1,0 +1,82 @@
+"""FSST chunk codec: byte-serialize int32 token values, compress with a
+partition-trained symbol table (state), embed the ~2.3 KB table in the
+payload so chunks are self-contained.
+
+Semantics of train/compress/decompress are the reference's
+(spiraldb/fsst src/builder.rs:604-628, src/lib.rs:456-515, 255-303),
+via the golden-tested kernel in fsst_ray.kernel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..kernel import fsst, native
+from .base import Codec, register
+
+# encoder cache: state digest -> rebuilt Compressor (actors reuse across batches)
+_ENCODER_CACHE: dict[bytes, fsst.Compressor] = {}
+_CACHE_MAX = 64
+
+
+def _compressor_for_state(state: bytes) -> fsst.Compressor:
+    key = bytes(state)  # full blob (<= ~2.3 KB): collision-free cache key
+    comp = _ENCODER_CACHE.get(key)
+    if comp is None:
+        comp = fsst.compressor_from_state(state)
+        if len(_ENCODER_CACHE) >= _CACHE_MAX:
+            _ENCODER_CACHE.clear()
+        _ENCODER_CACHE[key] = comp
+    return comp
+
+
+def train_from_lines(sample_lines: list[bytes]) -> bytes:
+    """Train a symbol table on sample lines; returns the state blob."""
+    return fsst.train(sample_lines).symbol_table_bytes()
+
+
+class FsstCodec(Codec):
+    name = "fsst"
+    codec_id = 5
+
+    def train(self, sample_lines: list[bytes]) -> bytes:
+        return train_from_lines(sample_lines)
+
+    def estimate(self, stats, state):
+        if state is None:
+            return float("inf")
+        sample = stats.get("sample_bytes")
+        if sample is None or len(sample) == 0:
+            return float("inf")
+        comp = _compressor_for_state(state)
+        data = np.frombuffer(sample, dtype=np.uint8)
+        offsets = np.array([0, len(sample)], dtype=np.int64)
+        codes, _ = native.compress_bulk(data, offsets, comp)
+        ratio = len(codes) / len(sample)
+        return len(state) + 8 + ratio * 4 * stats["n"]
+
+    def encode_values(self, values, state):
+        assert state is not None, "fsst codec requires trained state"
+        raw = values.astype("<i4", copy=False).view(np.uint8)
+        comp = _compressor_for_state(state)
+        offsets = np.array([0, len(raw)], dtype=np.int64)
+        codes, _ = native.compress_bulk(raw, offsets, comp)
+        return struct.pack("<I", len(state)) + state + codes.tobytes()
+
+    def decode_values(self, body, n_values):
+        (state_len,) = struct.unpack_from("<I", body, 0)
+        state = body[4 : 4 + state_len]
+        n = state[1] | (state[2] << 8)
+        symbols = np.frombuffer(state, dtype="<u8", count=n, offset=4).astype(np.uint64)
+        lengths = np.frombuffer(state, dtype="u1", count=n, offset=4 + 8 * n).astype(np.uint8)
+        codes = np.frombuffer(body, dtype=np.uint8, offset=4 + state_len)
+        offsets = np.array([0, len(codes)], dtype=np.int64)
+        out, _ = native.decompress_bulk(
+            codes, offsets, symbols, lengths, decoded_size_hint=4 * n_values
+        )
+        return out.view("<i4").astype(np.int32, copy=False)
+
+
+FSST = register(FsstCodec())

@@ -621,10 +621,10 @@ def compressor_from_state(blob: bytes) -> Compressor:
             pht_symbol[slot] = s
             pht_code[slot] = _code_new_symbol(code, ln)
             pht_ignored[slot] = 64 - 8 * ln
-    # merge one-byte entries into two-byte fallback slots
-    for two in range(65536):
-        if codes_two_byte[two] == CODE_UNUSED:
-            codes_two_byte[two] = codes_one_byte[two & 0xFF]
+    # merge one-byte entries into two-byte fallback slots (vectorized)
+    unused = codes_two_byte == CODE_UNUSED
+    low_byte = (np.arange(65536, dtype=np.uint32) & 0xFF).astype(np.intp)
+    codes_two_byte[unused] = codes_one_byte[low_byte[unused]]
     return Compressor(
         symbols=symbols,
         lengths=lengths,

@@ -1,0 +1,85 @@
+"""Round-trip + selection tests for the chunk codec registry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fsst_ray import codecs
+from fsst_ray.codecs import decode_payload, encode_chunk, select_codec
+from fsst_ray.codecs.fsst_codec import train_from_lines
+from fsst_ray.codecs.simple import pack_bits, unpack_bits
+
+RNG = np.random.default_rng(42)
+
+CASES = {
+    "empty": np.empty(0, dtype=np.int32),
+    "single": np.array([7], dtype=np.int32),
+    "constant": np.full(1000, 7, dtype=np.int32),
+    "zeros": np.zeros(500, dtype=np.int32),
+    "smallrange": RNG.integers(1000, 1064, size=2000).astype(np.int32),
+    "zipf": (RNG.zipf(1.3, size=5000) % 50000).astype(np.int32),
+    "highbyte": RNG.integers(1 << 24, 1 << 31, size=3000).astype(np.int32),
+    "runs": np.repeat(RNG.integers(0, 50, size=100), RNG.integers(1, 40, size=100)).astype(np.int32),
+    "negative": RNG.integers(-1000, 1000, size=2000).astype(np.int32),
+    "cyclic": np.tile(RNG.integers(0, 1000, size=64).astype(np.int32), 200),
+}
+
+
+@pytest.fixture(scope="module")
+def fsst_state():
+    lines = [CASES["zipf"][i : i + 256].astype("<i4").tobytes() for i in range(0, 5000, 256)]
+    return train_from_lines(lines)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst"])
+def test_roundtrip(name, case, fsst_state):
+    values = CASES[case]
+    codec = codecs.CODEC_BY_NAME[name]
+    if name == "bitpack" and case == "negative":
+        pytest.skip("bitpack requires non-negative values")
+    state = fsst_state if name == "fsst" else None
+    payload = codec.encode(values, state)
+    decoded = decode_payload(payload)
+    assert decoded.dtype == np.int32
+    assert np.array_equal(decoded, values), f"{name} round-trip failed on {case}"
+
+
+def test_pack_bits_roundtrip():
+    for width in range(0, 33):
+        n = 100
+        vals = RNG.integers(0, 2**width if width else 1, size=n).astype(np.int64)
+        assert np.array_equal(unpack_bits(pack_bits(vals, width), n, width).astype(np.int64), vals)
+
+
+def test_selection_preferences(fsst_state):
+    # constant -> for with width 0 (9 bytes beats rle's run headers)
+    name, _ = select_codec(CASES["constant"])
+    assert name == "for"
+    name, _ = select_codec(CASES["runs"])
+    assert name == "rle"
+    name, _ = select_codec(CASES["smallrange"])
+    assert name in ("for", "bitpack", "dict")
+    name, est = select_codec(CASES["highbyte"], fsst_state)
+    assert est["plain"] <= est["fsst"] * 1.2  # escape-heavy fsst shouldn't win big
+
+    # zipf token text: fsst should beat plain
+    name, est = select_codec(CASES["zipf"], fsst_state)
+    assert est["fsst"] < est["plain"]
+
+
+def test_encode_chunk_meta(fsst_state):
+    payload, meta = encode_chunk(CASES["runs"], fsst_state)
+    assert meta["codec"] == "rle"
+    assert meta["bytes_out"] == len(payload)
+    assert meta["bytes_out"] < meta["bytes_in"]
+    assert np.array_equal(decode_payload(payload), CASES["runs"])
+
+
+def test_selected_sizes_compress():
+    # every fixture family should compress (or at worst stay ~plain)
+    for case, values in CASES.items():
+        payload, meta = encode_chunk(values)
+        assert meta["bytes_out"] <= 4 * len(values) + 64, case
+        assert np.array_equal(decode_payload(payload), values), case
