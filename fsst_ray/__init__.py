@@ -1,0 +1,30 @@
+"""fsst_ray: a Ray-Data-native per-column lightweight-compression engine.
+
+Brand-new implementation (not a port) with the codec semantics of FSST
+(Boncz/Neumann/Leis, VLDB vol 13 p2649; reference implementation
+spiraldb/fsst at /root/reference) plus dict / RLE / bit-pack /
+frame-of-reference codecs with per-chunk auto-selection, a two-pass
+streaming encode pipeline over Parquet tables of pre-tokenized
+sequences, skew-aware bucketing, resumable manifests, and a verified
+decode pass.
+"""
+
+from .pipelines import (
+    EncodeResult,
+    decode_dataset,
+    encode_dataset,
+    read_encoded,
+    verify_roundtrip,
+)
+from .sources import ensure_tokens_parquet, read_tokens_dataset, tokens_table
+
+__all__ = [
+    "EncodeResult",
+    "encode_dataset",
+    "decode_dataset",
+    "read_encoded",
+    "verify_roundtrip",
+    "tokens_table",
+    "ensure_tokens_parquet",
+    "read_tokens_dataset",
+]

@@ -1,0 +1,33 @@
+"""Decode pass + round-trip verification."""
+
+from __future__ import annotations
+
+from ..stages.decoder import dataset_checksum, decode_chunks_batch
+from ..state import manifest as mf
+
+
+def read_encoded(out_dir: str):
+    """Ray Dataset of encoded-chunk rows."""
+    import ray.data as rd
+
+    return rd.read_parquet(str(mf.chunks_dir(out_dir)), file_extensions=["parquet"])
+
+
+def decode_dataset(encoded_or_dir):
+    """Encoded chunks -> original (doc_id, tokens, n_tok, source) rows."""
+    encoded = (
+        read_encoded(encoded_or_dir) if isinstance(encoded_or_dir, str) else encoded_or_dir
+    )
+    return encoded.map_batches(decode_chunks_batch, batch_format="pyarrow")
+
+
+def verify_roundtrip(original_ds, encoded_or_dir) -> dict:
+    """Streaming checksum comparison: decoded content == original content
+    (order-insensitive, per-row order-sensitive within tokens)."""
+    left = dataset_checksum(original_ds)
+    right = dataset_checksum(decode_dataset(encoded_or_dir))
+    return {
+        "match": left == right,
+        "original": left,
+        "decoded": right,
+    }

@@ -1,0 +1,118 @@
+"""Decode pass: encoded-chunk rows -> original (doc_id, tokens, n_tok,
+source) rows, plus streaming verification checksums.
+
+Chunks are self-contained (codec id + any dictionary / symbol table are
+inside the payload), so decode is a stateless map_batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode_payload
+from ..sources.tokens import TOKENS_SCHEMA
+from .serialize import tokens_views
+
+
+def decode_chunks_batch(batch: pa.Table) -> pa.Table:
+    """Each input row is one encoded chunk; output rows are documents."""
+    doc_id_lists = batch["doc_id"]
+    n_tok_lists = batch["n_tok"]
+    payloads = batch["payload"]
+    sources = batch["source"].to_pylist()
+
+    all_values = []
+    all_n_tok = []
+    all_doc_ids = []
+    all_sources = []
+    for r in range(batch.num_rows):
+        values = decode_payload(payloads[r].as_py())
+        n_tok = np.asarray(n_tok_lists[r].as_py(), dtype=np.int32)
+        assert int(n_tok.sum()) == len(values), "decoded size mismatch"
+        all_values.append(values)
+        all_n_tok.append(n_tok)
+        docs = doc_id_lists[r].as_py()
+        all_doc_ids.extend(docs)
+        all_sources.extend([sources[r]] * len(docs))
+    values = np.concatenate(all_values) if all_values else np.empty(0, np.int32)
+    n_tok = np.concatenate(all_n_tok) if all_n_tok else np.empty(0, np.int32)
+    offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()),
+        pa.array(values, type=pa.int32()),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(all_doc_ids, type=pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "source": pa.array(all_sources, type=pa.string()),
+        },
+        schema=TOKENS_SCHEMA,
+    )
+
+
+def _row_checksums(batch: pa.Table) -> np.ndarray:
+    """Order-sensitive per-row u64 checksum of the tokens column."""
+    values, offsets = tokens_views(batch)
+    n = len(offsets) - 1
+    v = values.astype(np.uint64)
+    local_pos = np.arange(len(v), dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), (offsets[1:] - offsets[:-1])
+    )
+    mixed = (v + np.uint64(0x9E3779B97F4A7C15)) * (local_pos + np.uint64(1))
+    sums = np.zeros(n, dtype=np.uint64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if len(v) and nonempty.any():
+        # starts of non-empty rows are strictly increasing, and empty
+        # rows contribute no values, so reduceat segments cover exactly
+        # each non-empty row's values
+        sums[nonempty] = np.add.reduceat(mixed, offsets[:-1][nonempty])
+    return sums
+
+
+def checksum_batch(batch: pa.Table) -> pa.Table:
+    """One partial row per batch: (rows, tokens, checksum) for verify."""
+    import polars as pl
+
+    row_sums = _row_checksums(batch)
+    doc_hash = (
+        pl.from_arrow(batch["doc_id"].combine_chunks()
+                      if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"])
+        .hash(seed=7)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    # splitmix64-style nonlinear finalizer: without it, single-bit row
+    # differences produce +/-constant deltas that can cancel in the sum
+    x = row_sums ^ doc_hash
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    total = int(x.sum(dtype=np.uint64))
+    n_tokens = int(batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64).sum())
+    return pa.table(
+        {
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+            "tokens": pa.array([n_tokens], type=pa.int64()),
+            "checksum": pa.array([total], type=pa.uint64()),
+        }
+    )
+
+
+def dataset_checksum(ds) -> dict:
+    """Streaming order-insensitive content checksum of a tokens dataset.
+
+    The driver-side reduction uses exact Python ints: a pandas
+    conversion would round uint64 through float64 and lose low bits.
+    """
+    rows = tokens = checksum = 0
+    for part in ds.map_batches(checksum_batch, batch_format="pyarrow").take_all():
+        rows += int(part["rows"])
+        tokens += int(part["tokens"])
+        checksum = (checksum + int(part["checksum"])) & 0xFFFFFFFFFFFFFFFF
+    return {"rows": rows, "tokens": tokens, "checksum": checksum}

@@ -1,0 +1,113 @@
+"""Per-partition lineage manifests: the resume/checkpoint unit.
+
+Layout under an encode output directory:
+    out_dir/_plan.json              pass-1 result: codec states (b64),
+                                    bucket plan, config, input lineage
+    out_dir/manifest/<part>.json    one entry per encode bucket: status,
+                                    counts, bytes, codec histogram, file
+    out_dir/chunks/<part>.parquet   the encoded chunks (atomic rename)
+
+A rerun with resume=True loads _plan.json (skipping pass 1), drops rows
+of completed partitions before the shuffle, and re-encodes only the
+missing buckets — idempotent because bucket assignment is a pure
+function of (doc_id, plan) and files are written via tmp+rename.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import pathlib
+
+
+def sanitize_part(part_key: str) -> str:
+    return "".join(c if (c.isalnum() or c in "-_.=") else "_" for c in part_key)
+
+
+def plan_path(out_dir: str) -> pathlib.Path:
+    return pathlib.Path(out_dir) / "_plan.json"
+
+
+def manifest_dir(out_dir: str) -> pathlib.Path:
+    return pathlib.Path(out_dir) / "manifest"
+
+
+def chunks_dir(out_dir: str) -> pathlib.Path:
+    return pathlib.Path(out_dir) / "chunks"
+
+
+def write_json_atomic(path: pathlib.Path, obj) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".{os.getpid()}.tmp")
+    tmp.write_text(json.dumps(obj, sort_keys=True))
+    os.replace(tmp, path)
+
+
+def save_plan(out_dir: str, states: dict[str, bytes], bucket_plan: dict[str, int],
+              mass: dict[str, dict], config: dict) -> None:
+    write_json_atomic(
+        plan_path(out_dir),
+        {
+            "states_b64": {s: base64.b64encode(b).decode() for s, b in states.items()},
+            "bucket_plan": bucket_plan,
+            "mass": mass,
+            "config": config,
+        },
+    )
+
+
+def load_plan(out_dir: str):
+    obj = json.loads(plan_path(out_dir).read_text())
+    states = {s: base64.b64decode(b) for s, b in obj["states_b64"].items()}
+    return states, obj["bucket_plan"], obj["mass"], obj["config"]
+
+
+def write_part_entry(out_dir: str, entry: dict) -> None:
+    write_json_atomic(
+        manifest_dir(out_dir) / f"{sanitize_part(entry['part_key'])}.json", entry
+    )
+
+
+def load_manifest(out_dir: str) -> dict[str, dict]:
+    mdir = manifest_dir(out_dir)
+    if not mdir.exists():
+        return {}
+    entries = {}
+    for p in sorted(mdir.glob("*.json")):
+        entry = json.loads(p.read_text())
+        entries[entry["part_key"]] = entry
+    return entries
+
+
+def completed_parts(out_dir: str) -> set[str]:
+    return {
+        key
+        for key, entry in load_manifest(out_dir).items()
+        if entry.get("status") == "done"
+        and (chunks_dir(out_dir) / f"{sanitize_part(key)}.parquet").exists()
+    }
+
+
+def summarize(entries: dict[str, dict]) -> dict:
+    total = {
+        "parts": len(entries),
+        "chunks": 0,
+        "rows": 0,
+        "tokens": 0,
+        "bytes_in": 0,
+        "bytes_out": 0,
+        "codecs": {},
+    }
+    for entry in entries.values():
+        total["chunks"] += entry["chunks"]
+        total["rows"] += entry["rows"]
+        total["tokens"] += entry["tokens"]
+        total["bytes_in"] += entry["bytes_in"]
+        total["bytes_out"] += entry["bytes_out"]
+        for codec, n in entry["codecs"].items():
+            total["codecs"][codec] = total["codecs"].get(codec, 0) + n
+    if total["tokens"]:
+        total["bytes_per_token"] = total["bytes_out"] / total["tokens"]
+        total["compression_ratio"] = total["bytes_in"] / max(total["bytes_out"], 1)
+    return total

@@ -1,0 +1,120 @@
+"""End-to-end Ray pipeline tests: encode -> decode -> per-row equality,
+skew bucketing, resume, streaming mode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fsst_ray import (
+    decode_dataset,
+    encode_dataset,
+    tokens_table,
+    verify_roundtrip,
+)
+from fsst_ray.sources.tokens import ensure_tokens_parquet
+from fsst_ray.state import manifest as mf
+
+SCALE = 0.2  # ~1,230 rows / ~330k tokens
+
+
+@pytest.fixture(scope="module")
+def tokens_ds(ray_session):
+    import ray.data as rd
+
+    path = ensure_tokens_parquet(SCALE)
+    return rd.read_parquet(path, file_extensions=["parquet"])
+
+
+def _sorted_rows(table: pa.Table):
+    df = table.sort_by("doc_id").to_pydict()
+    return list(zip(df["doc_id"], df["tokens"], df["n_tok"], df["source"]))
+
+
+def test_encode_decode_bucketed(tokens_ds, tmp_path):
+    out = str(tmp_path / "enc")
+    result = encode_dataset(
+        tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    assert result.metrics["rows"] == tokens_ds.count()
+    assert result.metrics["tokens"] > 0
+    # compression: the corpus is dominated by compressible families
+    assert result.metrics["bytes_out"] < result.metrics["bytes_in"]
+    # multiple codecs must actually win on different families
+    assert len(result.metrics["codecs"]) >= 3, result.metrics["codecs"]
+
+    # skew handling: the cyclic-large family must fan out over >1 bucket
+    assert result.bucket_plan["cyclic-large"] > 1
+
+    # exact per-row equality, full table
+    decoded = decode_dataset(out).take_all()
+    original = tokens_table(SCALE)
+    dec_tbl = pa.Table.from_pylist(decoded, schema=original.schema)
+    assert _sorted_rows(dec_tbl) == _sorted_rows(original)
+
+    # checksum verify agrees
+    v = verify_roundtrip(tokens_ds, out)
+    assert v["match"], v
+
+
+def test_encode_streaming_mode(tokens_ds, tmp_path):
+    out = str(tmp_path / "enc_stream")
+    result = encode_dataset(
+        tokens_ds, out, mode="streaming", chunk_tokens=1 << 16
+    )
+    assert result.metrics["rows"] == tokens_ds.count()
+    v = verify_roundtrip(tokens_ds, out)
+    assert v["match"], v
+
+
+def test_resume_skips_done_parts(tokens_ds, tmp_path):
+    out = str(tmp_path / "enc_resume")
+    result = encode_dataset(
+        tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    all_parts = set(mf.load_manifest(out))
+    assert len(all_parts) == sum(result.bucket_plan.values())
+
+    # simulate a partial failure: delete some outputs + manifests
+    victims = sorted(all_parts)[::3]
+    for part in victims:
+        (mf.chunks_dir(out) / f"{mf.sanitize_part(part)}.parquet").unlink()
+        (mf.manifest_dir(out) / f"{mf.sanitize_part(part)}.json").unlink()
+
+    result2 = encode_dataset(
+        tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15, resume=True
+    )
+    assert set(mf.load_manifest(out)) == all_parts
+    v = verify_roundtrip(tokens_ds, out)
+    assert v["match"], v
+    # resumed totals match the original run
+    assert result2.metrics["rows"] == result.metrics["rows"]
+    assert result2.metrics["bytes_out"] == result.metrics["bytes_out"]
+
+
+def test_checksum_detects_corruption(tokens_ds):
+    from fsst_ray.stages.decoder import dataset_checksum
+
+    a = dataset_checksum(tokens_ds)
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from fsst_ray.stages.serialize import tokens_from_values, tokens_views
+
+        values, offsets = tokens_views(batch)
+        values = values.copy()
+        if len(values):
+            values[0] += 1
+        n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
+        return batch.set_column(
+            batch.schema.get_field_index("tokens"),
+            "tokens",
+            tokens_from_values(values, n_tok),
+        )
+
+    b = dataset_checksum(
+        tokens_ds.map_batches(corrupt, batch_format="pyarrow")
+    )
+    assert a["rows"] == b["rows"] and a["checksum"] != b["checksum"]
