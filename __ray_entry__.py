@@ -1,44 +1,285 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per operator,
+oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import pathlib
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_EN_STOP_SQL = "('the','and','of','a','to','in','is','it','that','for')"
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _scale_for(sf_dir: str) -> float:
+    """Map /root/testdata/sfX -> synthetic tokens-corpus scale (sf*100:
+    sf0.01 == FIXTURES.md 'small' correctness scale, ~6k rows)."""
+    name = pathlib.Path(sf_dir).name
+    try:
+        return float(name.replace("sf", "")) * 100.0
+    except ValueError:
+        return 1.0
+
+
+def _tmp_out(tag: str) -> str:
+    base = pathlib.Path(os.environ.get("FSST_RAY_RUN_DIR", "/tmp/fsst_ray_runs"))
+    base.mkdir(parents=True, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=base)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship two-pass encode -> decode -> verify on the synthetic
+# tokens corpus at sf0.001 scale
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from fsst_ray import decode_dataset, encode_dataset, read_tokens_dataset, verify_roundtrip
+
+    ds = read_tokens_dataset(scale=0.1)
+    out = _tmp_out("entry")
+    encode_dataset(ds, out, chunk_tokens=1 << 16, bucket_tokens=1 << 18)
+    v = verify_roundtrip(ds, out)
+    assert v["match"], f"round-trip verification failed: {v}"
+    return decode_dataset(out)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_fsst_text_roundtrip(sf_dir: str):
+    from fsst_ray.pipelines.text_codec import fsst_text_roundtrip
+
+    return fsst_text_roundtrip(_read(sf_dir, "documents"))
+
+
+def _q_codec_numeric_roundtrip(sf_dir: str):
+    from fsst_ray.pipelines.text_codec import int_column_roundtrip_groupby
+
+    ds = _read(sf_dir, "lineitem")
+    return int_column_roundtrip_groupby(ds, "l_partkey", "l_returnflag")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from fsst_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def _q_dedup_prefix(sf_dir: str):
+    from fsst_ray.functions.dedup import prefix_dedup
+
+    return prefix_dedup(_read(sf_dir, "documents"))
+
+
+def _q_word_stats(sf_dir: str):
+    from fsst_ray.functions.textstats import word_stats_batch
+
+    return _read(sf_dir, "documents").map_batches(word_stats_batch, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    from fsst_ray.functions.textstats import quality_batch
+
+    return _read(sf_dir, "documents").map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _q_langid(sf_dir: str):
+    from fsst_ray.functions.textstats import langid_batch
+
+    return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from fsst_ray.functions.textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_events_window(sf_dir: str):
+    from fsst_ray.functions.windows import tumbling_counts
+
+    return tumbling_counts(_read(sf_dir, "events"))
+
+
+def _q_session_windows(sf_dir: str):
+    from fsst_ray.functions.windows import session_windows
+
+    return session_windows(_read(sf_dir, "events"))
+
+
+def _q_ann_topk(sf_dir: str):
+    from fsst_ray.functions.similarity import brute_force_topk
+
+    return brute_force_topk(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from fsst_ray.functions.similarity import lsh_topk
+
+    return lsh_topk(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    from fsst_ray.functions.similarity import embedding_near_dups
+
+    return embedding_near_dups(_read(sf_dir, "embeddings"))
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents"))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from fsst_ray.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_read(sf_dir, "documents"))
+
+
+def _q_media_features(sf_dir: str):
+    from fsst_ray.functions.multimodal import extract_media_features, synthetic_media_dataset
+
+    return extract_media_features(synthetic_media_dataset(200))
+
+
+def _q_tokens_roundtrip(sf_dir: str):
+    from fsst_ray import decode_dataset, encode_dataset, read_tokens_dataset
+
+    ds = read_tokens_dataset(scale=_scale_for(sf_dir))
+    out = _tmp_out("tok_rt")
+    encode_dataset(ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
+    return decode_dataset(out)
+
+
+def _q_encode_metrics(sf_dir: str):
+    import pyarrow as pa
+
+    from fsst_ray import encode_dataset, read_tokens_dataset
+
+    ds = read_tokens_dataset(scale=_scale_for(sf_dir))
+    out = _tmp_out("metrics")
+    result = encode_dataset(ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
+    m = result.metrics
+    rows = [
+        {
+            "codec": codec,
+            "chunks": n,
+            "total_tokens": m["tokens"],
+            "total_bytes_out": m["bytes_out"],
+        }
+        for codec, n in sorted(m["codecs"].items())
+    ]
+    return pa.Table.from_pylist(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fsst_text_roundtrip": _q_fsst_text_roundtrip,
+        "codec_numeric_roundtrip": _q_codec_numeric_roundtrip,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "word_stats": _q_word_stats,
+        "quality_score": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "events_window": _q_events_window,
+        "session_windows": _q_session_windows,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "media_features": _q_media_features,
+        "tokens_roundtrip": _q_tokens_roundtrip,
+        "encode_metrics": _q_encode_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _EN_STOP_SQL
+    langs = {
+        "de": "('der','die','und','das','ist','von','mit','ein','nicht','den')",
+        "en": stop,
+        "es": "('el','la','de','que','y','en','un','es','no','por')",
+        "fr": "('le','la','et','les','des','un','une','du','est','dans')",
+        "zh": "('的','是','在','了','和','有','我','不','这','人')",
+    }
+    counts = ", ".join(
+        f"CAST(len(list_filter(string_split(text,' '), w -> w IN {words})) AS BIGINT) AS c_{lang}"
+        for lang, words in langs.items()
+    )
+    greatest = "GREATEST(c_de, c_en, c_es, c_fr, c_zh)"
+    return {
+        "fsst_text_roundtrip": "SELECT doc_id, text FROM documents",
+        "codec_numeric_roundtrip": (
+            "SELECT l_returnflag, CAST(SUM(l_partkey) AS BIGINT) AS sum_l_partkey, "
+            "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "dedup_exact": "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "dedup_prefix": (
+            "SELECT substring(text, 1, 40) AS prefix_key, MIN(doc_id) AS doc_id, "
+            "COUNT(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "word_stats": (
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents"
+        ),
+        "quality_score": (
+            "WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents) "
+            "SELECT doc_id, n_chars_text, n_words, n_distinct, n_stop_en, "
+            "LEAST(GREATEST((100*n_distinct)//GREATEST(n_words,1) + "
+            "(100*n_stop_en)//GREATEST(n_words,1), 0), 200) AS quality FROM s"
+        ),
+        "langid": (
+            f"WITH c AS (SELECT doc_id, {counts} FROM documents) "
+            "SELECT doc_id, CASE "
+            f"WHEN c_de = {greatest} THEN 'de' "
+            f"WHEN c_en = {greatest} THEN 'en' "
+            f"WHEN c_es = {greatest} THEN 'es' "
+            f"WHEN c_fr = {greatest} THEN 'fr' "
+            "ELSE 'zh' END AS pred_lang, c_de, c_en, c_es, c_fr, c_zh FROM c"
+        ),
+        "events_window": (
+            "SELECT event_type, "
+            "CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "session_windows": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "ann_topk": (
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
+            "FROM embeddings q, embeddings b "
+            "WHERE q.vec_id < 10 AND b.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+    }

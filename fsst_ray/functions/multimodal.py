@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video are carried as `binary` columns with a
+`media_type` string column. Decode / resize / feature-extraction run as
+actor-pool map_batches stages with small batch sizes (large payloads).
+
+The actual image/audio decoding libraries are NOT available in this
+environment, so `RealMediaDecoder` raises NotImplementedError — it is
+an explicitly marked STUB. `FakeMediaDecoder` is a deterministic
+stand-in (feature = parsed header + byte statistics) so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("mean_byte", pa.float64()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+class RealMediaDecoder:
+    """STUB: real decoder (PIL / libav) — not available in this image."""
+
+    def __init__(self):
+        try:
+            import PIL.Image  # noqa: F401
+
+            self.available = True
+        except ImportError:
+            self.available = False
+
+    def decode(self, payload: bytes, media_type: str):
+        if not self.available:
+            raise NotImplementedError(
+                "image/audio decode libraries are not installed in this "
+                "environment; use FakeMediaDecoder for plumbing tests"
+            )
+        raise NotImplementedError("real decode path not wired in this sandbox")
+
+
+class FakeMediaDecoder:
+    """Deterministic stand-in decoder: derives (width, height) from the
+    synthetic 8-byte header and features from byte statistics."""
+
+    def decode(self, payload: bytes, media_type: str):
+        if len(payload) >= 8:
+            width = int.from_bytes(payload[0:4], "little") & 0xFFFF
+            height = int.from_bytes(payload[4:8], "little") & 0xFFFF
+            body = np.frombuffer(payload, dtype=np.uint8, offset=8)
+        else:
+            width = height = 0
+            body = np.frombuffer(payload, dtype=np.uint8)
+        mean = float(body.mean()) if body.size else 0.0
+        # 16-bin byte histogram as the "feature vector"
+        hist = np.bincount(body >> 4, minlength=16).astype(np.float32)
+        total = hist.sum()
+        feature = (hist / total) if total else hist
+        return width, height, len(payload), mean, feature
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + featurize a binary media column.
+
+    Use small batch_size (payloads are large) and concurrency sized to
+    the node: ds.map_batches(MediaFeatureExtractor, batch_size=64,
+    concurrency=(1, 8), batch_format="pyarrow").
+    """
+
+    def __init__(self, use_real_decoder: bool = False):
+        self.decoder = RealMediaDecoder() if use_real_decoder else FakeMediaDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = {name: [] for name in FEATURE_SCHEMA.names}
+        for mid, mtype, payload in zip(ids, types, payloads):
+            width, height, n_bytes, mean, feature = self.decoder.decode(payload, mtype)
+            rows["media_id"].append(mid)
+            rows["media_type"].append(mtype)
+            rows["width"].append(width)
+            rows["height"].append(height)
+            rows["n_bytes"].append(n_bytes)
+            rows["mean_byte"].append(mean)
+            rows["feature"].append(feature.tolist())
+        return pa.table(rows, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media_dataset(n_items: int = 200, seed: int = 42):
+    """Deterministic fake media table (binary payloads with an 8-byte
+    width/height header) for exercising the plumbing."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_items):
+        w = int(rng.integers(16, 512))
+        h = int(rng.integers(16, 512))
+        body = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8)
+        payload = w.to_bytes(4, "little") + h.to_bytes(4, "little") + body.tobytes()
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": "image/fake" if i % 3 else "audio/fake",
+                "payload": payload,
+            }
+        )
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+
+
+def extract_media_features(ds, use_real_decoder: bool = False, concurrency=(1, 8)):
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_args=(use_real_decoder,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )

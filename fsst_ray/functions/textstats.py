@@ -1,0 +1,127 @@
+"""Text analysis operators over the documents table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All emit integer-valued features so the DuckDB oracle comparison is
+hash-exact (no cross-engine float formatting concerns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# small per-language stopword lists for the n-gram/stopword language heuristic;
+# languages ordered alphabetically so argmax tie-breaking is deterministic
+# and mirrors the CASE evaluation order in the SQL oracle.
+STOPWORDS = {
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "ein", "nicht", "den"),
+    "en": ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"),
+}
+LANGS = tuple(sorted(STOPWORDS))
+
+
+def _word_lists(batch: pa.Table):
+    """Split text on single spaces — same semantics as SQL string_split."""
+    col = batch["text"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.split_pattern(arr, pattern=" ")
+
+
+def _stop_counts(words: pa.ListArray, stopset: tuple[str, ...]) -> np.ndarray:
+    """Per-row count of words in the stop set (vectorized via flattening)."""
+    flat = words.flatten()
+    hits = pc.is_in(flat, value_set=pa.array(stopset)).to_numpy(zero_copy_only=False)
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if hits.size and nonempty.any():
+        out[nonempty] = np.add.reduceat(hits.astype(np.int64), offsets[:-1][nonempty])
+    return out
+
+
+def word_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_words, n_distinct, n_stop_en) per document."""
+    words = _word_lists(batch)
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    distinct = _list_distinct_len(words)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_distinct": distinct,
+            "n_stop_en": pa.array(_stop_counts(words, STOPWORDS["en"]), type=pa.int64()),
+        }
+    )
+
+
+def _list_distinct_len(words: pa.ListArray) -> pa.Array:
+    import polars as pl
+
+    s = pl.from_arrow(pa.table({"w": words})["w"])
+    return pa.array(s.list.n_unique().to_numpy().astype(np.int64), type=pa.int64())
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality signals: length, words, distinct ratio proxy,
+    stopword hits (en), plus a 0-100 quality score."""
+    words = _word_lists(batch)
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chars = pc.utf8_length(
+        batch["text"].combine_chunks()
+        if isinstance(batch["text"], pa.ChunkedArray)
+        else batch["text"]
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_distinct = _list_distinct_len(words).to_numpy(zero_copy_only=False)
+    n_stop = _stop_counts(words, STOPWORDS["en"])
+    # integer score: clipped sum of scaled signals (stable across engines)
+    score = np.clip(
+        (100 * n_distinct) // np.maximum(n_words, 1)
+        + (100 * n_stop) // np.maximum(n_words, 1),
+        0,
+        200,
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_text": pa.array(n_chars, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "n_stop_en": pa.array(n_stop, type=pa.int64()),
+            "quality": pa.array(score, type=pa.int64()),
+        }
+    )
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-vote language identification; ties break alphabetically."""
+    words = _word_lists(batch)
+    counts = np.stack([_stop_counts(words, STOPWORDS[lang]) for lang in LANGS])
+    pred = np.array(LANGS)[np.argmax(counts, axis=0)]
+    out = {"doc_id": batch["doc_id"], "pred_lang": pa.array(pred, type=pa.string())}
+    for i, lang in enumerate(LANGS):
+        out[f"c_{lang}"] = pa.array(counts[i], type=pa.int64())
+    return pa.table(out)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """64-bit rolling content fingerprint per document (order-sensitive)."""
+    import polars as pl
+
+    col = batch["text"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    h = pl.from_arrow(arr).hash(seed=11).to_numpy().astype(np.uint64)
+    # mix with length for a cheap rolling-hash-style fingerprint
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.uint64)
+    fp = (h ^ (n_chars * np.uint64(0x9E3779B97F4A7C15))) | np.uint64(1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fp.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, type=pa.int64()),
+        }
+    )

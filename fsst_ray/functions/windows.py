@@ -1,0 +1,87 @@
+"""Windowed aggregates over the events stream table.
+
+Ray Data has no event-time windowing; windows are computed as grouped
+aggregates over a derived window-start key (tumbling), or per-key
+map_groups over ts-sorted groups (sliding / session). Ordering
+assumption: rows within one user_id group fit in memory and are sorted
+inside the group function — no global sort.
+
+Window starts are emitted as epoch seconds (BIGINT) so oracle
+comparisons are integer-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_counts(ds, hours: int = 1) -> "pa.Table":
+    """(event_type, window_start epoch s, n) via grouped aggregate."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        epoch = pc.cast(arr, pa.int64())  # µs since epoch
+        width = hours * 3600 * 1_000_000
+        start = pc.multiply(pc.divide(epoch, width), width)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.divide(start, 1_000_000),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .count()
+    )
+    df = out.to_pandas().rename(columns={"count()": "n"})
+    df = df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], type=pa.string()),
+            "window_start": pa.array(df["window_start"].astype("int64"), type=pa.int64()),
+            "n": pa.array(df["n"].astype("int64"), type=pa.int64()),
+        }
+    )
+
+
+def session_windows(ds, gap_minutes: int = 30) -> "pa.Table":
+    """Per-user session windows (gap-based): (user_id, session_start
+    epoch s, n_events). Sessions computed per user group, ts-sorted."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        # normalize to ns explicitly: pandas 2.x may keep Arrow's µs unit
+        ts = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        ts_us = ts // 1000
+        new_session = np.ones(len(ts_us), dtype=bool)
+        new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        session_id = np.cumsum(new_session)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "session": session_id,
+                    "ts_us": ts_us,
+                }
+            )
+            .groupby("session")
+            .agg(user_id=("user_id", "first"), start_us=("ts_us", "min"), n_events=("ts_us", "size"))
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "session_start": (out["start_us"] // 1_000_000).astype("int64"),
+                "n_events": out["n_events"].astype("int64"),
+            }
+        )
+
+    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    res = res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
