@@ -1,0 +1,161 @@
+"""Headline benchmark: two-pass encode + decode/verify of the synthetic
+pre-tokenized corpus (input_hint schema) on Ray Data.
+
+Usage:
+    python bench.py              # one JSON line with per-stage seconds
+    python bench.py --scaling    # same pipeline at num_cpus=8 and 32 in
+                                 # fresh processes; reports throughputs +
+                                 # scaling efficiency (N vs 4N stand-in)
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default
+/root/testdata/sf0.1; only its sf suffix is used to size the synthetic
+corpus — scale = sf*1000), FSST_BENCH_SCALE (explicit scale override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _bench_scale(sf_dir: str) -> float:
+    if os.environ.get("FSST_BENCH_SCALE"):
+        return float(os.environ["FSST_BENCH_SCALE"])
+    name = pathlib.Path(sf_dir).name
+    try:
+        return float(name.replace("sf", "")) * 1000.0
+    except ValueError:
+        return 100.0
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale = _bench_scale(sf_dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from fsst_ray import decode_dataset, encode_dataset, verify_roundtrip
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
+    from fsst_ray.stages.decoder import dataset_checksum
+    import ray.data as rd
+
+    # corpus generation is cached; warm the page cache with an untimed scan
+    path = ensure_tokens_parquet(scale)
+    ds = rd.read_parquet(path, file_extensions=["parquet"])
+    total_tokens = int(ds.sum("n_tok"))
+
+    queries: dict[str, float] = {}
+    out_root = tempfile.mkdtemp(prefix="bench_", dir="/tmp")
+    metrics = {}
+    try:
+        t0 = time.perf_counter()
+        result = encode_dataset(
+            ds,
+            f"{out_root}/bucketed",
+            mode="bucketed",
+            chunk_tokens=1 << 21,
+            bucket_tokens=1 << 22,  # ~4M tokens/bucket: >=2 tasks per core at sf0.1
+        )
+        queries["encode_bucketed"] = time.perf_counter() - t0
+        metrics = result.metrics
+
+        t0 = time.perf_counter()
+        encode_dataset(
+            ds,
+            f"{out_root}/streaming",
+            mode="streaming",
+            chunk_tokens=1 << 21,
+        )
+        queries["encode_streaming"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        check = dataset_checksum(decode_dataset(f"{out_root}/bucketed"))
+        queries["decode_verify"] = time.perf_counter() - t0
+        assert check["tokens"] == total_tokens, "decode token count mismatch"
+
+        t0 = time.perf_counter()
+        v = verify_roundtrip(ds, f"{out_root}/streaming")
+        assert v["match"], v
+        queries["roundtrip_verify_streaming"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    headline = queries["encode_bucketed"] + queries["decode_verify"]
+    return {
+        "metric": "encode+decode wall time (synthetic tokens corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": scale / 1000.0,
+        "num_cpus": num_cpus,
+        "tokens": total_tokens,
+        "encode_tokens_per_sec": round(total_tokens / queries["encode_bucketed"]),
+        "streaming_tokens_per_sec": round(total_tokens / queries["encode_streaming"]),
+        "decode_tokens_per_sec": round(total_tokens / queries["decode_verify"]),
+        "bytes_per_token": round(metrics.get("bytes_per_token", 0.0), 4),
+        "compression_ratio": round(metrics.get("compression_ratio", 0.0), 3),
+        "encode_timings": metrics.get("timings", {}),
+    }
+
+
+def run_scaling() -> dict:
+    """Same input + pipeline at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["tokens"] / r_lo["value"]
+    thr_hi = r_hi["tokens"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (headline encode+decode, 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "tokens_per_sec_8": round(thr_lo),
+        "tokens_per_sec_32": round(thr_hi),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": r_hi["sf"],
+        "tokens": r_hi["tokens"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -37,28 +37,56 @@ def train_from_lines(sample_lines: list[bytes]) -> bytes:
     return fsst.train(sample_lines).symbol_table_bytes()
 
 
+def train_with_ratio(sample_lines: list[bytes]) -> dict:
+    """Train + measure the expected compression ratio on the training
+    sample — pass-1 work, so per-chunk size estimation is free."""
+    blob = train_from_lines(sample_lines)
+    total = sum(len(ln) for ln in sample_lines)
+    if total == 0:
+        return {"fsst": blob, "ratio": 1.0}
+    comp = _compressor_for_state(blob)
+    offsets = np.zeros(len(sample_lines) + 1, dtype=np.int64)
+    np.cumsum([len(ln) for ln in sample_lines], out=offsets[1:])
+    data = np.frombuffer(b"".join(sample_lines), dtype=np.uint8)
+    codes, _ = native.compress_bulk(data, offsets, comp)
+    return {"fsst": blob, "ratio": len(codes) / total}
+
+
+def _state_blob(state) -> bytes:
+    return state["fsst"] if isinstance(state, dict) else state
+
+
+def _state_ratio(state) -> float | None:
+    return state.get("ratio") if isinstance(state, dict) else None
+
+
 class FsstCodec(Codec):
     name = "fsst"
     codec_id = 5
 
-    def train(self, sample_lines: list[bytes]) -> bytes:
-        return train_from_lines(sample_lines)
+    def train(self, sample_lines: list[bytes]) -> dict:
+        return train_with_ratio(sample_lines)
 
     def estimate(self, stats, state):
         if state is None:
             return float("inf")
-        sample = stats.get("sample_bytes")
-        if sample is None or len(sample) == 0:
-            return float("inf")
-        comp = _compressor_for_state(state)
-        data = np.frombuffer(sample, dtype=np.uint8)
-        offsets = np.array([0, len(sample)], dtype=np.int64)
-        codes, _ = native.compress_bulk(data, offsets, comp)
-        ratio = len(codes) / len(sample)
-        return len(state) + 8 + ratio * 4 * stats["n"]
+        blob = _state_blob(state)
+        ratio = _state_ratio(state)
+        if ratio is None:
+            # legacy raw-blob state: compress the chunk sample to estimate
+            sample = stats.get("sample_bytes")
+            if sample is None or len(sample) == 0:
+                return float("inf")
+            comp = _compressor_for_state(blob)
+            data = np.frombuffer(sample, dtype=np.uint8)
+            offsets = np.array([0, len(sample)], dtype=np.int64)
+            codes, _ = native.compress_bulk(data, offsets, comp)
+            ratio = len(codes) / len(sample)
+        return len(blob) + 8 + ratio * 4 * stats["n"]
 
     def encode_values(self, values, state):
         assert state is not None, "fsst codec requires trained state"
+        state = _state_blob(state)
         raw = values.astype("<i4", copy=False).view(np.uint8)
         comp = _compressor_for_state(state)
         offsets = np.array([0, len(raw)], dtype=np.int64)

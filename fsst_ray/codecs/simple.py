@@ -20,12 +20,28 @@ def bit_width(max_value: int) -> int:
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack non-negative int64 values into `width`-bit little-endian lanes."""
+    """Pack non-negative int64 values into `width`-bit little-endian
+    lanes (C kernel; numpy bits-matrix fallback)."""
     if width == 0 or len(values) == 0:
         return b""
-    v = values.astype(np.uint64, copy=False)
+    from ..kernel import native
+
+    lib = native.get_lib()
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if lib is not None and width <= 57:
+        import ctypes
+
+        out = np.empty((len(v) * width + 7) // 8, dtype=np.uint8)
+        written = lib.bitpack(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(v),
+            width,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:written].tobytes()
+    u = v.astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    bits = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
@@ -33,6 +49,21 @@ def unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of pack_bits; returns uint64 values."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    from ..kernel import native
+
+    lib = native.get_lib()
+    if lib is not None and width <= 57:
+        import ctypes
+
+        raw = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(n, dtype=np.int64)
+        lib.bitunpack(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            width,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out.astype(np.uint64, copy=False)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width, bitorder="little")
     shifts = np.arange(width, dtype=np.uint64)
     return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)

@@ -96,6 +96,44 @@ int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
     return out_pos;
 }
 
+/* ---- fixed-width bit packing (used by bitpack/FOR/RLE/dict codecs) ----
+ * Little-endian bit order: value i occupies bits [i*width, (i+1)*width).
+ * width must be <= 57 so the accumulator never overflows (carry < 8 bits).
+ * Returns bytes written. */
+int64_t bitpack(const int64_t *vals, int64_t n, int32_t width, uint8_t *out) {
+    uint64_t acc = 0;
+    int nbits = 0;
+    int64_t opos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        acc |= ((uint64_t)vals[i]) << nbits;
+        nbits += width;
+        while (nbits >= 8) {
+            out[opos++] = (uint8_t)acc;
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    if (nbits > 0)
+        out[opos++] = (uint8_t)acc;
+    return opos;
+}
+
+void bitunpack(const uint8_t *data, int64_t n, int32_t width, int64_t *out) {
+    uint64_t acc = 0;
+    int nbits = 0;
+    int64_t ipos = 0;
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    for (int64_t i = 0; i < n; i++) {
+        while (nbits < width) {
+            acc |= ((uint64_t)data[ipos++]) << nbits;
+            nbits += 8;
+        }
+        out[i] = (int64_t)(acc & mask);
+        acc >>= width;
+        nbits -= width;
+    }
+}
+
 /* Returns total decoded bytes, or -1 if `out_cap` would be exceeded
  * (callers size out_cap as exact_decoded_size + 8 when known). */
 int64_t fsst_decompress_bulk(const uint8_t *codes, const int64_t *offsets,

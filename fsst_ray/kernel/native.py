@@ -48,6 +48,10 @@ def _build_and_load():
     ]
     lib.fsst_decompress_bulk.restype = i64
     lib.fsst_decompress_bulk.argtypes = [u8p, i64p, i64, u64p, u8p, u8p, i64, i64p]
+    lib.bitpack.restype = i64
+    lib.bitpack.argtypes = [i64p, i64, ctypes.c_int32, u8p]
+    lib.bitunpack.restype = None
+    lib.bitunpack.argtypes = [u8p, i64, ctypes.c_int32, i64p]
     return lib
 
 

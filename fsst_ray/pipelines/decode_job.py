@@ -18,7 +18,7 @@ def decode_dataset(encoded_or_dir):
     encoded = (
         read_encoded(encoded_or_dir) if isinstance(encoded_or_dir, str) else encoded_or_dir
     )
-    return encoded.map_batches(decode_chunks_batch, batch_format="pyarrow")
+    return encoded.map_batches(decode_chunks_batch, batch_format="pyarrow", batch_size=None)
 
 
 def verify_roundtrip(original_ds, encoded_or_dir) -> dict:

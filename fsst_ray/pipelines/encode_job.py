@@ -59,17 +59,21 @@ class EncodeResult:
         return str(mf.chunks_dir(self.out_dir))
 
 
-def _encode_and_write_group(
-    group: pa.Table, *, states, chunk_tokens, codecs, out_dir
-) -> pa.Table:
-    """Encode one bucket and write its parquet file atomically."""
+def _write_part_group(group: pa.Table, *, out_dir) -> pa.Table:
+    """Reduce side of bucketed mode: one group = one bucket's encoded
+    chunk rows (already compressed map-side). Renumber chunks
+    deterministically, write the bucket's parquet file atomically,
+    record the manifest entry."""
     import pyarrow.parquet as pq
 
     part_key = group["part_key"][0].as_py()
-    order = pa.compute.sort_indices(group["doc_id"])  # deterministic chunking
-    group = group.take(order)
-    chunks = encode_rows_to_chunks(
-        group, states, part_key, chunk_tokens, codecs
+    first_doc = pa.compute.list_element(group["doc_id"], 0)
+    order = pa.compute.sort_indices(first_doc)  # deterministic chunk order
+    chunks = group.take(order)
+    chunks = chunks.set_column(
+        chunks.schema.get_field_index("chunk_seq"),
+        "chunk_seq",
+        pa.array(np.arange(chunks.num_rows, dtype=np.int32), type=pa.int32()),
     )
     cdir = mf.chunks_dir(out_dir)
     cdir.mkdir(parents=True, exist_ok=True)
@@ -108,19 +112,18 @@ def _encode_and_write_group(
     )
 
 
-class _StreamingEncoder:
-    """Actor-pool encoder for mode="streaming": no shuffle; chunks follow
-    input block boundaries. States fetched once per actor."""
+def _make_streaming_encoder(states_ref, chunk_tokens, codecs):
+    """Stateless task encoder for mode="streaming": no shuffle, no actor
+    ramp-up; the states dict rides the object store (ray.put once) and
+    is fetched zero-copy per task."""
 
-    def __init__(self, states_ref, chunk_tokens, codecs):
+    def encode_batch(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.states = ray.get(states_ref) if not isinstance(states_ref, dict) else states_ref
-        self.chunk_tokens = chunk_tokens
-        self.codecs = codecs
+        states = ray.get(states_ref)
+        return encode_rows_to_chunks(batch, states, None, chunk_tokens, codecs)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return encode_rows_to_chunks(batch, self.states, None, self.chunk_tokens, self.codecs)
+    return encode_batch
 
 
 def encode_dataset(
@@ -144,6 +147,10 @@ def encode_dataset(
         "codecs": list(codecs),
     }
 
+    import time
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
     if resume and mf.plan_path(out_dir).exists():
         states, bucket_plan, mass, saved_config = mf.load_plan(out_dir)
         assert saved_config == config, (
@@ -153,29 +160,31 @@ def encode_dataset(
         states, mass = train_states(ds)
         bucket_plan = build_bucket_plan(mass, bucket_tokens)
         mf.save_plan(out_dir, states, bucket_plan, mass, config)
+    timings["pass1_train"] = time.perf_counter() - t0
 
     if mode == "streaming":
         states_ref = ray.put(states)
         encoded = ds.map_batches(
-            _StreamingEncoder,
+            _make_streaming_encoder(states_ref, chunk_tokens, codecs),
             batch_format="pyarrow",
-            fn_constructor_args=(states_ref, chunk_tokens, codecs),
-            concurrency=encode_concurrency or (1, 32),
+            batch_size=None,  # whole blocks: chunk sizing is token-driven
         )
         cdir = mf.chunks_dir(out_dir)
         cdir.mkdir(parents=True, exist_ok=True)
         encoded.write_parquet(str(cdir), compression="none")
+        timings["pass2_encode"] = time.perf_counter() - t0 - timings["pass1_train"]
         entries = _entries_from_chunks(str(cdir))
         for entry in entries.values():
             mf.write_part_entry(out_dir, entry)
         metrics = mf.summarize(entries)
+        metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}
         return EncodeResult(out_dir, metrics, bucket_plan, mode)
 
     assert mode == "bucketed", f"unknown mode {mode}"
     done = mf.completed_parts(out_dir) if resume else set()
 
     keyed = ds.map_batches(
-        lambda b: assign_partitions(b, bucket_plan), batch_format="pyarrow"
+        lambda b: assign_partitions(b, bucket_plan), batch_format="pyarrow", batch_size=None
     )
     if done:
         done_list = sorted(done)
@@ -187,17 +196,28 @@ def encode_dataset(
 
         keyed = keyed.map_batches(drop_done, batch_format="pyarrow")
 
-    manifest_rows = keyed.groupby("part_key").map_groups(
-        lambda g: _encode_and_write_group(
-            g, states=states, chunk_tokens=chunk_tokens, codecs=codecs, out_dir=out_dir
-        ),
+    # map-side encode: chunks are compressed in the embarrassingly
+    # parallel map stage; only encoded chunk rows go through the shuffle
+    states_ref = ray.put(states)
+
+    def map_encode(batch: pa.Table) -> pa.Table:
+        st = ray.get(states_ref)
+        return encode_rows_to_chunks(
+            batch, st, None, chunk_tokens, codecs, group_col="part_key"
+        )
+
+    encoded = keyed.map_batches(map_encode, batch_format="pyarrow", batch_size=None)
+    manifest_rows = encoded.groupby("part_key").map_groups(
+        lambda g: _write_part_group(g, out_dir=out_dir),
         batch_format="pyarrow",
     )
     # consume the tiny manifest dataset (one row per bucket)
     manifest_rows.to_pandas()
+    timings["pass2_encode"] = time.perf_counter() - t0 - timings["pass1_train"]
 
     entries = mf.load_manifest(out_dir)
     metrics = mf.summarize(entries)
+    metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}
     return EncodeResult(out_dir, metrics, bucket_plan, mode)
 
 

@@ -113,9 +113,11 @@ FAMILIES = {
     "random": (1000, _gen_random),
 }
 
-_CHUNK_ROWS = 50_000
-# heavy-tailed families get smaller generation chunks (bounded token mass)
-_CHUNK_ROWS_BY_FAMILY = {"cyclic-large": 2_000}
+_GEN_VERSION = 2  # bump to invalidate the /tmp parquet cache
+_CHUNK_ROWS = 12_500
+# heavy-tailed families get smaller generation chunks (bounded token
+# mass per file — file count drives read parallelism)
+_CHUNK_ROWS_BY_FAMILY = {"cyclic-large": 500}
 
 
 def _family_chunk(family: str, chunk: int, n_rows: int, row_base: int) -> pa.Table:
@@ -167,7 +169,7 @@ def ensure_tokens_parquet(scale: float = 1.0, base_dir: str | None = None) -> st
     """Write (once, cached) the corpus as one parquet file per family
     chunk so reads parallelize; returns the directory path."""
     base_dir = base_dir or os.environ.get("FSST_RAY_DATA_DIR", "/tmp/fsst_ray_tokens")
-    out = pathlib.Path(base_dir) / f"scale_{scale:g}"
+    out = pathlib.Path(base_dir) / f"v{_GEN_VERSION}_scale_{scale:g}"
     marker = out / "_SUCCESS"
     if marker.exists():
         return str(out)

@@ -111,7 +111,7 @@ def dataset_checksum(ds) -> dict:
     conversion would round uint64 through float64 and lose low bits.
     """
     rows = tokens = checksum = 0
-    for part in ds.map_batches(checksum_batch, batch_format="pyarrow").take_all():
+    for part in ds.map_batches(checksum_batch, batch_format="pyarrow", batch_size=None).take_all():
         rows += int(part["rows"])
         tokens += int(part["tokens"])
         checksum = (checksum + int(part["checksum"])) & 0xFFFFFFFFFFFFFFFF

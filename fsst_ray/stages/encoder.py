@@ -60,25 +60,37 @@ def encode_rows_to_chunks(
     part_key: str | None,
     chunk_tokens: int,
     codecs: tuple[str, ...],
+    group_col: str | None = None,
 ) -> pa.Table:
-    """Encode a run of rows (single part/bucket, or a mixed batch split
-    by source beforehand) into encoded-chunk rows."""
+    """Encode a run of rows into encoded-chunk rows.
+
+    Rows are grouped by `group_col` when given (map-side bucketing:
+    each part_key run becomes its own chunks), else by source; an
+    explicit `part_key` labels all output (already-grouped input).
+    """
     values, offsets = tokens_views(batch)
     sources = batch["source"].to_numpy(zero_copy_only=False)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
+    group_keys = (
+        batch[group_col].to_numpy(zero_copy_only=False) if group_col is not None else sources
+    )
 
     out = {name: [] for name in ENCODED_CHUNK_SCHEMA.names}
-    # split into per-source runs (already one source in bucketed mode)
-    order = np.argsort(sources, kind="stable")
-    sorted_sources = sources[order]
-    boundaries = np.flatnonzero(sorted_sources[1:] != sorted_sources[:-1]) + 1
+    order = np.argsort(group_keys, kind="stable")
+    sorted_keys = group_keys[order]
+    boundaries = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
     group_starts = np.concatenate([[0], boundaries, [len(sources)]])
     for g in range(len(group_starts) - 1):
         idx = order[group_starts[g] : group_starts[g + 1]]
-        source = sorted_sources[group_starts[g]]
+        source = sources[idx[0]]
         state = states.get(source)
-        key = part_key if part_key is not None else f"{source}:-0001"
+        if part_key is not None:
+            key = part_key
+        elif group_col is not None:
+            key = sorted_keys[group_starts[g]]
+        else:
+            key = f"{source}:-0001"
         # chunk rows so each chunk holds ~chunk_tokens tokens
         row_tok = n_tok[idx].astype(np.int64)
         cum = np.cumsum(row_tok)
@@ -88,11 +100,15 @@ def encode_rows_to_chunks(
         while start < len(idx):
             end = int(np.searchsorted(chunk_of_row, chunk_of_row[start], side="right"))
             rows = idx[start:end]
-            # gather values of these rows (contiguous in bucketed mode)
-            parts = [values[offsets[i] : offsets[i + 1]] for i in rows]
-            chunk_values = (
-                np.concatenate(parts) if parts else np.empty(0, dtype=np.int32)
-            )
+            # gather values of these rows — zero-copy slice when the run
+            # is contiguous (single-source batches / bucketed groups)
+            if len(rows) and rows[-1] - rows[0] == len(rows) - 1:
+                chunk_values = values[offsets[rows[0]] : offsets[rows[-1] + 1]]
+            else:
+                parts = [values[offsets[i] : offsets[i + 1]] for i in rows]
+                chunk_values = (
+                    np.concatenate(parts) if parts else np.empty(0, dtype=np.int32)
+                )
             payload, meta = encode_chunk(chunk_values, state, codecs)
             out["part_key"].append(key)
             out["source"].append(source)

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codecs.fsst_codec import train_from_lines
+from ..codecs.fsst_codec import train_from_lines, train_with_ratio
 from ..kernel.fsst import FSST_SAMPLELINE, FSST_SAMPLEMAX, fsst_hash
 from .serialize import tokens_views
 
@@ -98,25 +98,68 @@ def train_source_group(group: pa.Table) -> pa.Table:
             break
         lines.append(c)
         total += len(c)
-    state = train_from_lines(lines)
+    state = train_with_ratio(lines)
     return pa.table(
         {
             "source": pa.array([source], type=pa.string()),
-            "state": pa.array([state], type=pa.large_binary()),
+            "state": pa.array([state["fsst"]], type=pa.large_binary()),
+            "ratio": pa.array([state["ratio"]], type=pa.float64()),
             "mass": pa.array([mass], type=pa.int64()),
             "rows": pa.array([rows], type=pa.int64()),
         }
     )
 
 
-def train_states(ds) -> tuple[dict[str, bytes], dict[str, dict]]:
+def train_states(ds, reduce: str = "driver") -> tuple[dict[str, bytes], dict[str, dict]]:
     """Run pass 1. Returns ({source: fsst state blob},
-    {source: {"tokens": n, "rows": n}})."""
+    {source: {"tokens": n, "rows": n}}).
+
+    reduce="driver" (default): collect the bounded sample output
+    (<= blocks x sources-per-block x 32 KiB) and train per source in
+    parallel ray tasks — no shuffle, ~seconds of latency saved.
+    reduce="groupby": distributed groupby reduce, for extreme source
+    cardinality where the sample set exceeds driver memory.
+    """
     tiny = ds.map_batches(
         sample_and_mass_batch, batch_format="pyarrow", batch_size=None
     )
-    reduced = tiny.groupby("source").map_groups(train_source_group, batch_format="pyarrow")
-    out = reduced.to_pandas()  # one row per source — tiny
-    states = {r.source: bytes(r.state) for r in out.itertuples()}
-    mass = {r.source: {"tokens": int(r.mass), "rows": int(r.rows)} for r in out.itertuples()}
+    if reduce == "groupby":
+        reduced = tiny.groupby("source").map_groups(train_source_group, batch_format="pyarrow")
+        out = reduced.to_pandas()  # one row per source — tiny
+        states = {
+            r.source: {"fsst": bytes(r.state), "ratio": float(r.ratio)}
+            for r in out.itertuples()
+        }
+        mass = {r.source: {"tokens": int(r.mass), "rows": int(r.rows)} for r in out.itertuples()}
+        return states, mass
+
+    import ray
+
+    rows = tiny.take_all()
+    by_source: dict[str, dict] = {}
+    for r in rows:
+        info = by_source.setdefault(r["source"], {"tokens": 0, "rows": 0, "samples": []})
+        if r["priority"] == 0:
+            info["tokens"] += int(r["mass"])
+            info["rows"] += int(r["rows"])
+        else:
+            info["samples"].append((int(r["priority"]), r["chunk"]))
+
+    @ray.remote(num_cpus=1)
+    def _train(samples: list[tuple[int, bytes]]) -> dict:
+        from fsst_ray.codecs.fsst_codec import train_with_ratio
+
+        samples.sort(key=lambda t: t[0])
+        lines, total = [], 0
+        for _, c in samples:
+            if total >= FSST_SAMPLEMAX:
+                break
+            lines.append(bytes(c))
+            total += len(c)
+        return train_with_ratio(lines)
+
+    sources = sorted(by_source)
+    futures = {s: _train.remote(by_source[s]["samples"]) for s in sources}
+    states = {s: ray.get(f) for s, f in futures.items()}
+    mass = {s: {"tokens": by_source[s]["tokens"], "rows": by_source[s]["rows"]} for s in sources}
     return states, mass

@@ -44,12 +44,15 @@ def write_json_atomic(path: pathlib.Path, obj) -> None:
     os.replace(tmp, path)
 
 
-def save_plan(out_dir: str, states: dict[str, bytes], bucket_plan: dict[str, int],
+def save_plan(out_dir: str, states: dict[str, dict], bucket_plan: dict[str, int],
               mass: dict[str, dict], config: dict) -> None:
     write_json_atomic(
         plan_path(out_dir),
         {
-            "states_b64": {s: base64.b64encode(b).decode() for s, b in states.items()},
+            "states": {
+                s: {"fsst_b64": base64.b64encode(st["fsst"]).decode(), "ratio": st["ratio"]}
+                for s, st in states.items()
+            },
             "bucket_plan": bucket_plan,
             "mass": mass,
             "config": config,
@@ -59,7 +62,10 @@ def save_plan(out_dir: str, states: dict[str, bytes], bucket_plan: dict[str, int
 
 def load_plan(out_dir: str):
     obj = json.loads(plan_path(out_dir).read_text())
-    states = {s: base64.b64decode(b) for s, b in obj["states_b64"].items()}
+    states = {
+        s: {"fsst": base64.b64decode(st["fsst_b64"]), "ratio": st["ratio"]}
+        for s, st in obj["states"].items()
+    }
     return states, obj["bucket_plan"], obj["mass"], obj["config"]
 
 
