@@ -29,9 +29,11 @@ def _bench_scale(sf_dir: str) -> float:
         return float(os.environ["FSST_BENCH_SCALE"])
     name = pathlib.Path(sf_dir).name
     try:
-        return float(name.replace("sf", "")) * 1000.0
+        # sf0.1 -> scale 300 (~520M tokens / ~2.1 GB): big enough that
+        # per-stage fixed overheads do not dominate the scaling signal
+        return float(name.replace("sf", "")) * 3000.0
     except ValueError:
-        return 100.0
+        return 300.0
 
 
 def run_bench() -> dict:
@@ -66,7 +68,8 @@ def run_bench() -> dict:
     total_tokens = int(ds.sum("n_tok"))
 
     queries: dict[str, float] = {}
-    out_root = tempfile.mkdtemp(prefix="bench_", dir="/tmp")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_root = tempfile.mkdtemp(prefix="bench_", dir=scratch)
     metrics = {}
     try:
         t0 = time.perf_counter()

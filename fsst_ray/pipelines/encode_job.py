@@ -59,17 +59,19 @@ class EncodeResult:
         return str(mf.chunks_dir(self.out_dir))
 
 
-def _write_part_group(group: pa.Table, *, out_dir) -> pa.Table:
-    """Reduce side of bucketed mode: one group = one bucket's encoded
-    chunk rows (already compressed map-side). Renumber chunks
-    deterministically, write the bucket's parquet file atomically,
-    record the manifest entry."""
+def _finalize_part(chunks: pa.Table, out_dir: str) -> dict:
+    """Finalize one bucket: dedup retried chunks (uid = first doc_id of
+    the chunk — chunks partition the sorted docs, so uids are unique),
+    order + renumber deterministically, write the bucket's parquet file
+    atomically, record its manifest entry."""
     import pyarrow.parquet as pq
 
-    part_key = group["part_key"][0].as_py()
-    first_doc = pa.compute.list_element(group["doc_id"], 0)
-    order = pa.compute.sort_indices(first_doc)  # deterministic chunk order
-    chunks = group.take(order)
+    part_key = chunks["part_key"][0].as_py()
+    first_doc = pa.compute.list_element(chunks["doc_id"], 0).to_numpy(zero_copy_only=False)
+    _, keep = np.unique(first_doc, return_index=True)  # sorted + deduped
+    chunks = chunks.take(pa.array(np.sort(keep)))
+    order = pa.compute.sort_indices(pa.compute.list_element(chunks["doc_id"], 0))
+    chunks = chunks.take(order)
     chunks = chunks.set_column(
         chunks.schema.get_field_index("chunk_seq"),
         "chunk_seq",
@@ -97,19 +99,70 @@ def _write_part_group(group: pa.Table, *, out_dir) -> pa.Table:
         "file": fname.name,
     }
     mf.write_part_entry(out_dir, entry)
+    return entry
+
+
+def _write_part_group(group: pa.Table, *, out_dir) -> pa.Table:
+    """groupby-reduce wrapper around _finalize_part (bucketed_groupby)."""
+    entry = _finalize_part(group, out_dir)
     return pa.table(
         {
-            "part_key": [part_key],
+            "part_key": [entry["part_key"]],
             "chunks": [entry["chunks"]],
             "rows": [entry["rows"]],
             "tokens": [entry["tokens"]],
             "bytes_in": [entry["bytes_in"]],
             "bytes_out": [entry["bytes_out"]],
-            "codec_names": [list(codec_hist)],
-            "codec_counts": [list(codec_hist.values())],
+            "codec_names": [list(entry["codecs"])],
+            "codec_counts": [list(entry["codecs"].values())],
         },
         schema=MANIFEST_ROW_SCHEMA,
     )
+
+
+class _BucketWriter:
+    """Reduce-side writer actor for the custom hash exchange.
+
+    The Dataset API's only keyed exchange is a sort-based groupby, which
+    moves every encoded payload through sort machinery and does not
+    scale on one node; this actor pool implements a direct
+    hash-partitioned exchange instead (map tasks push each bucket's
+    chunk rows straight to its writer). Buffers one bucket's chunks in
+    memory until finalize — size bucket_tokens so (buckets/actor x
+    bucket bytes) fits the writer heap.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.parts: dict[str, list[pa.Table]] = {}
+
+    def add(self, table: pa.Table) -> int:
+        keys = table["part_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, [len(skeys)]]
+        )
+        for g in range(len(bounds) - 1):
+            idx = order[bounds[g] : bounds[g + 1]]
+            self.parts.setdefault(skeys[bounds[g]], []).append(
+                table.take(pa.array(idx))
+            )
+        return table.num_rows
+
+    def finalize(self, expected: dict[str, int]) -> list[dict]:
+        entries = []
+        for part_key in sorted(self.parts):
+            chunks = pa.concat_tables(self.parts[part_key])
+            entry = _finalize_part(chunks, self.out_dir)
+            want = expected.get(part_key)
+            if want is not None and entry["chunks"] != want:
+                raise RuntimeError(
+                    f"bucket {part_key}: wrote {entry['chunks']} chunks, expected {want} "
+                    "(writer actor lost state — rerun with resume=True)"
+                )
+            entries.append(entry)
+        return entries
 
 
 def _make_streaming_encoder(states_ref, chunk_tokens, codecs):
@@ -180,7 +233,7 @@ def encode_dataset(
         metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}
         return EncodeResult(out_dir, metrics, bucket_plan, mode)
 
-    assert mode == "bucketed", f"unknown mode {mode}"
+    assert mode in ("bucketed", "bucketed_groupby"), f"unknown mode {mode}"
     done = mf.completed_parts(out_dir) if resume else set()
 
     keyed = ds.map_batches(
@@ -207,12 +260,62 @@ def encode_dataset(
         )
 
     encoded = keyed.map_batches(map_encode, batch_format="pyarrow", batch_size=None)
-    manifest_rows = encoded.groupby("part_key").map_groups(
-        lambda g: _write_part_group(g, out_dir=out_dir),
-        batch_format="pyarrow",
-    )
-    # consume the tiny manifest dataset (one row per bucket)
-    manifest_rows.to_pandas()
+
+    if mode == "bucketed_groupby":
+        # Dataset-native keyed exchange (sort shuffle); slower on one
+        # node than the actor exchange below but fully declarative.
+        manifest_rows = encoded.groupby("part_key").map_groups(
+            lambda g: _write_part_group(g, out_dir=out_dir),
+            batch_format="pyarrow",
+        )
+        manifest_rows.to_pandas()  # tiny: one row per bucket
+    else:
+        # custom hash exchange: push encoded chunk rows directly to
+        # per-bucket writer actors (no sort, no extra copy through the
+        # shuffle machinery); delivery verified by chunk counts
+        import zlib
+
+        n_writers = encode_concurrency or max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2
+        )
+        # num_cpus=0: writers only buffer table refs until finalize, so
+        # they must not steal task slots from the encode map stage
+        writer_pool = [
+            ray.remote(num_cpus=0)(_BucketWriter).remote(out_dir)
+            for _ in range(n_writers)
+        ]
+
+        def route(batch: pa.Table) -> pa.Table:
+            keys = batch["part_key"].to_numpy(zero_copy_only=False)
+            wid = np.array(
+                [zlib.crc32(k.encode()) % n_writers for k in keys], dtype=np.int64
+            )
+            refs = []
+            for w in np.unique(wid):
+                sub = batch.filter(pa.array(wid == w))
+                refs.append(writer_pool[int(w)].add.remote(sub))
+            ray.get(refs)  # backpressure: ack before finishing the batch
+            counts: dict[str, int] = {}
+            for k in keys:
+                counts[k] = counts.get(k, 0) + 1
+            return pa.table(
+                {
+                    "part_key": pa.array(list(counts), type=pa.string()),
+                    "n_chunks": pa.array(list(counts.values()), type=pa.int64()),
+                }
+            )
+
+        count_rows = encoded.map_batches(
+            route, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        expected: dict[str, int] = {}
+        for r in count_rows:
+            expected[r["part_key"]] = expected.get(r["part_key"], 0) + int(r["n_chunks"])
+        for entries_list in ray.get([w.finalize.remote(expected) for w in writer_pool]):
+            del entries_list  # entries are persisted in the manifest dir
+        for w in writer_pool:
+            ray.kill(w)
+
     timings["pass2_encode"] = time.perf_counter() - t0 - timings["pass1_train"]
 
     entries = mf.load_manifest(out_dir)
