@@ -7,10 +7,25 @@ from ..state import manifest as mf
 
 
 def read_encoded(out_dir: str):
-    """Ray Dataset of encoded-chunk rows."""
+    """Ray Dataset of encoded-chunk rows.
+
+    Encoded chunk rows are a few MB each, so the default 128 MB block
+    target would bundle many bucket files into one read task and cap
+    decode parallelism; split to roughly one block per bucket file.
+    """
+    import pathlib
+
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(str(mf.chunks_dir(out_dir)), file_extensions=["parquet"])
+    path = mf.chunks_dir(out_dir)
+    n_files = sum(1 for _ in pathlib.Path(path).glob("*.parquet"))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return rd.read_parquet(
+        str(path),
+        file_extensions=["parquet"],
+        override_num_blocks=max(n_files, 2 * cpus),
+    )
 
 
 def decode_dataset(encoded_or_dir):

@@ -59,19 +59,11 @@ class EncodeResult:
         return str(mf.chunks_dir(self.out_dir))
 
 
-def _finalize_part(chunks: pa.Table, out_dir: str) -> dict:
-    """Finalize one bucket: dedup retried chunks (uid = first doc_id of
-    the chunk — chunks partition the sorted docs, so uids are unique),
-    order + renumber deterministically, write the bucket's parquet file
-    atomically, record its manifest entry."""
+def _write_bucket_file(chunks: pa.Table, out_dir: str) -> dict:
+    """Write one bucket's encoded chunk rows atomically + manifest entry."""
     import pyarrow.parquet as pq
 
     part_key = chunks["part_key"][0].as_py()
-    first_doc = pa.compute.list_element(chunks["doc_id"], 0).to_numpy(zero_copy_only=False)
-    _, keep = np.unique(first_doc, return_index=True)  # sorted + deduped
-    chunks = chunks.take(pa.array(np.sort(keep)))
-    order = pa.compute.sort_indices(pa.compute.list_element(chunks["doc_id"], 0))
-    chunks = chunks.take(order)
     chunks = chunks.set_column(
         chunks.schema.get_field_index("chunk_seq"),
         "chunk_seq",
@@ -102,9 +94,23 @@ def _finalize_part(chunks: pa.Table, out_dir: str) -> dict:
     return entry
 
 
-def _write_part_group(group: pa.Table, *, out_dir) -> pa.Table:
-    """groupby-reduce wrapper around _finalize_part (bucketed_groupby)."""
-    entry = _finalize_part(group, out_dir)
+def _encode_part(
+    rows: pa.Table, out_dir: str, states, chunk_tokens: int, codecs
+) -> dict:
+    """Reduce-side encode of one bucket: dedup retried rows (uid =
+    doc_id), sort by doc_id (deterministic chunking regardless of
+    arrival order), encode into full-size chunks, write + manifest."""
+    part_key = rows["part_key"][0].as_py()
+    doc_ids = rows["doc_id"].to_numpy(zero_copy_only=False)
+    _, keep = np.unique(doc_ids, return_index=True)  # dedup + sorted by doc_id
+    rows = rows.take(pa.array(keep))
+    chunks = encode_rows_to_chunks(rows, states, part_key, chunk_tokens, codecs)
+    return _write_bucket_file(chunks, out_dir)
+
+
+def _write_part_group(group: pa.Table, *, out_dir, states, chunk_tokens, codecs) -> pa.Table:
+    """groupby-reduce wrapper around _encode_part (bucketed_groupby)."""
+    entry = _encode_part(group, out_dir, states, chunk_tokens, codecs)
     return pa.table(
         {
             "part_key": [entry["part_key"]],
@@ -121,19 +127,24 @@ def _write_part_group(group: pa.Table, *, out_dir) -> pa.Table:
 
 
 class _BucketWriter:
-    """Reduce-side writer actor for the custom hash exchange.
+    """Reduce-side encoder/writer actor for the custom hash exchange.
 
     The Dataset API's only keyed exchange is a sort-based groupby, which
-    moves every encoded payload through sort machinery and does not
-    scale on one node; this actor pool implements a direct
-    hash-partitioned exchange instead (map tasks push each bucket's
-    chunk rows straight to its writer). Buffers one bucket's chunks in
-    memory until finalize — size bucket_tokens so (buckets/actor x
-    bucket bytes) fits the writer heap.
+    drags every row through sort machinery and does not scale on one
+    node; this actor pool implements a direct hash-partitioned exchange
+    instead: map tasks push each bucket's raw rows straight to its
+    writer, and the writer sorts/chunks/encodes/writes the bucket at
+    finalize. Encoding reduce-side keeps chunks full-size (fragmenting
+    chunks map-side multiplied per-chunk overhead ~30x). Buffers one
+    bucket's raw rows until finalize — size bucket_tokens so
+    (buckets/actor x bucket bytes) fits the writer heap.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, states, chunk_tokens: int, codecs):
         self.out_dir = out_dir
+        self.states = states
+        self.chunk_tokens = chunk_tokens
+        self.codecs = codecs
         self.parts: dict[str, list[pa.Table]] = {}
 
     def add(self, table: pa.Table) -> int:
@@ -153,12 +164,14 @@ class _BucketWriter:
     def finalize(self, expected: dict[str, int]) -> list[dict]:
         entries = []
         for part_key in sorted(self.parts):
-            chunks = pa.concat_tables(self.parts[part_key])
-            entry = _finalize_part(chunks, self.out_dir)
+            rows = pa.concat_tables(self.parts.pop(part_key))
+            entry = _encode_part(
+                rows, self.out_dir, self.states, self.chunk_tokens, self.codecs
+            )
             want = expected.get(part_key)
-            if want is not None and entry["chunks"] != want:
+            if want is not None and entry["rows"] != want:
                 raise RuntimeError(
-                    f"bucket {part_key}: wrote {entry['chunks']} chunks, expected {want} "
+                    f"bucket {part_key}: wrote {entry['rows']} rows, expected {want} "
                     "(writer actor lost state — rerun with resume=True)"
                 )
             entries.append(entry)
@@ -249,39 +262,31 @@ def encode_dataset(
 
         keyed = keyed.map_batches(drop_done, batch_format="pyarrow")
 
-    # map-side encode: chunks are compressed in the embarrassingly
-    # parallel map stage; only encoded chunk rows go through the shuffle
-    states_ref = ray.put(states)
-
-    def map_encode(batch: pa.Table) -> pa.Table:
-        st = ray.get(states_ref)
-        return encode_rows_to_chunks(
-            batch, st, None, chunk_tokens, codecs, group_col="part_key"
-        )
-
-    encoded = keyed.map_batches(map_encode, batch_format="pyarrow", batch_size=None)
-
     if mode == "bucketed_groupby":
         # Dataset-native keyed exchange (sort shuffle); slower on one
         # node than the actor exchange below but fully declarative.
-        manifest_rows = encoded.groupby("part_key").map_groups(
-            lambda g: _write_part_group(g, out_dir=out_dir),
+        manifest_rows = keyed.groupby("part_key").map_groups(
+            lambda g: _write_part_group(
+                g, out_dir=out_dir, states=states, chunk_tokens=chunk_tokens, codecs=codecs
+            ),
             batch_format="pyarrow",
         )
         manifest_rows.to_pandas()  # tiny: one row per bucket
     else:
-        # custom hash exchange: push encoded chunk rows directly to
-        # per-bucket writer actors (no sort, no extra copy through the
-        # shuffle machinery); delivery verified by chunk counts
+        # custom hash exchange: push each bucket's raw rows directly to
+        # its writer actor (no sort); writers encode + write at
+        # finalize; delivery verified by per-bucket row counts
         import zlib
 
         n_writers = encode_concurrency or max(
             2, int(ray.cluster_resources().get("CPU", 8)) // 2
         )
         # num_cpus=0: writers only buffer table refs until finalize, so
-        # they must not steal task slots from the encode map stage
+        # they must not steal task slots from the routing map stage
         writer_pool = [
-            ray.remote(num_cpus=0)(_BucketWriter).remote(out_dir)
+            ray.remote(num_cpus=0)(_BucketWriter).remote(
+                out_dir, states, chunk_tokens, codecs
+            )
             for _ in range(n_writers)
         ]
 
@@ -294,23 +299,25 @@ def encode_dataset(
             for w in np.unique(wid):
                 sub = batch.filter(pa.array(wid == w))
                 refs.append(writer_pool[int(w)].add.remote(sub))
-            ray.get(refs)  # backpressure: ack before finishing the batch
+            # ack before the task finishes: guarantees every send is
+            # processed before finalize's delivery check can run
+            ray.get(refs)
             counts: dict[str, int] = {}
             for k in keys:
                 counts[k] = counts.get(k, 0) + 1
             return pa.table(
                 {
                     "part_key": pa.array(list(counts), type=pa.string()),
-                    "n_chunks": pa.array(list(counts.values()), type=pa.int64()),
+                    "n_rows": pa.array(list(counts.values()), type=pa.int64()),
                 }
             )
 
-        count_rows = encoded.map_batches(
+        count_rows = keyed.map_batches(
             route, batch_format="pyarrow", batch_size=None
         ).take_all()
         expected: dict[str, int] = {}
         for r in count_rows:
-            expected[r["part_key"]] = expected.get(r["part_key"], 0) + int(r["n_chunks"])
+            expected[r["part_key"]] = expected.get(r["part_key"], 0) + int(r["n_rows"])
         for entries_list in ray.get([w.finalize.remote(expected) for w in writer_pool]):
             del entries_list  # entries are persisted in the manifest dir
         for w in writer_pool:
