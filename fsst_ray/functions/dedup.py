@@ -111,66 +111,79 @@ def _minhash_signature(shingles: np.ndarray) -> np.ndarray:
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """Explode each doc into (band_id, band_hash, doc_id) rows."""
+    """Explode each doc into (bucket, doc_id, signature) rows — one per
+    LSH band; the signature rides along so candidate verification inside
+    the bucket groupby needs no second pass over the corpus."""
     col = batch["text"]
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    rows_band, rows_hash, rows_doc = [], [], []
+    rows_bucket, rows_doc, rows_sig = [], [], []
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     for doc_id, text in zip(doc_ids, arr.to_pylist()):
         sig = _minhash_signature(_shingle_hashes(text))
+        sig_bytes = sig.tobytes()
         for band in range(_LSH_BANDS):
             h = hashlib.blake2b(
                 sig[band * rows_per_band : (band + 1) * rows_per_band].tobytes(),
                 digest_size=8,
             ).digest()
-            rows_band.append(band)
-            rows_hash.append(int.from_bytes(h, "little") >> 1)
+            rows_bucket.append(f"{band}:{int.from_bytes(h, 'little') >> 1}")
             rows_doc.append(int(doc_id))
+            rows_sig.append(sig_bytes)
     return pa.table(
         {
-            "band_id": pa.array(rows_band, type=pa.int32()),
-            "band_hash": pa.array(rows_hash, type=pa.int64()),
+            "bucket": pa.array(rows_bucket, type=pa.string()),
             "doc_id": pa.array(rows_doc, type=pa.int64()),
+            "sig": pa.array(rows_sig, type=pa.large_binary()),
         }
     )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    docs = sorted(set(group["doc_id"]))
-    if len(docs) < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
-    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+def _estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def _bucket_verified_pairs(threshold: float):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = docs["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in docs["sig"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if _estimated_jaccard(sigs[i], sigs[j]) >= threshold:
+                    rows.append((int(ids[i]), int(ids[j])))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+
+    return fn
 
 
 def minhash_dedup(ds, jaccard_threshold: float = 0.7):
     """MinHash-LSH near-duplicate clustering.
 
-    Returns (doc_id, cluster_id) for every document, where cluster_id
-    is the min doc_id of its near-duplicate component.
+    shingle -> 64-perm minhash -> 16 bands -> bucket groupby ->
+    signature-estimated Jaccard verification inside each bucket ->
+    union-find over the (small) verified edge list on the driver.
+    Returns (doc_id, cluster_id); cluster_id = min doc_id of the
+    component. Only (bucket, doc_id, 512-byte signature) rows shuffle —
+    never the documents themselves.
     """
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    bands = bands.map_batches(  # single-key groupby: combine band id+hash
-        lambda b: b.append_column(
-            "bucket",
-            pc.binary_join_element_wise(
-                pc.cast(b["band_id"], pa.string()), pc.cast(b["band_hash"], pa.string()), ":"
-            ),
-        ),
-        batch_format="pyarrow",
+    pairs = bands.groupby("bucket").map_groups(
+        _bucket_verified_pairs(jaccard_threshold), batch_format="pandas"
     )
-    pairs = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     pair_df = pairs.to_pandas().drop_duplicates()
 
-    # verify candidates by true shingle jaccard (small candidate set)
-    texts = {
-        r["doc_id"]: r["text"]
+    all_ids = sorted(
+        r["doc_id"]
         for r in ds.map_batches(
-            lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
         ).take_all()
-    }
+    )
     parent: dict[int, int] = {}
 
     def find(x):
@@ -179,20 +192,12 @@ def minhash_dedup(ds, jaccard_threshold: float = 0.7):
             x = parent[x]
         return x
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
     for a, b in zip(pair_df.get("doc_a", []), pair_df.get("doc_b", [])):
-        sa = set(_shingle_hashes(texts[a]).tolist())
-        sb = set(_shingle_hashes(texts[b]).tolist())
-        union_size = len(sa | sb)
-        if union_size and len(sa & sb) / union_size >= jaccard_threshold:
-            union(int(a), int(b))
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
 
-    rows = [{"doc_id": d, "cluster_id": find(d)} for d in sorted(texts)]
+    rows = [{"doc_id": d, "cluster_id": find(d)} for d in all_ids]
     return pa.Table.from_pylist(
         rows, schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
     )

@@ -116,36 +116,72 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 5) -> pa.Table:
 
 
 def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 8) -> pa.Table:
-    """Approximate top-k: bucket vectors by signed random projections,
-    scan only buckets matching each query (plus Hamming-1 probes).
+    """Approximate top-k: bucket vectors by signed random projections
+    and scan, per query, only the buckets in its Hamming-1 probe set.
 
+    Distributed shape: a map stage assigns each vector its bucket code
+    and scores it against the (broadcast) queries that probe that code;
+    a driver-side merge keeps the global top-k per query. Only per-batch
+    candidate rows leave the workers — the corpus is never collected.
     Same output schema as brute_force_topk; approximate recall.
     """
+    import pyarrow.compute as pc
+    import ray
+
     rng = np.random.default_rng(4637947)
-    planes = None
 
-    full = ds.map_batches(lambda b: b, batch_format="pyarrow")  # passthrough
-    all_rows = full.take_all()
-    tbl = pa.Table.from_pylist(all_rows)
-    mat, ids = _embedding_matrix(tbl)
-    mat = _normalize(mat)
-    planes = rng.normal(size=(mat.shape[1], n_planes))
-    codes = (mat @ planes > 0) @ (1 << np.arange(n_planes))
-    qsel = np.isin(ids, query_ids)
+    qset = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_tbl = pa.Table.from_pylist(q_rows)
+    q_mat, q_ids = _embedding_matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+    dim = q_mat.shape[1]
+    planes = rng.normal(size=(dim, n_planes))
+    q_codes = ((q_mat @ planes > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+    # per query: its code plus all Hamming-1 neighbors
+    probe_sets = [
+        {int(c)} | {int(c) ^ (1 << b) for b in range(n_planes)} for c in q_codes
+    ]
+    broadcast = ray.put((q_ids, q_mat, planes, probe_sets))
 
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, pl, probes = ray.get(broadcast)
+        mat, ids = _embedding_matrix(batch)
+        out_q, out_n, out_s = [], [], []
+        if mat.size:
+            mat = _normalize(mat)
+            codes = ((mat @ pl > 0) @ (1 << np.arange(pl.shape[1]))).astype(np.int64)
+            for quid, qvec, probe in zip(qi, qm, probes):
+                cand = np.flatnonzero(
+                    np.isin(codes, list(probe)) & (ids != quid)
+                )
+                if len(cand) == 0:
+                    continue
+                sims = mat[cand] @ qvec
+                keep = np.argsort(-sims)[:k]
+                for j in keep:
+                    out_q.append(int(quid))
+                    out_n.append(int(ids[cand[j]]))
+                    out_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     rows = []
-    for qi in np.flatnonzero(qsel):
-        probe_codes = {int(codes[qi])} | {
-            int(codes[qi]) ^ (1 << b) for b in range(n_planes)
-        }
-        cand = np.flatnonzero(np.isin(codes, list(probe_codes)) & (ids != ids[qi]))
-        if len(cand) == 0:
-            continue
-        sims = mat[cand] @ mat[qi]
-        order = np.lexsort((ids[cand], -sims))[:k]
-        for rank, j in enumerate(order, start=1):
+    for qid, group in candidates.groupby("query_id"):
+        group = group.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+        for rank, (_, r) in enumerate(group.head(k).iterrows(), start=1):
             rows.append(
-                {"query_id": int(ids[qi]), "rank": rank, "neighbor_id": int(ids[cand[j]])}
+                {"query_id": int(qid), "rank": rank, "neighbor_id": int(r.neighbor_id)}
             )
     return pa.Table.from_pylist(
         rows,
@@ -155,17 +191,70 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 8) -> pa.Tabl
     )
 
 
-def embedding_near_dups(ds, threshold: float = 0.98) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t)."""
-    tbl = pa.Table.from_pylist(ds.take_all())
-    mat, ids = _embedding_matrix(tbl)
-    mat = _normalize(mat)
-    sims = mat @ mat.T
-    ia, ib = np.where(np.triu(sims >= threshold, k=1))
-    order = np.lexsort((ids[ib], ids[ia]))
+def embedding_near_dups(
+    ds, threshold: float = 0.98, n_planes: int = 8, n_tables: int = 3
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
+
+    Distributed LSH: each vector lands in one bucket per hash table
+    (signed random projections); pairs are verified by exact cosine
+    inside each bucket group and deduped across tables. High-similarity
+    pairs collide in at least one table with high probability
+    (recall ~= 1-(1-p^planes)^tables); pair recall is approximate by
+    construction — exact verification, approximate candidate recall.
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(20240817)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        mat, ids = _embedding_matrix(batch)
+        out_bucket, out_id, out_emb = [], [], []
+        if mat.size:
+            matn = _normalize(mat)
+            dim = matn.shape[1]
+            local_rng = np.random.default_rng(20240817)
+            for t in range(n_tables):
+                planes = local_rng.normal(size=(dim, n_planes))
+                codes = ((matn @ planes > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+                for i in range(len(ids)):
+                    out_bucket.append(f"{t}:{codes[i]}")
+                    out_id.append(int(ids[i]))
+                    out_emb.append(matn[i].astype(np.float32))
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket, type=pa.string()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in out_emb], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+            )
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        sims = mat @ mat.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    pairs = (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
     return pa.table(
         {
-            "vec_a": pa.array(ids[ia][order], type=pa.int64()),
-            "vec_b": pa.array(ids[ib][order], type=pa.int64()),
+            "vec_a": pa.array(pairs["vec_a"].astype("int64"), type=pa.int64()),
+            "vec_b": pa.array(pairs["vec_b"].astype("int64"), type=pa.int64()),
         }
     )

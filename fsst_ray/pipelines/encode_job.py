@@ -7,16 +7,18 @@ proportional to source token mass), shuffle once on part_key, encode
 each bucket into ~chunk_tokens-sized auto-selected codec chunks, write
 one atomic parquet file + manifest entry per bucket.
 
-At 100 TB: the only all-to-all exchange is the part_key groupby; the
-small side (symbol tables, ~2.3 KB/source) is broadcast via plan
-serialization; no stage materializes the dataset. "streaming" mode
-skips the shuffle entirely (chunks follow input block boundaries) for
-maximum throughput when balanced output files don't matter.
+At 100 TB: the only all-to-all exchange is the pass-2 bucket exchange
+(default: a direct hash exchange onto per-bucket writer actors;
+"bucketed_groupby" keeps the declarative Dataset groupby expression);
+the small side (symbol tables, ~2.3 KB/source) is broadcast via the
+plan / object store; no stage materializes the dataset. "streaming"
+mode skips the exchange entirely (chunks follow input block
+boundaries) for maximum throughput when balanced, resumable per-bucket
+output files don't matter.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 from dataclasses import dataclass, field
 
@@ -25,7 +27,6 @@ import pyarrow as pa
 
 from ..codecs.select import DEFAULT_CODECS
 from ..stages.encoder import (
-    ENCODED_CHUNK_SCHEMA,
     assign_partitions,
     build_bucket_plan,
     encode_rows_to_chunks,
@@ -369,10 +370,3 @@ def _entries_from_chunks(chunks_path: str) -> dict[str, dict]:
                 entry["codecs"][c] = entry["codecs"].get(c, 0) + n
     return entries
 
-
-def _states_digest(states: dict[str, bytes]) -> str:
-    h = hashlib.sha256()
-    for s in sorted(states):
-        h.update(s.encode())
-        h.update(states[s])
-    return h.hexdigest()[:16]

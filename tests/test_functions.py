@@ -1,0 +1,110 @@
+"""Behavioral tests for the training-data operators: planted
+near-duplicates must be found; ANN paths agree with brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(40):
+        words = [vocab[j] for j in rng.integers(0, 200, size=60)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # plant near-duplicates: copies of doc 0 and doc 1 with tiny edits
+    base0 = rows[0]["text"].split(" ")
+    base1 = rows[1]["text"].split(" ")
+    rows.append({"doc_id": 100, "text": " ".join(base0[:-1] + ["zzz"])})
+    rows.append({"doc_id": 101, "text": " ".join(base0)})
+    rows.append({"doc_id": 102, "text": " ".join(base1[:-2] + ["yyy", "xxx"])})
+    table = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    return rd.from_arrow(table)
+
+
+def test_minhash_dedup_finds_planted(docs_with_dups):
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    out = minhash_dedup(docs_with_dups, jaccard_threshold=0.6).to_pandas()
+    clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert clusters[100] == 0 and clusters[101] == 0, clusters
+    assert clusters[102] == 1
+    # non-duplicates stay singleton
+    assert clusters[5] == 5 and clusters[17] == 17
+
+
+def test_simhash_finds_planted(docs_with_dups):
+    from fsst_ray.functions.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs_with_dups, max_hamming=8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 101) in got  # identical text -> hamming 0
+    assert (0, 100) in got or (1, 102) in got
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 32)).astype(np.float32)
+    mat[100] = mat[0] + rng.normal(scale=0.01, size=32)  # planted near-dup
+    rows = [
+        {"vec_id": i, "embedding": mat[i].tolist(), "label": 0} for i in range(120)
+    ]
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]
+            ),
+        )
+    )
+
+
+def test_embedding_near_dups(embeddings_ds):
+    from fsst_ray.functions.similarity import embedding_near_dups
+
+    pairs = embedding_near_dups(embeddings_ds, threshold=0.98).to_pandas()
+    assert (0, 100) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_lsh_recalls_top1(embeddings_ds):
+    from fsst_ray.functions.similarity import brute_force_topk, lsh_topk
+
+    exact = brute_force_topk(embeddings_ds, query_ids=[0, 5], k=3).to_pandas()
+    approx = lsh_topk(embeddings_ds, query_ids=[0, 5], k=3).to_pandas()
+    # the planted near-identical vector must be rank 1 for query 0 in both
+    top1 = lambda df, q: int(
+        df[(df["query_id"] == q) & (df["rank"] == 1)]["neighbor_id"].iloc[0]
+    )
+    assert top1(exact, 0) == 100
+    assert top1(approx, 0) == 100
+
+
+def test_media_feature_plumbing(ray_session):
+    from fsst_ray.functions.multimodal import (
+        RealMediaDecoder,
+        extract_media_features,
+        synthetic_media_dataset,
+    )
+
+    feats = extract_media_features(synthetic_media_dataset(50)).take_all()
+    assert len(feats) == 50
+    f = feats[0]
+    assert 16 <= f["width"] <= 512 and 16 <= f["height"] <= 512
+    assert len(f["feature"]) == 16
+    assert abs(sum(f["feature"]) - 1.0) < 1e-5
+
+    dec = RealMediaDecoder()
+    if not dec.available:
+        with pytest.raises(NotImplementedError):
+            dec.decode(b"xxxx", "image/png")
