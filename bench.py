@@ -80,7 +80,7 @@ def run_bench() -> dict:
             ds,
             f"{out_root}/bucketed",
             mode="bucketed",
-            chunk_tokens=1 << 21,
+            chunk_tokens=1 << 19,
             bucket_tokens=1 << 22,  # ~4M tokens/bucket: >=2 tasks per core at sf0.1
         )
         queries["encode_bucketed"] = time.perf_counter() - t0
@@ -91,7 +91,7 @@ def run_bench() -> dict:
             ds,
             f"{out_root}/streaming",
             mode="streaming",
-            chunk_tokens=1 << 21,
+            chunk_tokens=1 << 19,
         )
         queries["encode_streaming"] = time.perf_counter() - t0
 

@@ -146,26 +146,30 @@ class _BucketWriter:
         self.states = states
         self.chunk_tokens = chunk_tokens
         self.codecs = codecs
-        self.parts: dict[str, list[pa.Table]] = {}
+        self.buffers: list[pa.Table] = []
 
     def add(self, table: pa.Table) -> int:
+        # O(1): just buffer — all splitting happens once in finalize, so
+        # the routing tasks' delivery acks return immediately
+        self.buffers.append(table)
+        return table.num_rows
+
+    def finalize(self, expected: dict[str, int]) -> list[dict]:
+        if not self.buffers:
+            return []
+        table = pa.concat_tables(self.buffers)
+        self.buffers = []
         keys = table["part_key"].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         skeys = keys[order]
         bounds = np.concatenate(
             [[0], np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, [len(skeys)]]
         )
+        entries = []
         for g in range(len(bounds) - 1):
             idx = order[bounds[g] : bounds[g + 1]]
-            self.parts.setdefault(skeys[bounds[g]], []).append(
-                table.take(pa.array(idx))
-            )
-        return table.num_rows
-
-    def finalize(self, expected: dict[str, int]) -> list[dict]:
-        entries = []
-        for part_key in sorted(self.parts):
-            rows = pa.concat_tables(self.parts.pop(part_key))
+            part_key = skeys[bounds[g]]
+            rows = table.take(pa.array(idx))
             entry = _encode_part(
                 rows, self.out_dir, self.states, self.chunk_tokens, self.codecs
             )
@@ -198,7 +202,7 @@ def encode_dataset(
     out_dir: str,
     *,
     mode: str = "bucketed",
-    chunk_tokens: int = 1 << 20,
+    chunk_tokens: int = 1 << 19,
     bucket_tokens: int = 16 << 20,
     codecs: tuple[str, ...] = DEFAULT_CODECS,
     resume: bool = False,
@@ -280,7 +284,7 @@ def encode_dataset(
         import zlib
 
         n_writers = encode_concurrency or max(
-            2, int(ray.cluster_resources().get("CPU", 8)) // 2
+            2, int(ray.cluster_resources().get("CPU", 8))
         )
         # num_cpus=0: writers only buffer table refs until finalize, so
         # they must not steal task slots from the routing map stage

@@ -16,39 +16,45 @@ from .serialize import tokens_views
 
 
 def decode_chunks_batch(batch: pa.Table) -> pa.Table:
-    """Each input row is one encoded chunk; output rows are documents."""
-    doc_id_lists = batch["doc_id"]
-    n_tok_lists = batch["n_tok"]
-    payloads = batch["payload"]
-    sources = batch["source"].to_pylist()
+    """Each input row is one encoded chunk; output rows are documents.
 
-    all_values = []
-    all_n_tok = []
-    all_doc_ids = []
-    all_sources = []
-    for r in range(batch.num_rows):
-        values = decode_payload(payloads[r].as_py())
-        n_tok = np.asarray(n_tok_lists[r].as_py(), dtype=np.int32)
-        assert int(n_tok.sum()) == len(values), "decoded size mismatch"
-        all_values.append(values)
-        all_n_tok.append(n_tok)
-        docs = doc_id_lists[r].as_py()
-        all_doc_ids.extend(docs)
-        all_sources.extend([sources[r]] * len(docs))
-    values = np.concatenate(all_values) if all_values else np.empty(0, np.int32)
-    n_tok = np.concatenate(all_n_tok) if all_n_tok else np.empty(0, np.int32)
-    offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
-    np.cumsum(n_tok, out=offsets[1:])
+    doc_id / n_tok list columns stay Arrow (flattened zero-copy); only
+    the payload decode itself runs per chunk — on a zero-copy buffer
+    view, no bytes copies.
+    """
+    import pyarrow.compute as pc
+
+    def col(name):
+        c = batch[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    doc_lists = col("doc_id")
+    ntok_lists = col("n_tok")
+    payloads = col("payload")
+    doc_flat = doc_lists.flatten()
+    n_tok = ntok_lists.flatten()
+    counts = pc.list_value_length(doc_lists).to_numpy(zero_copy_only=False)
+    sources = np.repeat(batch["source"].to_numpy(zero_copy_only=False), counts)
+
+    parts = [
+        decode_payload(memoryview(payloads[r].as_buffer()))
+        for r in range(batch.num_rows)
+    ]
+    values = np.concatenate(parts) if parts else np.empty(0, np.int32)
+    n_tok_np = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+    assert int(n_tok_np.sum()) == len(values), "decoded size mismatch"
+    offsets = np.zeros(len(n_tok_np) + 1, dtype=np.int64)
+    np.cumsum(n_tok_np, out=offsets[1:])
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32), type=pa.int32()),
         pa.array(values, type=pa.int32()),
     )
     return pa.table(
         {
-            "doc_id": pa.array(all_doc_ids, type=pa.string()),
+            "doc_id": doc_flat,
             "tokens": tokens,
-            "n_tok": pa.array(n_tok, type=pa.int32()),
-            "source": pa.array(all_sources, type=pa.string()),
+            "n_tok": n_tok,
+            "source": pa.array(sources, type=pa.string()),
         },
         schema=TOKENS_SCHEMA,
     )
