@@ -10,6 +10,7 @@ signed random projections so each query only scans matching buckets.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -203,8 +204,6 @@ def embedding_near_dups(
     (recall ~= 1-(1-p^planes)^tables); pair recall is approximate by
     construction — exact verification, approximate candidate recall.
     """
-    import pandas as pd
-
     rng = np.random.default_rng(20240817)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -248,10 +247,11 @@ def embedding_near_dups(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates()
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
     )
+    if "vec_a" not in pairs.columns:  # no near-duplicates anywhere
+        pairs = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64")})
+    pairs = pairs.drop_duplicates().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table(
         {
             "vec_a": pa.array(pairs["vec_a"].astype("int64"), type=pa.int64()),
