@@ -55,19 +55,11 @@ def _gen_zeros(rng, n_rows):
     lens = rng.integers(6, 240, size=n_rows).astype(np.int64)
     lens = (lens // 6) * 6
     pat = np.array([0, 1, 2, 3, 4, 0], dtype=np.int32)
-    vals = np.tile(pat, int(lens.sum()) // 6)
-    # half the rows: long pure-zero runs
+    vals = np.tile(pat, int(lens.sum()) // 6).copy()
+    # half the rows: long pure-zero runs (vectorized row mask)
     zero_rows = rng.random(n_rows) < 0.5
-    parts = []
-    off = 0
-    for i in range(n_rows):
-        ln = int(lens[i])
-        if zero_rows[i]:
-            parts.append(np.zeros(ln, dtype=np.int32))
-        else:
-            parts.append(vals[off : off + ln])
-        off += ln
-    return np.concatenate(parts) if parts else np.empty(0, np.int32), lens
+    vals[np.repeat(zero_rows, lens)] = 0
+    return vals, lens
 
 
 def _gen_cyclic_large(rng, n_rows):
@@ -113,7 +105,7 @@ FAMILIES = {
     "random": (1000, _gen_random),
 }
 
-_GEN_VERSION = 2  # bump to invalidate the /tmp parquet cache
+_GEN_VERSION = 3  # bump to invalidate the /tmp parquet cache
 _CHUNK_ROWS = 12_500
 # heavy-tailed families get smaller generation chunks (bounded token
 # mass per file — file count drives read parallelism)
@@ -179,13 +171,31 @@ def ensure_tokens_parquet(scale: float = 1.0, base_dir: str | None = None) -> st
 
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True, exist_ok=True)
-    for family in FAMILIES:
-        for chunk, n, base in _family_plan(family, scale):
-            table = _family_chunk(family, chunk, n, base)
-            pq.write_table(table, tmp / f"{family}-{chunk:05d}.parquet", compression="zstd")
+    jobs = [
+        (family, chunk, n, base)
+        for family in FAMILIES
+        for chunk, n, base in _family_plan(family, scale)
+    ]
+    if len(jobs) > 8:
+        # chunks are independently seeded — generate in parallel
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as pool:
+            list(pool.map(_write_chunk_job, [(str(tmp), *j) for j in jobs], chunksize=1))
+    else:
+        for j in jobs:
+            _write_chunk_job((str(tmp), *j))
     os.replace(tmp, out)
     marker.touch()
     return str(out)
+
+
+def _write_chunk_job(args) -> None:
+    tmp, family, chunk, n, base = args
+    table = _family_chunk(family, chunk, n, base)
+    pq.write_table(
+        table, pathlib.Path(tmp) / f"{family}-{chunk:05d}.parquet", compression="zstd"
+    )
 
 
 def read_tokens_dataset(scale: float = 1.0, base_dir: str | None = None):
