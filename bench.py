@@ -40,6 +40,9 @@ def run_bench() -> dict:
     # cap per-worker polars threads: the vectorized hash calls are small
     # and a full thread pool per worker oversubscribes the node
     os.environ.setdefault("POLARS_MAX_THREADS", "2")
+    # large runs: input + routed bucket tables can pin ~2x the corpus in
+    # the object store; default 42.9% of RAM spills at the biggest scale
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = _bench_scale(sf_dir)

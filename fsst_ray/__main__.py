@@ -1,0 +1,92 @@
+"""CLI: encode / decode / verify a tokens corpus.
+
+    python -m fsst_ray encode  --input DIR --output DIR [--mode bucketed]
+                               [--chunk-tokens N] [--bucket-tokens N] [--resume]
+    python -m fsst_ray decode  --input ENCODED_DIR --output DIR
+    python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
+    python -m fsst_ray stats   --encoded ENCODED_DIR
+
+Owns its Ray session (scripts only — library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="fsst_ray")
+    parser.add_argument("command", choices=["encode", "decode", "verify", "stats"])
+    parser.add_argument("--input", help="input parquet dir (tokens schema) / encoded dir")
+    parser.add_argument("--output", help="output dir")
+    parser.add_argument("--encoded", help="encoded dir (verify/stats)")
+    parser.add_argument("--mode", default="bucketed",
+                        choices=["bucketed", "bucketed_groupby", "streaming"])
+    parser.add_argument("--chunk-tokens", type=int, default=1 << 19)
+    parser.add_argument("--bucket-tokens", type=int, default=16 << 20)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    if args.command == "stats":
+        from fsst_ray.state import manifest as mf
+
+        entries = mf.load_manifest(args.encoded or args.input)
+        print(json.dumps(mf.summarize(entries), indent=2))
+        return 0
+
+    ray = _init_ray(args.num_cpus)
+    try:
+        import ray.data as rd
+
+        if args.command == "encode":
+            from fsst_ray import encode_dataset
+
+            ds = rd.read_parquet(args.input, file_extensions=["parquet"])
+            result = encode_dataset(
+                ds,
+                args.output,
+                mode=args.mode,
+                chunk_tokens=args.chunk_tokens,
+                bucket_tokens=args.bucket_tokens,
+                resume=args.resume,
+            )
+            print(json.dumps(result.metrics, indent=2, default=str))
+        elif args.command == "decode":
+            from fsst_ray import decode_dataset
+
+            decode_dataset(args.input).write_parquet(args.output)
+            print(json.dumps({"decoded_to": args.output}))
+        elif args.command == "verify":
+            from fsst_ray import verify_roundtrip
+
+            ds = rd.read_parquet(args.input, file_extensions=["parquet"])
+            v = verify_roundtrip(ds, args.encoded)
+            print(json.dumps(v))
+            return 0 if v["match"] else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
