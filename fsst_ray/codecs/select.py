@@ -18,7 +18,7 @@ _EXACT_LIMIT = 1 << 17
 _WINDOW = 1 << 14
 _N_WINDOWS = 4
 
-DEFAULT_CODECS = ("plain", "bitpack", "for", "rle", "dict", "fsst")
+DEFAULT_CODECS = ("plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta")
 
 
 def chunk_stats(values: np.ndarray) -> dict:
@@ -34,7 +34,10 @@ def chunk_stats(values: np.ndarray) -> dict:
     vmax = int(values.max())
     if n <= _EXACT_LIMIT:
         card = len(np.unique(values))
-        n_runs = int(np.count_nonzero(np.diff(values))) + 1
+        diffs = np.diff(values.astype(np.int64))
+        n_runs = int(np.count_nonzero(diffs)) + 1
+        dmax = int(np.abs(diffs).max()) if len(diffs) else 0
+        delta_zz_width = max(int(dmax * 2).bit_length(), 1)
         sample_bytes = values.astype("<i4", copy=False).tobytes()[: 4 * _WINDOW]
     else:
         starts = np.linspace(0, n - _WINDOW, _N_WINDOWS).astype(np.int64)
@@ -43,6 +46,11 @@ def chunk_stats(values: np.ndarray) -> dict:
         frac = len(sampled) / n
         card = min(int(len(np.unique(sampled)) / max(frac, 1e-9)), n, vmax - vmin + 1)
         n_runs = max(int((sum(np.count_nonzero(np.diff(w)) + 1 for w in windows)) / frac / 1), 1)
+        dmax = max(
+            (int(np.abs(np.diff(w.astype(np.int64))).max()) for w in windows if len(w) > 1),
+            default=0,
+        )
+        delta_zz_width = max(int(dmax * 2).bit_length(), 1)
         sample_bytes = sampled[: _WINDOW].astype("<i4", copy=False).tobytes()
     return {
         "n": n,
@@ -50,6 +58,7 @@ def chunk_stats(values: np.ndarray) -> dict:
         "max": vmax,
         "card": card,
         "n_runs": n_runs,
+        "delta_zz_width": delta_zz_width,
         "sample_bytes": sample_bytes,
     }
 

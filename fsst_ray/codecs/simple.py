@@ -203,8 +203,78 @@ class DictCodec(Codec):
         return dict_values[indices.astype(np.int64)].astype(np.int32)
 
 
+def zigzag(v: np.ndarray) -> np.ndarray:
+    """Map signed int64 to unsigned (0,-1,1,-2 -> 0,1,2,3)."""
+    return ((v << 1) ^ (v >> 63)).astype(np.int64)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.int64)
+    return (u >> 1) ^ -(u & 1)
+
+
+class ZigzagCodec(Codec):
+    """Zigzag + bit-pack: the negative-friendly cousin of bitpack."""
+
+    name = "zigzag"
+    codec_id = 6
+
+    def estimate(self, stats, state):
+        width = bit_width(
+            max(
+                int(zigzag(np.array([stats["min"]], dtype=np.int64))[0]),
+                int(zigzag(np.array([stats["max"]], dtype=np.int64))[0]),
+            )
+        )
+        return 1 + (stats["n"] * width + 7) // 8
+
+    def encode_values(self, values, state):
+        z = zigzag(values.astype(np.int64))
+        width = bit_width(int(z.max())) if len(z) else 0
+        return struct.pack("<B", width) + pack_bits(z, width)
+
+    def decode_values(self, body, n_values):
+        (width,) = struct.unpack_from("<B", body, 0)
+        return unzigzag(unpack_bits(body[1:], n_values, width)).astype(np.int32)
+
+
+class DeltaCodec(Codec):
+    """Delta + zigzag + bit-pack: wins on sorted / slowly varying
+    sequences (e.g. id columns, timestamps as ints)."""
+
+    name = "delta"
+    codec_id = 7
+
+    def estimate(self, stats, state):
+        width = stats.get("delta_zz_width")
+        if width is None:
+            return float("inf")
+        return 9 + (stats["n"] * width + 7) // 8
+
+    def encode_values(self, values, state):
+        if len(values) == 0:
+            return struct.pack("<qB", 0, 0)
+        v = values.astype(np.int64)
+        deltas = np.empty_like(v)
+        deltas[0] = 0
+        deltas[1:] = np.diff(v)
+        z = zigzag(deltas)
+        width = bit_width(int(z.max()))
+        return struct.pack("<qB", int(v[0]), width) + pack_bits(z, width)
+
+    def decode_values(self, body, n_values):
+        first, width = struct.unpack_from("<qB", body, 0)
+        if n_values == 0:
+            return np.empty(0, dtype=np.int32)
+        deltas = unzigzag(unpack_bits(body[9:], n_values, width))
+        deltas[0] = first
+        return np.cumsum(deltas, dtype=np.int64).astype(np.int32)
+
+
 PLAIN = register(PlainCodec())
 BITPACK = register(BitPackCodec())
 FOR = register(ForCodec())
 RLE = register(RleCodec())
 DICT = register(DictCodec())
+ZIGZAG = register(ZigzagCodec())
+DELTA = register(DeltaCodec())

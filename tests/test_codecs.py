@@ -23,6 +23,8 @@ CASES = {
     "runs": np.repeat(RNG.integers(0, 50, size=100), RNG.integers(1, 40, size=100)).astype(np.int32),
     "negative": RNG.integers(-1000, 1000, size=2000).astype(np.int32),
     "cyclic": np.tile(RNG.integers(0, 1000, size=64).astype(np.int32), 200),
+    "sorted_ids": np.sort(RNG.integers(0, 1 << 30, size=3000)).astype(np.int32),
+    "timestampish": (np.arange(2000) * 1000 + RNG.integers(0, 50, size=2000)).astype(np.int32),
 }
 
 
@@ -33,7 +35,7 @@ def fsst_state():
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
-@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst"])
+@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta"])
 def test_roundtrip(name, case, fsst_state):
     values = CASES[case]
     codec = codecs.CODEC_BY_NAME[name]
@@ -67,6 +69,16 @@ def test_selection_preferences(fsst_state):
     # zipf token text: fsst should beat plain
     name, est = select_codec(CASES["zipf"], fsst_state)
     assert est["fsst"] < est["plain"]
+
+    # sorted ids: delta must win by a wide margin
+    name, est = select_codec(CASES["sorted_ids"])
+    assert name == "delta", est
+    assert est["delta"] < est["bitpack"]
+    name, est = select_codec(CASES["timestampish"])
+    assert name == "delta", est
+    # negatives: zigzag applicable where bitpack is not
+    _, est = select_codec(CASES["negative"])
+    assert est["zigzag"] < float("inf") and est["bitpack"] == float("inf")
 
 
 def test_encode_chunk_meta(fsst_state):
