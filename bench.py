@@ -133,9 +133,11 @@ def run_scaling() -> dict:
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # scaling runs use a 2x corpus so fixed per-stage latencies do
-        # not dominate the 8-cpu leg (same input at both levels)
-        env.setdefault("FSST_BENCH_SCALE", "600")
+        # scaling runs use a much larger corpus (~4.2B tokens) so fixed
+        # per-stage latencies do not dominate the 8-cpu leg (same input
+        # at both levels; this is the configuration recorded in
+        # BASELINE.md — expect ~15-20 min total)
+        env.setdefault("FSST_BENCH_SCALE", "2400")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codecs.fsst_codec import train_from_lines, train_with_ratio
+from ..codecs.fsst_codec import train_with_ratio
 from ..kernel.fsst import FSST_SAMPLELINE, FSST_SAMPLEMAX, fsst_hash
 from .serialize import tokens_views
 
