@@ -34,32 +34,34 @@ static inline uint64_t fsst_hash3(uint64_t word) {
     return (v * 2971215073ULL) ^ (v >> 15);
 }
 
-/* One greedy step; returns bytes consumed, advances *out_pos. */
+/* One greedy step on `word`; writes at `op`, sets *adv_out to bytes
+ * written (1 or 2), returns bytes consumed. Speculative raw-byte write
+ * at op[1] mirrors the escape fast path. */
 static inline int64_t compress_word(uint64_t word, const uint16_t *two_byte,
                                     const uint64_t *pht_symbol,
                                     const uint16_t *pht_code,
                                     const uint16_t *pht_ignored,
-                                    uint8_t suffix_lim, uint8_t *out,
-                                    int64_t *out_pos) {
+                                    uint8_t suffix_lim, uint8_t *op,
+                                    int64_t *adv_out) {
     uint16_t ct = two_byte[(uint16_t)word];
+    op[1] = (uint8_t)word; /* speculative escape byte */
     if ((uint8_t)ct < suffix_lim) {
-        out[(*out_pos)++] = (uint8_t)ct;
+        op[0] = (uint8_t)ct;
+        *adv_out = 1;
         return 2;
     }
     uint32_t slot = (uint32_t)(fsst_hash3(word) & PHT_MASK);
     uint16_t pc = pht_code[slot];
-    if (pc != CODE_UNUSED) {
-        uint16_t ign = pht_ignored[slot];
-        uint64_t mask = (ign >= 64) ? 0 : (~0ULL >> ign);
-        if ((word & mask) == pht_symbol[slot]) {
-            out[(*out_pos)++] = (uint8_t)pc;
-            return pc >> 12;
-        }
+    uint16_t ign = pht_ignored[slot];
+    uint64_t mask = (ign >= 64) ? 0 : (~0ULL >> ign);
+    if (pc != CODE_UNUSED && (word & mask) == pht_symbol[slot]) {
+        op[0] = (uint8_t)pc;
+        *adv_out = 1;
+        return pc >> 12;
     }
-    /* fallback: 1-byte code or escape (speculative raw-byte write) */
-    out[*out_pos] = (uint8_t)ct;
-    out[*out_pos + 1] = (uint8_t)word;
-    *out_pos += 1 + ((ct & 0x1FF) >> 8);
+    /* fallback: 1-byte code or escape */
+    op[0] = (uint8_t)ct;
+    *adv_out = 1 + ((ct & 0x1FF) >> 8);
     return ct >> 12;
 }
 
@@ -69,16 +71,18 @@ int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
                            const uint16_t *pht_code,
                            const uint16_t *pht_ignored, uint8_t suffix_lim,
                            uint8_t *out, int64_t *out_offsets) {
-    int64_t out_pos = 0;
+    uint8_t *op = out;
     out_offsets[0] = 0;
     for (int64_t r = 0; r < n_rows; r++) {
         const uint8_t *in = data + offsets[r];
         int64_t len = offsets[r + 1] - offsets[r];
         int64_t pos = 0;
+        int64_t adv_out;
         while (pos + 8 <= len) {
             pos += compress_word(load_word(in + pos), two_byte, pht_symbol,
-                                 pht_code, pht_ignored, suffix_lim, out,
-                                 &out_pos);
+                                 pht_code, pht_ignored, suffix_lim, op,
+                                 &adv_out);
+            op += adv_out;
         }
         /* tail: zero-padded word, shifted as we consume */
         int64_t remaining = len - pos;
@@ -87,13 +91,14 @@ int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
         while (remaining > 0) {
             int64_t adv =
                 compress_word(last_word, two_byte, pht_symbol, pht_code,
-                              pht_ignored, suffix_lim, out, &out_pos);
+                              pht_ignored, suffix_lim, op, &adv_out);
+            op += adv_out;
             remaining -= adv;
             last_word = (adv >= 8) ? 0 : (last_word >> (8 * adv));
         }
-        out_offsets[r + 1] = out_pos;
+        out_offsets[r + 1] = op - out;
     }
-    return out_pos;
+    return op - out;
 }
 
 /* ---- fixed-width bit packing (used by bitpack/FOR/RLE/dict codecs) ----

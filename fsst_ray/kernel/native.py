@@ -31,7 +31,7 @@ def _build_and_load():
     if not so_path.exists():
         tmp = so_path.with_suffix(f".{os.getpid()}.tmp")
         subprocess.run(
-            ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+            ["cc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
             check=True,
             capture_output=True,
         )
