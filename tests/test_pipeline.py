@@ -118,3 +118,14 @@ def test_checksum_detects_corruption(tokens_ds):
         tokens_ds.map_batches(corrupt, batch_format="pyarrow")
     )
     assert a["rows"] == b["rows"] and a["checksum"] != b["checksum"]
+
+
+def test_encode_bucketed_groupby_mode(tokens_ds, tmp_path):
+    out = str(tmp_path / "enc_gb")
+    result = encode_dataset(
+        tokens_ds, out, mode="bucketed_groupby",
+        chunk_tokens=1 << 14, bucket_tokens=1 << 15,
+    )
+    assert result.metrics["rows"] == tokens_ds.count()
+    v = verify_roundtrip(tokens_ds, out)
+    assert v["match"], v
