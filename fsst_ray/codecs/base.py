@@ -57,6 +57,14 @@ class Codec:
 def decode_payload(payload: bytes) -> np.ndarray:
     """Decode any framed chunk payload back to its int32 values array."""
     codec_id, version, n_values = struct.unpack_from("<BBq", payload, 0)
-    assert version == _MAGIC_VERSION, f"unknown payload version {version}"
+    if version != _MAGIC_VERSION:
+        raise ValueError(f"corrupt chunk: unknown payload version {version}")
+    if codec_id not in CODEC_BY_ID:
+        raise ValueError(f"corrupt chunk: unknown codec id {codec_id}")
+    # absolute sanity cap (RLE/width-0 chunks legitimately decode many
+    # values from few bytes, so no ratio bound): corrupt headers fail
+    # cleanly instead of attempting absurd allocations downstream
+    if n_values < 0 or n_values > (1 << 34):
+        raise ValueError(f"corrupt chunk: implausible n_values {n_values}")
     codec = CODEC_BY_ID[codec_id]
     return codec.decode_values(payload[10:], n_values)
