@@ -139,6 +139,22 @@ void bitunpack(const uint8_t *data, int64_t n, int32_t width, int64_t *out) {
     }
 }
 
+/* Order-sensitive per-row checksum of int32 token values:
+ * sum over the row of (v + GOLDEN) * (local_pos + 1), wrapping u64.
+ * Mirrors the numpy implementation in stages/decoder.py. */
+void row_checksums(const int32_t *values, const int64_t *offsets,
+                   int64_t n_rows, uint64_t *out) {
+    const uint64_t golden = 0x9E3779B97F4A7C15ULL;
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint64_t acc = 0;
+        uint64_t pos = 1;
+        for (int64_t i = offsets[r]; i < offsets[r + 1]; i++, pos++) {
+            acc += ((uint64_t)(int64_t)values[i] + golden) * pos;
+        }
+        out[r] = acc;
+    }
+}
+
 /* Returns total decoded bytes, or -1 if `out_cap` would be exceeded
  * (callers size out_cap as exact_decoded_size + 8 when known). */
 int64_t fsst_decompress_bulk(const uint8_t *codes, const int64_t *offsets,

@@ -52,6 +52,10 @@ def _build_and_load():
     lib.bitpack.argtypes = [i64p, i64, ctypes.c_int32, u8p]
     lib.bitunpack.restype = None
     lib.bitunpack.argtypes = [u8p, i64, ctypes.c_int32, i64p]
+    lib.row_checksums.restype = None
+    lib.row_checksums.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), i64p, i64, ctypes.POINTER(ctypes.c_uint64),
+    ]
     return lib
 
 

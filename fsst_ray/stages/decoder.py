@@ -64,6 +64,24 @@ def _row_checksums(batch: pa.Table) -> np.ndarray:
     """Order-sensitive per-row u64 checksum of the tokens column."""
     values, offsets = tokens_views(batch)
     n = len(offsets) - 1
+
+    from ..kernel import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        v32 = np.ascontiguousarray(values, dtype=np.int32)
+        off = np.ascontiguousarray(offsets, dtype=np.int64)
+        out = np.empty(n, dtype=np.uint64)
+        lib.row_checksums(
+            v32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        )
+        return out
+
     v = values.astype(np.uint64)
     local_pos = np.arange(len(v), dtype=np.uint64) - np.repeat(
         offsets[:-1].astype(np.uint64), (offsets[1:] - offsets[:-1])

@@ -55,3 +55,26 @@ def test_decode_capacity_guard():
         native.decompress_bulk(
             codes, code_offsets, comp.symbols, comp.lengths, decoded_size_hint=-8
         )
+
+
+def test_row_checksums_c_matches_numpy():
+    import pyarrow as pa
+
+    from fsst_ray.sources.tokens import tokens_table
+    from fsst_ray.stages import decoder
+    from fsst_ray.stages.serialize import tokens_views
+
+    batch = tokens_table(0.3)
+    c_sums = decoder._row_checksums(batch)
+
+    # recompute with the numpy reference formula
+    values, offsets = tokens_views(batch)
+    v = values.astype(np.uint64)
+    local = np.arange(len(v), dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), (offsets[1:] - offsets[:-1])
+    )
+    mixed = (v + np.uint64(0x9E3779B97F4A7C15)) * (local + np.uint64(1))
+    ref = np.zeros(len(offsets) - 1, dtype=np.uint64)
+    nonempty = offsets[:-1] < offsets[1:]
+    ref[nonempty] = np.add.reduceat(mixed, offsets[:-1][nonempty])
+    assert np.array_equal(c_sums, ref)
