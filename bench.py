@@ -9,7 +9,8 @@ Usage:
 
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default
 /root/testdata/sf0.1; only its sf suffix is used to size the synthetic
-corpus — scale = sf*1000), FSST_BENCH_SCALE (explicit scale override).
+corpus — scale = sf*SCALE_PER_SF), FSST_BENCH_SCALE (explicit scale
+override).
 """
 
 from __future__ import annotations
@@ -23,15 +24,17 @@ import sys
 import tempfile
 import time
 
+# sf0.1 -> scale 300 (~520M tokens / ~2.1 GB): big enough that
+# per-stage fixed overheads do not dominate the scaling signal
+SCALE_PER_SF = 3000.0
+
 
 def _bench_scale(sf_dir: str) -> float:
     if os.environ.get("FSST_BENCH_SCALE"):
         return float(os.environ["FSST_BENCH_SCALE"])
     name = pathlib.Path(sf_dir).name
     try:
-        # sf0.1 -> scale 300 (~520M tokens / ~2.1 GB): big enough that
-        # per-stage fixed overheads do not dominate the scaling signal
-        return float(name.replace("sf", "")) * 3000.0
+        return float(name.replace("sf", "")) * SCALE_PER_SF
     except ValueError:
         return 300.0
 
@@ -116,7 +119,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
-        "sf": scale / 1000.0,
+        "sf": scale / SCALE_PER_SF,
         "num_cpus": num_cpus,
         "tokens": total_tokens,
         "encode_tokens_per_sec": round(total_tokens / queries["encode_bucketed"]),

@@ -49,6 +49,11 @@ def unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of pack_bits; returns uint64 values."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    if len(data) * 8 < n * width:
+        raise ValueError(
+            f"bit-packed body too short: {len(data)} bytes cannot hold "
+            f"{n} values of width {width} (corrupt or truncated chunk)"
+        )
     from ..kernel import native
 
     lib = native.get_lib()

@@ -95,16 +95,30 @@ def _write_bucket_file(chunks: pa.Table, out_dir: str) -> dict:
     return entry
 
 
+def _sort_validate_unique(rows: pa.Table, part_key: str) -> pa.Table:
+    """Sort rows by doc_id (deterministic chunking regardless of arrival
+    order) and enforce the input precondition that doc_id is unique —
+    a duplicate here means either duplicated input rows or a delivery
+    bug, and silently dropping either would corrupt the round-trip."""
+    doc_ids = rows["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(doc_ids, kind="stable")
+    sd = doc_ids[order]
+    dup = sd[1:] == sd[:-1]
+    if dup.any():
+        raise ValueError(
+            f"duplicate doc_id rows in bucket {part_key}: "
+            f"{np.unique(sd[1:][dup])[:5].tolist()} "
+            "(input precondition: doc_id must be unique per row)"
+        )
+    return rows.take(pa.array(order))
+
+
 def _encode_part(
     rows: pa.Table, out_dir: str, states, chunk_tokens: int, codecs
 ) -> dict:
-    """Reduce-side encode of one bucket: dedup retried rows (uid =
-    doc_id), sort by doc_id (deterministic chunking regardless of
-    arrival order), encode into full-size chunks, write + manifest."""
+    """Reduce-side encode of one bucket (bucketed_groupby path)."""
     part_key = rows["part_key"][0].as_py()
-    doc_ids = rows["doc_id"].to_numpy(zero_copy_only=False)
-    _, keep = np.unique(doc_ids, return_index=True)  # dedup + sorted by doc_id
-    rows = rows.take(pa.array(keep))
+    rows = _sort_validate_unique(rows, part_key)
     chunks = encode_rows_to_chunks(rows, states, part_key, chunk_tokens, codecs)
     return _write_bucket_file(chunks, out_dir)
 
@@ -134,52 +148,157 @@ class _BucketWriter:
     drags every row through sort machinery and does not scale on one
     node; this actor pool implements a direct hash-partitioned exchange
     instead: map tasks push each bucket's raw rows straight to its
-    writer, and the writer sorts/chunks/encodes/writes the bucket at
-    finalize. Encoding reduce-side keeps chunks full-size (fragmenting
-    chunks map-side multiplied per-chunk overhead ~30x). Buffers one
-    bucket's raw rows until finalize — size bucket_tokens so
-    (buckets/actor x bucket bytes) fits the writer heap.
+    writer. Encoding happens reduce-side to keep chunks full-size
+    (fragmenting chunks map-side multiplied per-chunk overhead ~30x).
+
+    Memory is bounded, not proportional to input: each bucket's rows
+    are buffered only until `flush_tokens`, then encoded and appended
+    to the bucket's parquet file as a row group (tmp file, renamed at
+    finalize so resume sees only complete buckets). A global
+    `budget_tokens` cap flushes the largest buffer early, so writer
+    heap stays O(budget) however many buckets a writer owns. Retried
+    map tasks resend their sub-batches; `seen_sends` makes delivery
+    idempotent (content-addressed send ids), replacing the old silent
+    doc_id dedup. Chunk composition is deterministic (doc_id-sorted)
+    when a bucket fits in a single flush; across flushes the chunk
+    boundaries follow arrival order, but the decoded content is
+    identical either way (chunks are self-contained).
     """
 
-    def __init__(self, out_dir: str, states, chunk_tokens: int, codecs):
+    def __init__(
+        self,
+        out_dir: str,
+        states,
+        chunk_tokens: int,
+        codecs,
+        flush_tokens: int | None = None,
+        budget_tokens: int | None = None,
+    ):
         self.out_dir = out_dir
         self.states = states
         self.chunk_tokens = chunk_tokens
         self.codecs = codecs
-        self.buffers: list[pa.Table] = []
+        self.flush_tokens = flush_tokens or max(4 * chunk_tokens, 1 << 20)
+        self.budget_tokens = budget_tokens or max(16 * self.flush_tokens, 64 << 20)
+        self.parts: dict[str, dict] = {}
+        self.seen_sends: set = set()
+        self.total_buffered = 0
 
-    def add(self, table: pa.Table) -> int:
-        # O(1): just buffer — all splitting happens once in finalize, so
-        # the routing tasks' delivery acks return immediately
-        self.buffers.append(table)
-        return table.num_rows
+    def _part(self, key: str) -> dict:
+        st = self.parts.get(key)
+        if st is None:
+            st = self.parts[key] = {
+                "bufs": [],
+                "buf_tokens": 0,
+                "rows": 0,
+                "writer": None,
+                "tmp": None,
+                "final": None,
+                "chunks": 0,
+                "tokens": 0,
+                "bytes_in": 0,
+                "bytes_out": 0,
+                "codecs": {},
+            }
+        return st
 
-    def finalize(self, expected: dict[str, int]) -> list[dict]:
-        if not self.buffers:
-            return []
-        table = pa.concat_tables(self.buffers)
-        self.buffers = []
+    def add(self, table: pa.Table, send_id) -> int:
+        if send_id in self.seen_sends:
+            return 0  # retried map task resent this sub-batch
+        self.seen_sends.add(send_id)
         keys = table["part_key"].to_numpy(zero_copy_only=False)
+        n_tok = table["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(keys, kind="stable")
         skeys = keys[order]
         bounds = np.concatenate(
             [[0], np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, [len(skeys)]]
         )
-        entries = []
         for g in range(len(bounds) - 1):
             idx = order[bounds[g] : bounds[g + 1]]
-            part_key = skeys[bounds[g]]
-            rows = table.take(pa.array(idx))
-            entry = _encode_part(
-                rows, self.out_dir, self.states, self.chunk_tokens, self.codecs
+            key = skeys[bounds[g]]
+            st = self._part(key)
+            st["bufs"].append(table.take(pa.array(idx)))
+            toks = int(n_tok[idx].sum())
+            st["buf_tokens"] += toks
+            st["rows"] += len(idx)
+            self.total_buffered += toks
+            if st["buf_tokens"] >= self.flush_tokens:
+                self._flush(key, st)
+        while self.total_buffered > self.budget_tokens:
+            key = max(self.parts, key=lambda k: self.parts[k]["buf_tokens"])
+            if self.parts[key]["buf_tokens"] == 0:
+                break
+            self._flush(key, self.parts[key])
+        return table.num_rows
+
+    def _flush(self, key: str, st: dict) -> None:
+        if not st["bufs"]:
+            return
+        rows = pa.concat_tables(st["bufs"]) if len(st["bufs"]) > 1 else st["bufs"][0]
+        st["bufs"] = []
+        self.total_buffered -= st["buf_tokens"]
+        st["buf_tokens"] = 0
+        rows = _sort_validate_unique(rows, key)
+        chunks = encode_rows_to_chunks(
+            rows, self.states, key, self.chunk_tokens, self.codecs
+        )
+        chunks = chunks.set_column(
+            chunks.schema.get_field_index("chunk_seq"),
+            "chunk_seq",
+            pa.array(
+                np.arange(st["chunks"], st["chunks"] + chunks.num_rows, dtype=np.int32),
+                type=pa.int32(),
+            ),
+        )
+        if st["writer"] is None:
+            import pyarrow.parquet as pq
+
+            from ..stages.encoder import ENCODED_CHUNK_SCHEMA
+
+            cdir = mf.chunks_dir(self.out_dir)
+            cdir.mkdir(parents=True, exist_ok=True)
+            st["final"] = cdir / f"{mf.sanitize_part(key)}.parquet"
+            st["tmp"] = st["final"].with_suffix(f".{os.getpid()}.tmp")
+            st["writer"] = pq.ParquetWriter(
+                st["tmp"], ENCODED_CHUNK_SCHEMA, compression="none"
             )
-            want = expected.get(part_key)
-            if want is not None and entry["rows"] != want:
+        st["writer"].write_table(chunks)
+        st["chunks"] += chunks.num_rows
+        st["tokens"] += int(pa.compute.sum(chunks["n_values"]).as_py() or 0)
+        st["bytes_in"] += int(pa.compute.sum(chunks["bytes_in"]).as_py() or 0)
+        st["bytes_out"] += int(pa.compute.sum(chunks["bytes_out"]).as_py() or 0)
+        for c in chunks["codec"].to_pylist():
+            st["codecs"][c] = st["codecs"].get(c, 0) + 1
+
+    def finalize(self, expected: dict[str, int]) -> list[dict]:
+        entries = []
+        for key in sorted(self.parts):
+            st = self.parts[key]
+            self._flush(key, st)
+            if st["writer"] is None:
+                continue
+            st["writer"].close()
+            os.replace(st["tmp"], st["final"])
+            want = expected.get(key)
+            if want is not None and st["rows"] != want:
                 raise RuntimeError(
-                    f"bucket {part_key}: wrote {entry['rows']} rows, expected {want} "
+                    f"bucket {key}: wrote {st['rows']} rows, expected {want} "
                     "(writer actor lost state — rerun with resume=True)"
                 )
+            entry = {
+                "part_key": key,
+                "status": "done",
+                "chunks": st["chunks"],
+                "rows": st["rows"],
+                "tokens": st["tokens"],
+                "bytes_in": st["bytes_in"],
+                "bytes_out": st["bytes_out"],
+                "codecs": st["codecs"],
+                "file": st["final"].name,
+            }
+            mf.write_part_entry(self.out_dir, entry)
             entries.append(entry)
+        self.parts = {}
         return entries
 
 
@@ -207,8 +326,15 @@ def encode_dataset(
     codecs: tuple[str, ...] = DEFAULT_CODECS,
     resume: bool = False,
     encode_concurrency: int | None = None,
+    writer_flush_tokens: int | None = None,
+    writer_budget_tokens: int | None = None,
 ) -> EncodeResult:
-    """Run the two-pass encode job over a tokens dataset."""
+    """Run the two-pass encode job over a tokens dataset.
+
+    Input precondition: `doc_id` is unique per row (it is the retry /
+    resume identity); duplicated doc_ids raise rather than silently
+    dropping rows.
+    """
     import ray
 
     config = {
@@ -242,6 +368,14 @@ def encode_dataset(
         )
         cdir = mf.chunks_dir(out_dir)
         cdir.mkdir(parents=True, exist_ok=True)
+        # streaming chunks follow input block boundaries, so a partial
+        # previous run is not resumable per-file: clear stale outputs
+        # (else write_parquet's uniquely-named files would duplicate rows)
+        for stale in list(cdir.glob("*.parquet")) + list(cdir.glob("*.tmp")):
+            stale.unlink()
+        if mf.manifest_dir(out_dir).exists():
+            for stale in mf.manifest_dir(out_dir).glob("*.json"):
+                stale.unlink()
         encoded.write_parquet(str(cdir), compression="none")
         timings["pass2_encode"] = time.perf_counter() - t0 - timings["pass1_train"]
         entries = _entries_from_chunks(str(cdir))
@@ -253,6 +387,9 @@ def encode_dataset(
 
     assert mode in ("bucketed", "bucketed_groupby"), f"unknown mode {mode}"
     done = mf.completed_parts(out_dir) if resume else set()
+    if mf.chunks_dir(out_dir).exists():
+        for stale in mf.chunks_dir(out_dir).glob("*.tmp"):
+            stale.unlink()  # partial flushes from an interrupted run
 
     keyed = ds.map_batches(
         lambda b: assign_partitions(b, bucket_plan), batch_format="pyarrow", batch_size=None
@@ -290,30 +427,45 @@ def encode_dataset(
         # they must not steal task slots from the routing map stage
         writer_pool = [
             ray.remote(num_cpus=0)(_BucketWriter).remote(
-                out_dir, states, chunk_tokens, codecs
+                out_dir,
+                states,
+                chunk_tokens,
+                codecs,
+                writer_flush_tokens,
+                writer_budget_tokens,
             )
             for _ in range(n_writers)
         ]
 
         def route(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
             keys = batch["part_key"].to_numpy(zero_copy_only=False)
-            wid = np.array(
-                [zlib.crc32(k.encode()) % n_writers for k in keys], dtype=np.int64
+            # crc32 once per unique part_key, not per row
+            uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+            uniq_wid = np.array(
+                [zlib.crc32(k.encode()) % n_writers for k in uniq], dtype=np.int64
             )
+            wid = uniq_wid[inv]
+            # content-addressed send ids: a retried task resends byte-
+            # identical sub-batches, so the writer can drop duplicates
+            doc_col = batch["doc_id"]
+            if isinstance(doc_col, pa.ChunkedArray):
+                doc_col = doc_col.combine_chunks()
+            doc_hash = pl.from_arrow(doc_col).hash(seed=11).to_numpy().astype(np.uint64)
             refs = []
             for w in np.unique(wid):
-                sub = batch.filter(pa.array(wid == w))
-                refs.append(writer_pool[int(w)].add.remote(sub))
+                m = wid == w
+                sub = batch.filter(pa.array(m))
+                send_id = (int(doc_hash[m].sum(dtype=np.uint64)), int(m.sum()))
+                refs.append(writer_pool[int(w)].add.remote(sub, send_id))
             # ack before the task finishes: guarantees every send is
             # processed before finalize's delivery check can run
             ray.get(refs)
-            counts: dict[str, int] = {}
-            for k in keys:
-                counts[k] = counts.get(k, 0) + 1
             return pa.table(
                 {
-                    "part_key": pa.array(list(counts), type=pa.string()),
-                    "n_rows": pa.array(list(counts.values()), type=pa.int64()),
+                    "part_key": pa.array(uniq, type=pa.string()),
+                    "n_rows": pa.array(counts, type=pa.int64()),
                 }
             )
 

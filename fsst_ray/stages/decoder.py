@@ -45,6 +45,11 @@ def decode_chunks_batch(batch: pa.Table) -> pa.Table:
     assert int(n_tok_np.sum()) == len(values), "decoded size mismatch"
     offsets = np.zeros(len(n_tok_np) + 1, dtype=np.int64)
     np.cumsum(n_tok_np, out=offsets[1:])
+    if offsets[-1] >= 2**31:
+        raise ValueError(
+            f"decode batch holds {offsets[-1]} token values — exceeds "
+            "list<int32> offset range; lower override_num_blocks/batch size"
+        )
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32), type=pa.int32()),
         pa.array(values, type=pa.int32()),

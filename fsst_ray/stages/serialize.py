@@ -38,6 +38,11 @@ def tokens_from_values(values: np.ndarray, n_tok: np.ndarray) -> pa.ListArray:
     offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
     assert offsets[-1] == len(values), "n_tok does not cover values"
+    if offsets[-1] >= 2**31:
+        raise ValueError(
+            f"batch holds {offsets[-1]} token values — exceeds list<int32> "
+            "offset range; reduce the decode batch/block size"
+        )
     return pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32), type=pa.int32()),
         pa.array(np.ascontiguousarray(values, dtype=np.int32), type=pa.int32()),

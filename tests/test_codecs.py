@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -95,3 +97,15 @@ def test_selected_sizes_compress():
         payload, meta = encode_chunk(values)
         assert meta["bytes_out"] <= 4 * len(values) + 64, case
         assert np.array_equal(decode_payload(payload), values), case
+
+
+@pytest.mark.parametrize("name", ["bitpack", "for", "rle", "dict", "zigzag", "delta"])
+def test_truncated_body_raises(name):
+    """Corrupt/truncated chunk bodies must error, never decode garbage
+    (the C bitunpack kernel would otherwise read out of bounds)."""
+    codec = codecs.CODEC_BY_NAME[name]
+    values = CASES["smallrange"]
+    body = codec.encode_values(values, None)
+    for cut in (len(body) // 2, len(body) - 3):
+        with pytest.raises((ValueError, struct.error)):
+            codec.decode_values(body[:cut], len(values))

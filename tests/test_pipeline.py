@@ -129,3 +129,33 @@ def test_encode_bucketed_groupby_mode(tokens_ds, tmp_path):
     assert result.metrics["rows"] == tokens_ds.count()
     v = verify_roundtrip(tokens_ds, out)
     assert v["match"], v
+
+
+def test_incremental_flush_roundtrip(tokens_ds, tmp_path):
+    """Tiny flush/budget thresholds force many mid-stream row-group
+    flushes per bucket; round-trip must still be exact and manifest
+    totals must match a single-flush run."""
+    out = str(tmp_path / "enc_flush")
+    result = encode_dataset(
+        tokens_ds,
+        out,
+        chunk_tokens=1 << 12,
+        bucket_tokens=1 << 15,
+        writer_flush_tokens=1 << 12,
+        writer_budget_tokens=1 << 13,
+    )
+    assert result.metrics["rows"] == tokens_ds.count()
+    v = verify_roundtrip(tokens_ds, out)
+    assert v["match"], v
+
+
+def test_duplicate_doc_id_rejected(ray_session, tmp_path):
+    import ray.data as rd
+
+    rows = tokens_table(0.05)
+    dup = rows.take(pa.array([0] * 2 + list(range(rows.num_rows))))
+    ds = rd.from_arrow(dup)
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        encode_dataset(
+            ds, str(tmp_path / "enc_dup"), chunk_tokens=1 << 14, bucket_tokens=1 << 15
+        )
