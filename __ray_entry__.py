@@ -158,31 +158,45 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_tokens_roundtrip(sf_dir: str):
+    """Flagship: encode -> decode -> per-source order-sensitive summary;
+    the DuckDB oracle computes the same summary over the original corpus
+    parquet, so any token value/order/row difference hash-mismatches."""
     from fsst_ray import decode_dataset, encode_dataset, read_tokens_dataset
+    from fsst_ray.stages.decoder import tokens_summary
 
     ds = read_tokens_dataset(scale=_scale_for(sf_dir))
     out = _tmp_out("tok_rt")
     encode_dataset(ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
-    return decode_dataset(out)
+    return tokens_summary(decode_dataset(out))
+
+
+_METRICS_BUCKET_TOKENS = 1 << 19
 
 
 def _q_encode_metrics(sf_dir: str):
+    """Manifest/lineage accounting per source: bucket-plan part count
+    (deterministic ceil of exact pass-1 mass) + manifest row/token
+    totals, all reproducible by the oracle from the corpus parquet."""
     import pyarrow as pa
 
     from fsst_ray import encode_dataset, read_tokens_dataset
+    from fsst_ray.state import manifest as mf
 
     ds = read_tokens_dataset(scale=_scale_for(sf_dir))
     out = _tmp_out("metrics")
-    result = encode_dataset(ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
-    m = result.metrics
+    result = encode_dataset(
+        ds, out, chunk_tokens=1 << 17, bucket_tokens=_METRICS_BUCKET_TOKENS
+    )
+    per_source: dict[str, dict] = {
+        s: {"n_parts": n, "n_docs": 0, "total_tokens": 0}
+        for s, n in result.bucket_plan.items()
+    }
+    for part_key, entry in mf.load_manifest(out).items():
+        source = part_key.rsplit(":", 1)[0]
+        per_source[source]["n_docs"] += entry["rows"]
+        per_source[source]["total_tokens"] += entry["tokens"]
     rows = [
-        {
-            "codec": codec,
-            "chunks": n,
-            "total_tokens": m["tokens"],
-            "total_bytes_out": m["bytes_out"],
-        }
-        for codec, n in sorted(m["codecs"].items())
+        {"source": s, **info} for s, info in sorted(per_source.items())
     ]
     return pa.Table.from_pylist(rows)
 
@@ -211,6 +225,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the tokens corpus is deterministic synthetic parquet on disk;
+    # generating here (cached, ~1s at driver scale) makes the oracle
+    # independent of whether the Ray query ran first
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
+
+    corpus = f"read_parquet('{ensure_tokens_parquet(1.0)}/*.parquet')"
+    tokens_summary_sql = (
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(list_sum(list_transform(tokens, "
+        "(x, i) -> (CAST(x AS BIGINT) + 1) * i))) AS BIGINT) AS checksum "
+        f"FROM {corpus} GROUP BY source"
+    )
     stop = _EN_STOP_SQL
     langs = {
         "de": "('der','die','und','das','ist','von','mit','ein','nicht','den')",
@@ -273,6 +300,17 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
             "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, CAST(md5_number_upper(text) & 9223372036854775807 "
+            "AS BIGINT) AS fingerprint FROM documents"
+        ),
+        "tokens_roundtrip": tokens_summary_sql,
+        "encode_metrics": (
+            "SELECT source, GREATEST(1, (CAST(SUM(n_tok) AS BIGINT) + "
+            f"{_METRICS_BUCKET_TOKENS - 1}) // {_METRICS_BUCKET_TOKENS}) AS n_parts, "
+            "COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
+            f"FROM {corpus} GROUP BY source"
         ),
         "ann_topk": (
             "SELECT query_id, rank, neighbor_id FROM ("

@@ -110,18 +110,28 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """64-bit rolling content fingerprint per document (order-sensitive)."""
-    import polars as pl
+    """63-bit content fingerprint per document: the first 8 md5 digest
+    bytes (little-endian, sign bit masked). md5 is a per-row C call —
+    cost is proportional to text bytes, same as any content hash — and
+    DuckDB computes the identical value as md5_number_upper(text), so
+    the query is oracle-checkable cross-engine."""
+    import hashlib
 
     col = batch["text"]
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    h = pl.from_arrow(arr).hash(seed=11).to_numpy().astype(np.uint64)
-    # mix with length for a cheap rolling-hash-style fingerprint
-    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.uint64)
-    fp = (h ^ (n_chars * np.uint64(0x9E3779B97F4A7C15))) | np.uint64(1)
+    fp = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in arr.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(arr),
+    )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "fingerprint": pa.array(fp.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, type=pa.int64()),
+            "fingerprint": pa.array(
+                (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64), type=pa.int64()
+            ),
         }
     )

@@ -133,6 +133,60 @@ def checksum_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def tokens_summary_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial of the per-source roundtrip summary.
+
+    checksum row term: sum_i (token_i + 1) * i with i 1-based — order
+    sensitive, SQL-expressible (DuckDB list_transform with index), and
+    int64-safe at test scales. Combine partials with a tiny groupby.
+    """
+    values, offsets = tokens_views(batch)
+    lens = offsets[1:] - offsets[:-1]
+    pos = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lens) + 1
+    weighted = (values.astype(np.int64) + 1) * pos
+    row_sums = np.zeros(len(lens), dtype=np.int64)
+    nonempty = lens > 0
+    if len(values) and nonempty.any():
+        row_sums[nonempty] = np.add.reduceat(weighted, offsets[:-1][nonempty])
+    sources = batch["source"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(sources, return_inverse=True)
+    return pa.table(
+        {
+            "source": pa.array(uniq, type=pa.string()),
+            "n_docs": pa.array(np.bincount(inv), type=pa.int64()),
+            "total_tokens": pa.array(
+                np.bincount(inv, weights=lens).astype(np.int64), type=pa.int64()
+            ),
+            "checksum": pa.array(
+                _bincount_int64(inv, row_sums, len(uniq)), type=pa.int64()
+            ),
+        }
+    )
+
+
+def _bincount_int64(inv: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
+    """np.bincount with float weights would round int64 > 2^53; sum
+    exactly with add.at instead."""
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, inv, weights)
+    return out
+
+
+def tokens_summary(ds):
+    """Per-source (n_docs, total_tokens, checksum) of a tokens dataset:
+    the order-sensitive roundtrip summary compared against the DuckDB
+    oracle over the original corpus parquet. Streams: partials per
+    batch, then a #sources-sized groupby."""
+    partials = ds.map_batches(
+        tokens_summary_partials, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby("source").sum(["n_docs", "total_tokens", "checksum"])
+    return agg.map_batches(
+        lambda b: b.rename_columns(["source", "n_docs", "total_tokens", "checksum"]),
+        batch_format="pyarrow",
+    )
+
+
 def dataset_checksum(ds) -> dict:
     """Streaming order-insensitive content checksum of a tokens dataset.
 

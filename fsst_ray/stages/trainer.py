@@ -110,16 +110,27 @@ def train_source_group(group: pa.Table) -> pa.Table:
     )
 
 
-def train_states(ds, reduce: str = "driver") -> tuple[dict[str, bytes], dict[str, dict]]:
+AUTO_GROUPBY_BLOCKS = 512  # driver reduce holds ~blocks x 32 KiB of samples
+
+
+def train_states(ds, reduce: str = "auto") -> tuple[dict[str, bytes], dict[str, dict]]:
     """Run pass 1. Returns ({source: fsst state blob},
     {source: {"tokens": n, "rows": n}}).
 
-    reduce="driver" (default): collect the bounded sample output
+    reduce="driver": collect the bounded sample output
     (<= blocks x sources-per-block x 32 KiB) and train per source in
     parallel ray tasks — no shuffle, ~seconds of latency saved.
-    reduce="groupby": distributed groupby reduce, for extreme source
-    cardinality where the sample set exceeds driver memory.
+    reduce="groupby": distributed groupby reduce — driver memory is then
+    bounded by #sources, not #blocks.
+    reduce="auto" (default): driver for small inputs, groupby once the
+    input has enough blocks that the sample set would strain the driver.
     """
+    if reduce == "auto":
+        try:
+            n_blocks = len(ds.input_files())
+        except Exception:
+            n_blocks = 0
+        reduce = "groupby" if n_blocks > AUTO_GROUPBY_BLOCKS else "driver"
     tiny = ds.map_batches(
         sample_and_mass_batch, batch_format="pyarrow", batch_size=None
     )

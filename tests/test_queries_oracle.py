@@ -1,6 +1,7 @@
 """Mirror of the driver's correctness gate: run every queries() entry at
-sf0.001 and compare against the DuckDB oracle (row count + schema +
-order-insensitive values)."""
+sf0.01 (the driver's gate scale — the tokens-corpus oracles read the
+scale-1.0 parquet that sf0.01 maps to) and compare against the DuckDB
+oracle (row count + schema + order-insensitive values)."""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
