@@ -134,9 +134,12 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_embedding_near_dups(sf_dir: str):
-    from fsst_ray.functions.similarity import embedding_near_dups
+    """Near-dup pairs over embeddings augmented with deterministic
+    cosine-identical twins (the natural corpus has none — max natural
+    cosine ~0.6 — so the oracle compares a non-vacuous planted set)."""
+    from fsst_ray.functions.similarity import embedding_near_dups, plant_twins
 
-    return embedding_near_dups(_read(sf_dir, "embeddings"))
+    return embedding_near_dups(plant_twins(_read(sf_dir, "embeddings")), threshold=0.98)
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -149,6 +152,31 @@ def _q_simhash_pairs(sf_dir: str):
     from fsst_ray.functions.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_read(sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from fsst_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.8)
+
+
+_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _q_token_count(sf_dir: str):
+    """BPE-ish regex token counting (RE2 both engines)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = pc.count_substring_regex(arr, pattern=_TOKEN_REGEX)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents").map_batches(count, batch_format="pyarrow")
 
 
 def _q_media_features(sf_dir: str):
@@ -218,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_count": _q_token_count,
         "media_features": _q_media_features,
         "tokens_roundtrip": _q_tokens_roundtrip,
         "encode_metrics": _q_encode_metrics,
@@ -300,6 +330,33 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
             "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "embedding_near_dups": (
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000000 AS vec_id, "
+            "list_transform(embedding, x -> x * 1.001) AS embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM aug a, aug b "
+            "WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98"
+        ),
+        "ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [text] "
+            "ELSE list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh FROM w) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared, "
+            "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT)"
+            " AS n_union "
+            "FROM s a, s b WHERE a.doc_id < b.doc_id "
+            "AND 5 * len(list_intersect(a.sh, b.sh)) >= "
+            "4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            f"'{_TOKEN_REGEX}')) AS BIGINT) AS n_tokens FROM documents"
         ),
         "fingerprint": (
             "SELECT doc_id, CAST(md5_number_upper(text) & 9223372036854775807 "

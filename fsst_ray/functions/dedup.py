@@ -1,49 +1,134 @@
-"""Deduplication operators: exact, prefix-key, MinHash+LSH, SimHash.
+"""Deduplication operators: exact, prefix-key, MinHash+LSH, SimHash,
+n-gram Jaccard.
 
 Scale notes (100 TB): exact/prefix dedup shuffle only a (hash, doc_id)
-projection, not full rows; MinHash emits (band, band_hash, doc_id)
-rows — the groupby co-locates candidate buckets only; verification
-re-reads just the candidate docs. Connected components run on the
-candidate-pair edge list, which is orders of magnitude smaller than the
-corpus (union-find on the driver here; label propagation would replace
-it if the edge list itself were huge).
+projection plus the winning rows; MinHash emits (band, band_hash,
+doc_id, sig) rows — the groupby co-locates candidate buckets only, and
+each verified pair is emitted exactly once (by its lowest matching
+band), so no cross-bucket dedup pass is needed. Connected components
+run on the verified-pair edge list, which is orders of magnitude
+smaller than the corpus (union-find on the driver here; label
+propagation would replace it if the edge list itself were huge); the
+cluster remap is broadcast via ray.put and assignments are emitted
+distributed. All signature math is vectorized uint64 numpy — no
+per-row Python hashing in any hot path.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-MERSENNE = (1 << 61) - 1
+MERSENNE = np.uint64((1 << 61) - 1)
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+# ---------------- shared vectorized primitives ----------------
+
+
+def _pl_hash(arr: pa.Array, seed: int) -> np.ndarray:
+    """Vectorized u64 hash of a string array (polars xxhash)."""
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pl.from_arrow(arr).hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def _mod_p(t: np.ndarray) -> np.ndarray:
+    """Reduce u64 values (< 2^64) mod 2^61-1."""
+    t = (t >> np.uint64(61)) + (t & MERSENNE)
+    return np.where(t >= MERSENNE, t - MERSENNE, t)
+
+
+def _mulmod_p(a: int, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod 2^61-1 for a < 2^61, x < 2^61, all in uint64 lanes
+    (32-bit limb split; 2^64 = 8 and 2^61 = 1 mod p)."""
+    a = np.uint64(a)
+    a_hi, a_lo = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    x_hi, x_lo = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+    t1 = _mod_p(a_hi * x_hi * np.uint64(8))
+    m = a_hi * x_lo + a_lo * x_hi  # < 2^62
+    t2 = _mod_p((m >> np.uint64(29)) + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32)))
+    t3 = _mod_p(a_lo * x_lo)
+    return _mod_p(t1 + t2 + t3)
+
+
+def _mix3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Combine three u64 word hashes into one shingle hash (splitmix)."""
+    h = a * np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ b) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ c) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _word_lists(batch: pa.Table) -> pa.ListArray:
+    col = batch["text"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.split_pattern(arr, pattern=" ")
+
+
+def _flat_offsets(lists: pa.ListArray) -> tuple[pa.Array, np.ndarray]:
+    flat = lists.flatten()
+    offsets = np.asarray(lists.offsets, dtype=np.int64)
+    return flat, offsets - offsets[0]
+
+
+def _distinct_per_doc(
+    hashes: np.ndarray, doc_idx: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sort (doc, hash), drop duplicates within each doc; returns the
+    distinct hashes and per-doc offsets into them."""
+    order = np.lexsort((hashes, doc_idx))
+    h, d = hashes[order], doc_idx[order]
+    keep = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    h, d = h[keep], d[keep]
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d, minlength=n_docs), out=offsets[1:])
+    return h, offsets
+
+
+# ---------------- exact / prefix dedup ----------------
 
 
 def exact_dedup(ds, key_expr: str = "text"):
     """Keep the min-doc_id row per exact content key.
 
-    Returns rows (doc_id, text). Shuffle carries only (key_hash,
-    doc_id, text); at scale you'd project doc_id+hash and semi-join.
+    Key = two independently-seeded 64-bit content hashes (collision odds
+    ~2^-128 birthday-bounded), computed vectorized. A map-side combiner
+    keeps only each batch's min-doc_id row per key before the shuffle,
+    so duplicate-heavy corpora shuffle a fraction of their rows.
     """
 
-    def add_key(batch: pa.Table) -> pa.Table:
+    def add_key_combine(batch: pa.Table) -> pa.Table:
         col = batch[key_expr]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        keys = [hashlib.md5(t.encode()).hexdigest() for t in arr.to_pylist()]
-        return batch.select(["doc_id", "text"]).append_column(
-            "dedup_key", pa.array(keys, type=pa.string())
+        h1, h2 = _pl_hash(arr, 1), _pl_hash(arr, 2)
+        key = pc.binary_join_element_wise(
+            pc.cast(pa.array(h1), pa.string()), pc.cast(pa.array(h2), pa.string()), ":"
+        )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = key.to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc_ids, keys))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = keys[order][1:] != keys[order][:-1]
+        keep = order[first]
+        return batch.select(["doc_id", "text"]).append_column("dedup_key", key).take(
+            pa.array(np.sort(keep))
         )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group.sort_values("doc_id").head(1)
-        return keep[["doc_id", "text"]]
+    def keep_first(group: pa.Table) -> pa.Table:
+        i = pc.index(group["doc_id"], pc.min(group["doc_id"]).as_py()).as_py()
+        return group.select(["doc_id", "text"]).slice(i, 1)
 
     return (
-        ds.map_batches(add_key, batch_format="pyarrow")
+        ds.map_batches(add_key_combine, batch_format="pyarrow")
         .groupby("dedup_key")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
 
 
@@ -57,19 +142,19 @@ def prefix_dedup(ds, prefix_chars: int = 40):
         key = pc.utf8_slice_codeunits(arr, 0, prefix_chars)
         return pa.table({"prefix_key": key, "doc_id": batch["doc_id"]})
 
-    def reduce_group(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def reduce_group(group: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "prefix_key": [group["prefix_key"].iloc[0]],
-                "doc_id": [int(group["doc_id"].min())],
-                "n_dups": [len(group)],
+                "prefix_key": group["prefix_key"].slice(0, 1),
+                "doc_id": pa.array([pc.min(group["doc_id"]).as_py()], type=pa.int64()),
+                "n_dups": pa.array([group.num_rows], type=pa.int64()),
             }
         )
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
         .groupby("prefix_key")
-        .map_groups(reduce_group, batch_format="pandas")
+        .map_groups(reduce_group, batch_format="pyarrow")
     )
 
 
@@ -77,175 +162,435 @@ def prefix_dedup(ds, prefix_chars: int = 40):
 
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 4 rows per band
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """u64 hashes of word k-shingles."""
-    words = text.split(" ")
-    if len(words) < k:
-        shingles = [" ".join(words)]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-         for s in set(shingles)),
-        dtype=np.uint64,
-    )
-
+_SHINGLE_K = 3
 
 _rng = np.random.default_rng(20240817)
-_MH_A = _rng.integers(1, MERSENNE, size=_MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
-_MH_B = _rng.integers(0, MERSENNE, size=_MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+_MH_A = _rng.integers(1, int(MERSENNE), size=_MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+_MH_B = _rng.integers(0, int(MERSENNE), size=_MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
 
 
-def _minhash_signature(shingles: np.ndarray) -> np.ndarray:
+def _batch_shingles(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-3-shingle hashes for every doc in the batch,
+    fully vectorized: hash all words once, mix consecutive triples,
+    dedup per doc. Docs with < 3 words fall back to a whole-text hash
+    (same equal-text => equal-shingle semantics)."""
+    words = _word_lists(batch)
+    flat, w_off = _flat_offsets(words)
+    n_docs = batch.num_rows
+    wh = _pl_hash(flat, 101) if len(flat) else np.empty(0, dtype=np.uint64)
+    lens = w_off[1:] - w_off[:-1]
+    doc_of_word = np.repeat(np.arange(n_docs), lens)
+    if len(wh) >= _SHINGLE_K:
+        cand = _mix3(wh[:-2], wh[1:-1], wh[2:])
+        # a triple starting at flat position t belongs to doc d iff it
+        # does not cross the doc boundary: t + K - 1 < w_off[d+1]
+        d = doc_of_word[: len(cand)]
+        valid = (np.arange(len(cand)) + _SHINGLE_K - 1) < w_off[d + 1]
+        sh, sd = cand[valid], d[valid]
+    else:
+        sh, sd = np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    short = np.flatnonzero(lens < _SHINGLE_K)
+    if len(short):
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th = _pl_hash(arr.take(pa.array(short)), 103)
+        sh = np.concatenate([sh, th])
+        sd = np.concatenate([sd, short])
+    return _distinct_per_doc(sh, sd, n_docs)
+
+
+def _minhash_signatures(shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs, PERMS) uint64 signature matrix: min over each doc's
+    shingles of (a*x + b) mod 2^61-1, one vectorized pass per perm."""
+    n_docs = len(offsets) - 1
+    sig = np.full((n_docs, _MINHASH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(shingles) == 0:
-        return np.full(_MINHASH_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (a*x + b) mod p per permutation, min over shingles
-    x = shingles.astype(np.object_)  # exact big-int arithmetic mod 2^61-1
-    sig = np.empty(_MINHASH_PERMS, dtype=np.uint64)
+        return sig
+    x = _mod_p(shingles)
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = offsets[:-1][nonempty]
     for j in range(_MINHASH_PERMS):
-        vals = (int(_MH_A[j]) * x + int(_MH_B[j])) % MERSENNE
-        sig[j] = np.uint64(min(vals))
+        vals = _mod_p(_mulmod_p(int(_MH_A[j]), x) + _MH_B[j])
+        sig[nonempty, j] = np.minimum.reduceat(vals, starts)
     return sig
 
 
-def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """Explode each doc into (bucket, doc_id, signature) rows — one per
-    LSH band; the signature rides along so candidate verification inside
-    the bucket groupby needs no second pass over the corpus."""
-    col = batch["text"]
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    rows_bucket, rows_doc, rows_sig = [], [], []
+def _band_buckets(sig: np.ndarray) -> np.ndarray:
+    """(n_docs, BANDS) uint64 bucket hash per LSH band (mix of the
+    band's signature rows)."""
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    for doc_id, text in zip(doc_ids, arr.to_pylist()):
-        sig = _minhash_signature(_shingle_hashes(text))
-        sig_bytes = sig.tobytes()
-        for band in range(_LSH_BANDS):
-            h = hashlib.blake2b(
-                sig[band * rows_per_band : (band + 1) * rows_per_band].tobytes(),
-                digest_size=8,
-            ).digest()
-            rows_bucket.append(f"{band}:{int.from_bytes(h, 'little') >> 1}")
-            rows_doc.append(int(doc_id))
-            rows_sig.append(sig_bytes)
+    out = np.empty((sig.shape[0], _LSH_BANDS), dtype=np.uint64)
+    for band in range(_LSH_BANDS):
+        cols = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
+        h = np.full(sig.shape[0], np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = (h ^ cols[:, r]) * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(29)
+        out[:, band] = h
+    return out
+
+
+def minhash_bands_batch(batch: pa.Table) -> pa.Table:
+    """Explode each doc into (bucket, band, doc_id, signature) rows —
+    one per LSH band; the signature rides along so candidate
+    verification inside the bucket groupby needs no second pass over
+    the corpus."""
+    n_docs = batch.num_rows
+    shingles, offsets = _batch_shingles(batch)
+    sig = _minhash_signatures(shingles, offsets)
+    buckets = _band_buckets(sig)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    band_no = np.tile(np.arange(_LSH_BANDS, dtype=np.int64), n_docs)
+    bucket_strs = np.char.add(
+        np.char.add(band_no.astype(str), ":"), buckets.reshape(-1).astype(str)
+    )
+    sig_bytes = sig.tobytes()
+    row_bytes = _MINHASH_PERMS * 8
+    sig_col = pa.array(
+        [sig_bytes[i * row_bytes : (i + 1) * row_bytes] for i in range(n_docs)],
+        type=pa.large_binary(),
+    )
+    rep = np.repeat(np.arange(n_docs), _LSH_BANDS)
     return pa.table(
         {
-            "bucket": pa.array(rows_bucket, type=pa.string()),
-            "doc_id": pa.array(rows_doc, type=pa.int64()),
-            "sig": pa.array(rows_sig, type=pa.large_binary()),
+            "bucket": pa.array(bucket_strs, type=pa.string()),
+            "band": pa.array(band_no, type=pa.int64()),
+            "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
+            "sig": sig_col.take(pa.array(rep)),
         }
     )
 
 
-def _estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
-    return float(np.mean(sig_a == sig_b))
-
-
 def _bucket_verified_pairs(threshold: float):
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        docs = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = docs["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    """In-bucket verification: estimated Jaccard (signature agreement)
+    >= threshold. Each pair is emitted by exactly one bucket — the one
+    for its LOWEST matching band — so no cross-bucket dedup is needed."""
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+
+    def fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+        )
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(doc_ids, return_index=True)
+        if len(first_idx) < 2:
+            return empty
+        band = int(group["band"][0].as_py())
+        g = group.take(pa.array(np.sort(first_idx)))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_pylist()]
+        )[order]
+        n = len(ids)
+        ia, ib = np.triu_indices(n, k=1)
+        agree = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = agree >= threshold
+        if band > 0 and keep.any():
+            # drop pairs that an earlier band already emitted
+            bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
+            earlier = (
+                (bands[ia[keep], :band] == bands[ib[keep], :band]).all(axis=2).any(axis=1)
             )
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in docs["sig"]]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if _estimated_jaccard(sigs[i], sigs[j]) >= threshold:
-                    rows.append((int(ids[i]), int(ids[j])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+            kidx = np.flatnonzero(keep)
+            keep[kidx[earlier]] = False
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], type=pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], type=pa.int64()),
+            }
+        )
 
     return fn
+
+
+def minhash_pairs(ds, jaccard_threshold: float = 0.7):
+    """Verified near-duplicate pair Dataset (doc_a < doc_b), each pair
+    emitted exactly once. Only (bucket, doc_id, 512-byte signature)
+    rows shuffle — never the documents."""
+    bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    return bands.groupby("bucket").map_groups(
+        _bucket_verified_pairs(jaccard_threshold), batch_format="pyarrow"
+    )
+
+
+def _components(pairs) -> dict[int, int]:
+    """Union-find over the (small) verified edge list; returns the
+    remap {doc_id: cluster_id} for docs in non-trivial components."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs.iter_rows():
+        ra, rb = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent} | {
+        x: find(x) for x in list(parent.values())
+    }
+
+
+def _remap_assign(remap: dict[int, int]):
+    """Vectorized doc_id -> cluster_id lookup against the broadcast
+    remap (identity for docs outside any component)."""
+    keys = np.array(sorted(remap), dtype=np.int64)
+    vals = np.array([remap[k] for k in keys], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = ids.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos] == ids
+            cluster[hit] = vals[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+            }
+        )
+
+    return assign
 
 
 def minhash_dedup(ds, jaccard_threshold: float = 0.7):
     """MinHash-LSH near-duplicate clustering.
 
     shingle -> 64-perm minhash -> 16 bands -> bucket groupby ->
-    signature-estimated Jaccard verification inside each bucket ->
-    union-find over the (small) verified edge list on the driver.
-    Returns (doc_id, cluster_id); cluster_id = min doc_id of the
-    component. Only (bucket, doc_id, 512-byte signature) rows shuffle —
-    never the documents themselves.
+    signature-estimated Jaccard verification inside each bucket (each
+    pair emitted once) -> union-find over the small edge list on the
+    driver -> the remap broadcast back; assignments are emitted
+    distributed (no doc_id materialization on the driver). Returns a
+    Dataset of (doc_id, cluster_id); cluster_id = min doc_id of the
+    component.
     """
-    bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby("bucket").map_groups(
-        _bucket_verified_pairs(jaccard_threshold), batch_format="pandas"
-    )
-    pair_df = pairs.to_pandas().drop_duplicates()
-
-    all_ids = sorted(
-        r["doc_id"]
-        for r in ds.map_batches(
-            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
-        ).take_all()
-    )
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pair_df.get("doc_a", []), pair_df.get("doc_b", [])):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    rows = [{"doc_id": d, "cluster_id": find(d)} for d in all_ids]
-    return pa.Table.from_pylist(
-        rows, schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
-    )
+    remap = _components(minhash_pairs(ds, jaccard_threshold))
+    return ds.map_batches(_remap_assign(remap), batch_format="pyarrow")
 
 
 # ---------------- SimHash ----------------
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash per document from word hashes."""
-    col = batch["text"]
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    out = []
-    for text in arr.to_pylist():
-        votes = np.zeros(64, dtype=np.int64)
-        for w in set(text.split(" ")):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            votes += np.where(bits.astype(bool), 1, -1)
-        out.append(int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64))) >> 1)
-    return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.int64())})
+    """64-bit SimHash per document from distinct-word hashes, fully
+    vectorized: one hash pass over the batch's words, a (words x 64)
+    bit matrix, per-doc vote sums via reduceat."""
+    words = _word_lists(batch)
+    flat, w_off = _flat_offsets(words)
+    n_docs = batch.num_rows
+    wh = _pl_hash(flat, 107) if len(flat) else np.empty(0, dtype=np.uint64)
+    lens = w_off[1:] - w_off[:-1]
+    doc_of_word = np.repeat(np.arange(n_docs), lens)
+    dh, offsets = _distinct_per_doc(wh, doc_of_word, n_docs)
+
+    shifts = np.arange(64, dtype=np.uint64)
+    sim = np.zeros(n_docs, dtype=np.uint64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if len(dh) and nonempty.any():
+        bits = ((dh[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        votes = np.add.reduceat(bits * 2 - 1, offsets[:-1][nonempty], axis=0)
+        packed = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        sim[nonempty] = packed
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array((sim >> np.uint64(1)).astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+_SIMHASH_BANDS = 4  # 16 bits each over the 63-bit stored hash
+
+
+def _simhash_explode(batch: pa.Table) -> pa.Table:
+    sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(sh)
+    band_no = np.tile(np.arange(_SIMHASH_BANDS, dtype=np.int64), n)
+    vals = np.empty((n, _SIMHASH_BANDS), dtype=np.uint64)
+    for b in range(_SIMHASH_BANDS):
+        vals[:, b] = (sh >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+    bucket = np.char.add(
+        np.char.add(band_no.astype(str), ":"), vals.reshape(-1).astype(str)
+    )
+    rep = np.repeat(np.arange(n), _SIMHASH_BANDS)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, type=pa.string()),
+            "band": pa.array(band_no, type=pa.int64()),
+            "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
+            "simhash": pa.array(sh[rep].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount of pairwise XOR via byte lookup (vectorized)."""
+    x = (a ^ b).view(np.uint8).reshape(*a.shape, 8)
+    return _POPCOUNT8[x].sum(axis=-1).astype(np.int64)
+
+
+def _simhash_bucket_pairs(max_hamming: int):
+    def fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(doc_ids, return_index=True)
+        if len(first_idx) < 2:
+            return empty
+        band = int(group["band"][0].as_py())
+        g = group.take(pa.array(np.sort(first_idx)))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = _hamming_matrix(sh[ia], sh[ib])
+        keep = ham <= max_hamming
+        if band > 0 and keep.any():
+            # emitted by the lowest matching band only
+            earlier = np.zeros(int(keep.sum()), dtype=bool)
+            for b in range(band):
+                mask = np.uint64(0xFFFF) << np.uint64(b * 16)
+                earlier |= (sh[ia[keep]] & mask) == (sh[ib[keep]] & mask)
+            kidx = np.flatnonzero(keep)
+            keep[kidx[earlier]] = False
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], type=pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    return fn
 
 
 def simhash_near_pairs(ds, max_hamming: int = 6):
     """Candidate near-dup pairs: equal 16-bit SimHash band -> verify
-    Hamming distance <= max_hamming. Returns (doc_a, doc_b, hamming)."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
-    sig_by_doc = dict(zip(sigs["doc_id"], sigs["simhash"]))
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for doc_id, sh in sig_by_doc.items():
-        for band in range(4):
-            key = (band, (sh >> (band * 16)) & 0xFFFF)
-            buckets.setdefault(key, []).append(doc_id)
-    seen = set()
-    rows = []
-    for docs in buckets.values():
-        docs = sorted(docs)
-        for i, a in enumerate(docs):
-            for b in docs[i + 1 :]:
-                if (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                ham = bin(sig_by_doc[a] ^ sig_by_doc[b]).count("1")
-                if ham <= max_hamming:
-                    rows.append({"doc_a": a, "doc_b": b, "hamming": ham})
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
-        ),
+    Hamming distance <= max_hamming, all inside a distributed bucket
+    groupby (each pair emitted by its lowest matching band only).
+    Returns a Dataset of (doc_a, doc_b, hamming)."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    exploded = sigs.map_batches(_simhash_explode, batch_format="pyarrow")
+    return exploded.groupby("bucket").map_groups(
+        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    )
+
+
+# ---------------- n-gram Jaccard ----------------
+
+
+def _jaccard_shingle_rows(batch: pa.Table) -> pa.Table:
+    """(shingle, doc_id, n_shingles) rows — the inverted-index build."""
+    shingles, offsets = _batch_shingles(batch)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    return pa.table(
+        {
+            "shingle": pa.array(shingles.astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, lens), type=pa.int64()),
+            "n_shingles": pa.array(np.repeat(lens, lens), type=pa.int64()),
+        }
+    )
+
+
+def _shingle_group_pairs(df_cap: int):
+    """Emit co-occurrence pairs from one shingle's posting list.
+    Shingles with document frequency > df_cap are dropped (they are
+    stopword-like and would blow up quadratically); exactness therefore
+    assumes no near-dup pair relies ONLY on ultra-common shingles —
+    with df_cap >= corpus dup-group size this holds."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > df_cap:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "n_a": pa.array([], type=pa.int64()),
+                    "n_b": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sizes = group["n_shingles"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, sizes = ids[order], sizes[order]
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia], type=pa.int64()),
+                "doc_b": pa.array(ids[ib], type=pa.int64()),
+                "n_a": pa.array(sizes[ia], type=pa.int64()),
+                "n_b": pa.array(sizes[ib], type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 16):
+    """Exact word-3-gram Jaccard near-duplicate pairs via a distributed
+    inverted index: shingle groupby emits co-occurrences, a pair
+    groupby counts shared shingles, Jaccard = shared/(|A|+|B|-shared).
+    Returns (doc_a, doc_b, n_shared, n_union) rows for pairs with
+    Jaccard >= threshold."""
+    from fractions import Fraction
+
+    # integer cross-multiply (num/den) so the threshold compare is
+    # bit-exact with the SQL oracle's integer form (no 0.8*union float)
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
+    postings = ds.map_batches(_jaccard_shingle_rows, batch_format="pyarrow")
+    cooc = postings.groupby("shingle").map_groups(
+        _shingle_group_pairs(df_cap), batch_format="pyarrow"
+    )
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(a.astype(str), ":"), b.astype(str))
+        return batch.append_column("pair", pa.array(key, type=pa.string()))
+
+    def reduce_pair(group: pa.Table) -> pa.Table:
+        shared = group.num_rows
+        n_a = int(group["n_a"][0].as_py())
+        n_b = int(group["n_b"][0].as_py())
+        union = n_a + n_b - shared
+        if union <= 0 or den * shared < num * union:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "n_shared": pa.array([], type=pa.int64()),
+                    "n_union": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": group["doc_a"].slice(0, 1),
+                "doc_b": group["doc_b"].slice(0, 1),
+                "n_shared": pa.array([shared], type=pa.int64()),
+                "n_union": pa.array([union], type=pa.int64()),
+            }
+        )
+
+    return (
+        cooc.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(reduce_pair, batch_format="pyarrow")
     )

@@ -192,69 +192,150 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 8) -> pa.Tabl
     )
 
 
-def embedding_near_dups(
-    ds, threshold: float = 0.98, n_planes: int = 8, n_tables: int = 3
-) -> pa.Table:
+def plant_twins(ds, every: int = 50, id_offset: int = 10_000_000, scale: float = 1.001):
+    """Append a deterministic scaled twin (cosine-identical direction)
+    for every `every`-th vector — makes near-dup queries non-vacuous on
+    corpora without natural near-duplicates, and is exactly
+    reproducible in SQL (list_transform(embedding, x -> x * scale))."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pick = np.flatnonzero(ids % every == 0)
+        if len(pick) == 0:
+            return batch.select(["vec_id", "embedding"])
+        sub = arr.take(pa.array(pick))
+        vals = sub.flatten().to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        offsets = np.asarray(sub.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        twins = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(vals.astype(np.float32), type=pa.float32()),
+        )
+        twin_tbl = pa.table(
+            {
+                "vec_id": pa.array(ids[pick] + id_offset, type=pa.int64()),
+                "embedding": twins.cast(arr.type),
+            }
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), twin_tbl])
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def embedding_near_dups(ds, threshold: float = 0.98, n_planes: int = 8, n_tables: int = 3):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
 
     Distributed LSH: each vector lands in one bucket per hash table
     (signed random projections); pairs are verified by exact cosine
-    inside each bucket group and deduped across tables. High-similarity
-    pairs collide in at least one table with high probability
+    inside each bucket group and emitted by their lowest matching table
+    only (no cross-bucket dedup pass). High-similarity pairs collide in
+    at least one table with high probability
     (recall ~= 1-(1-p^planes)^tables); pair recall is approximate by
     construction — exact verification, approximate candidate recall.
+    Returns a Dataset of (vec_a, vec_b).
     """
-    rng = np.random.default_rng(20240817)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         mat, ids = _embedding_matrix(batch)
-        out_bucket, out_id, out_emb = [], [], []
-        if mat.size:
-            matn = _normalize(mat)
-            dim = matn.shape[1]
-            local_rng = np.random.default_rng(20240817)
-            for t in range(n_tables):
-                planes = local_rng.normal(size=(dim, n_planes))
-                codes = ((matn @ planes > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
-                for i in range(len(ids)):
-                    out_bucket.append(f"{t}:{codes[i]}")
-                    out_id.append(int(ids[i]))
-                    out_emb.append(matn[i].astype(np.float32))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.string()),
+                    "table_no": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32())),
+                }
+            )
+        matn = _normalize(mat)
+        dim = matn.shape[1]
+        local_rng = np.random.default_rng(20240817)
+        n = len(ids)
+        codes = np.empty((n_tables, n), dtype=np.int64)
+        for t in range(n_tables):
+            planes = local_rng.normal(size=(dim, n_planes))
+            codes[t] = ((matn @ planes > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+        table_no = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        bucket = np.char.add(
+            np.char.add(table_no.astype(str), ":"), codes.reshape(-1).astype(str)
+        )
+        flat = matn.astype(np.float32).reshape(-1)
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * dim, type=pa.int32()),
+            pa.array(flat, type=pa.float32()),
+        )
+        # every table's code rides along so the lowest-matching-table
+        # check uses the exact codes this pass computed (recomputing
+        # from the float32-rounded embeddings could flip a sign)
+        codes_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * n_tables, type=pa.int32()),
+            pa.array(codes.T.reshape(-1), type=pa.int64()),
+        )
+        rep = pa.array(np.tile(np.arange(n), n_tables))
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, type=pa.string()),
-                "vec_id": pa.array(out_id, type=pa.int64()),
-                "embedding": pa.array(
-                    [e.tolist() for e in out_emb], type=pa.list_(pa.float32())
-                ),
+                "bucket": pa.array(bucket, type=pa.string()),
+                "table_no": pa.array(table_no, type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), type=pa.int64()),
+                "embedding": emb.take(rep),
+                "codes": codes_list.take(rep),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
-            )
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
+        )
+        vec_ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(vec_ids, return_index=True)
+        if len(first_idx) < 2:
+            return empty
+        table_no = int(group["table_no"][0].as_py())
+        g = group.take(pa.array(np.sort(first_idx)))
+        mat, ids = _embedding_matrix_named(g, "vec_id", "embedding")
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order].astype(np.float64)
         sims = mat @ mat.T
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+        if table_no > 0 and len(ia):
+            # emitted by the lowest matching table only (exact codes
+            # carried from the bucketing pass)
+            codes_col = g["codes"]
+            codes_arr = (
+                codes_col.combine_chunks()
+                if isinstance(codes_col, pa.ChunkedArray)
+                else codes_col
+            )
+            codes = (
+                codes_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(ids), n_tables)[order]
+            )
+            earlier = (codes[ia, :table_no] == codes[ib, :table_no]).any(axis=1)
+            ia, ib = ia[~earlier], ib[~earlier]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia], type=pa.int64()),
+                "vec_b": pa.array(ids[ib], type=pa.int64()),
+            }
+        )
 
-    pairs = (
+    return (
         ds.map_batches(to_buckets, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    if "vec_a" not in pairs.columns:  # no near-duplicates anywhere
-        pairs = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                              "vec_b": pd.Series([], dtype="int64")})
-    pairs = pairs.drop_duplicates().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
-    return pa.table(
-        {
-            "vec_a": pa.array(pairs["vec_a"].astype("int64"), type=pa.int64()),
-            "vec_b": pa.array(pairs["vec_b"].astype("int64"), type=pa.int64()),
-        }
-    )
+
+
+def _embedding_matrix_named(batch: pa.Table, id_col: str, emb_col: str):
+    col = batch[emb_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    dims = np.diff(offsets)
+    dim = int(dims[0]) if len(dims) else 0
+    mat = values.reshape(-1, dim) if dim else values.reshape(0, 0)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return mat, ids

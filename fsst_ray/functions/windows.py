@@ -18,8 +18,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def tumbling_counts(ds, hours: int = 1) -> "pa.Table":
-    """(event_type, window_start epoch s, n) via grouped aggregate."""
+def tumbling_counts(ds, hours: int = 1):
+    """(event_type, window_start epoch s, n) via grouped aggregate.
+    Returns a Dataset."""
 
     def add_window(batch: pa.Table) -> pa.Table:
         ts = batch["ts"]
@@ -39,18 +40,27 @@ def tumbling_counts(ds, hours: int = 1) -> "pa.Table":
         .groupby(["event_type", "window_start"])
         .count()
     )
-    df = out.to_pandas().rename(columns={"count()": "n"})
-    df = df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
-    return pa.table(
-        {
-            "event_type": pa.array(df["event_type"], type=pa.string()),
-            "window_start": pa.array(df["window_start"].astype("int64"), type=pa.int64()),
-            "n": pa.array(df["n"].astype("int64"), type=pa.int64()),
-        }
-    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = batch["window_start"]
+        arr = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.cast(arr, pa.int64()),
+                "n": pc.cast(
+                    batch["count()"].combine_chunks()
+                    if isinstance(batch["count()"], pa.ChunkedArray)
+                    else batch["count()"],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
-def session_windows(ds, gap_minutes: int = 30) -> "pa.Table":
+def session_windows(ds, gap_minutes: int = 30):
     """Per-user session windows (gap-based): (user_id, session_start
     epoch s, n_events). Sessions computed per user group, ts-sorted."""
     gap_us = gap_minutes * 60 * 1_000_000
@@ -82,6 +92,6 @@ def session_windows(ds, gap_minutes: int = 30) -> "pa.Table":
             }
         )
 
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    res = res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
-    return pa.Table.from_pandas(res, preserve_index=False)
+    # return the Dataset itself — materializing/sorting all sessions on
+    # the driver belongs to tests/oracles, not the operator
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -108,3 +108,23 @@ def test_media_feature_plumbing(ray_session):
     if not dec.available:
         with pytest.raises(NotImplementedError):
             dec.decode(b"xxxx", "image/png")
+
+
+def test_ngram_jaccard_finds_planted(docs_with_dups):
+    from fsst_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 101) in got  # identical text -> jaccard 1.0
+    assert (0, 100) in got  # one word changed in 60 -> jaccard ~0.9
+    # unrelated random docs never pair at 0.8
+    assert not any(a < 40 and b < 40 for a, b in got)
+
+
+def test_minhash_pairs_emitted_once(docs_with_dups):
+    from fsst_ray.functions.dedup import minhash_pairs
+
+    pairs = minhash_pairs(docs_with_dups, jaccard_threshold=0.6).to_pandas()
+    keys = list(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert len(keys) == len(set(keys)), "pair emitted by more than one band"
+    assert (0, 101) in set(keys)
