@@ -84,12 +84,24 @@ class FsstCodec(Codec):
             ratio = len(codes) / len(sample)
         return len(blob) + 8 + ratio * 4 * stats["n"]
 
+    # encode-side segmentation: concatenated FSST code streams decode
+    # identically as one stream (the decoder is stateless per code), so
+    # splitting the chunk into fixed segments costs only the symbols
+    # that would have spanned a boundary (~8 bytes / segment) while
+    # letting the C kernel's multi-lane interleave engage.
+    SEGMENT_BYTES = 1 << 15
+
     def encode_values(self, values, state):
         assert state is not None, "fsst codec requires trained state"
         state = _state_blob(state)
         raw = values.astype("<i4", copy=False).view(np.uint8)
         comp = _compressor_for_state(state)
-        offsets = np.array([0, len(raw)], dtype=np.int64)
+        offsets = np.concatenate(
+            [
+                np.arange(0, max(len(raw), 1), self.SEGMENT_BYTES, dtype=np.int64),
+                np.array([len(raw)], dtype=np.int64),
+            ]
+        )
         codes, _ = native.compress_bulk(raw, offsets, comp)
         return struct.pack("<I", len(state)) + state + codes.tobytes()
 

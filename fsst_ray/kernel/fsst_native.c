@@ -11,9 +11,10 @@
  * Layout notes:
  *  - rows are passed as one concatenated byte buffer + int64 offsets
  *    (exactly an Arrow large_binary / list<int32> values-buffer view)
- *  - the output buffer must have capacity 2*input_len + 8 for compress
- *    (worst case all-escapes, +8 slack for the speculative escape-byte
- *    write) and decoded_len + 8 for decompress (8-byte symbol writes).
+ *  - the output buffer must have capacity 2*input_len + 8*n_rows + 8
+ *    for compress (worst case all-escapes, +8 slack per row for the
+ *    speculative escape-byte write in the lane-slotted layout) and
+ *    decoded_len + 8 for decompress (8-byte symbol writes).
  */
 
 #include <stdint.h>
@@ -34,71 +35,195 @@ static inline uint64_t fsst_hash3(uint64_t word) {
     return (v * 2971215073ULL) ^ (v >> 15);
 }
 
-/* One greedy step on `word`; writes at `op`, sets *adv_out to bytes
- * written (1 or 2), returns bytes consumed. Speculative raw-byte write
- * at op[1] mirrors the escape fast path. */
-static inline int64_t compress_word(uint64_t word, const uint16_t *two_byte,
-                                    const uint64_t *pht_symbol,
-                                    const uint16_t *pht_code,
-                                    const uint16_t *pht_ignored,
-                                    uint8_t suffix_lim, uint8_t *op,
-                                    int64_t *adv_out) {
+/* Branchless greedy step against the packed probe tables: identical
+ * decisions to compress_word, expressed as selects so mixed-path data
+ * does not stall on branch mispredicts. pht_sm packs [2*slot]=symbol,
+ * [2*slot+1]=precomputed compare mask (one cache line per probe).
+ * Returns (adv_in << 8) | adv_out packed, so callers keep lane state
+ * in registers (no address-taken out-params). */
+static inline int64_t step_word(uint64_t word, const uint16_t *two_byte,
+                                const uint64_t *pht_sm,
+                                const uint16_t *pht_code, uint8_t suffix_lim,
+                                uint8_t *op) {
     uint16_t ct = two_byte[(uint16_t)word];
     op[1] = (uint8_t)word; /* speculative escape byte */
     if ((uint8_t)ct < suffix_lim) {
+        /* two-byte fast path: short-circuits the PHT probe entirely
+         * (the reference keeps this branch too, lib.rs:377) */
         op[0] = (uint8_t)ct;
-        *adv_out = 1;
-        return 2;
+        return (2 << 8) | 1;
     }
     uint32_t slot = (uint32_t)(fsst_hash3(word) & PHT_MASK);
+    uint64_t sym = pht_sm[2 * slot];
+    uint64_t msk = pht_sm[2 * slot + 1];
     uint16_t pc = pht_code[slot];
-    uint16_t ign = pht_ignored[slot];
-    uint64_t mask = (ign >= 64) ? 0 : (~0ULL >> ign);
-    if (pc != CODE_UNUSED && (word & mask) == pht_symbol[slot]) {
-        op[0] = (uint8_t)pc;
-        *adv_out = 1;
-        return pc >> 12;
-    }
-    /* fallback: 1-byte code or escape */
-    op[0] = (uint8_t)ct;
-    *adv_out = 1 + ((ct & 0x1FF) >> 8);
-    return ct >> 12;
+    /* hit-vs-escape select in pure mask arithmetic: gcc compiles the
+     * ternary form to branches that mispredict on mixed data, stalling
+     * every lane of the interleaved bulk loop */
+    uint64_t hit_m = -(uint64_t)((pc != CODE_UNUSED) & ((word & msk) == sym));
+    op[0] = (uint8_t)((hit_m & (uint8_t)pc) | (~hit_m & (uint8_t)ct));
+    uint64_t adv_out = 1 + (~hit_m & ((ct >> 8) & 1));
+    uint64_t adv_in =
+        (hit_m & ((uint64_t)pc >> 12)) | (~hit_m & ((uint64_t)ct >> 12));
+    return (int64_t)((adv_in << 8) | adv_out);
 }
 
+#ifndef N_LANES
+#define N_LANES 4
+#endif
+
+typedef struct {
+    const uint8_t *in; /* row start */
+    int64_t len;
+    int64_t pos;
+    uint8_t *op;      /* current write cursor */
+    uint8_t *op_base; /* row output start (worst-case slot) */
+    int64_t row;      /* row index, -1 when idle (rows exhausted) */
+} Lane;
+
+/* worst-case output start of row r (relative offsets): 2 bytes per
+ * input byte plus 8 slack per preceding row */
+static inline int64_t wc_start(const int64_t *offsets, int64_t r) {
+    return 2 * (offsets[r] - offsets[0]) + 8 * r;
+}
+
+/* finish the (< 8 byte) tail of a lane's current row with the shifted
+ * zero-padded word loop, record its compressed size */
+static void finish_tail(Lane *ln, const uint16_t *two_byte,
+                        const uint64_t *pht_sm, const uint16_t *pht_code,
+                        uint8_t suffix_lim, int64_t *out_offsets) {
+    int64_t remaining = ln->len - ln->pos;
+    uint64_t last_word = 0;
+    memcpy(&last_word, ln->in + ln->pos, (size_t)remaining);
+    while (remaining > 0) {
+        int64_t s = step_word(last_word, two_byte, pht_sm, pht_code,
+                              suffix_lim, ln->op);
+        int64_t adv = s >> 8;
+        ln->op += s & 0xFF;
+        remaining -= adv;
+        last_word = (adv >= 8) ? 0 : (last_word >> (8 * adv));
+    }
+    out_offsets[ln->row + 1] = ln->op - ln->op_base; /* size, for now */
+}
+
+static void refill(Lane *ln, const uint8_t *data, const int64_t *offsets,
+                   int64_t n_rows, int64_t *next_row, uint8_t *out) {
+    if (*next_row < n_rows) {
+        int64_t r = (*next_row)++;
+        ln->row = r;
+        ln->in = data + offsets[r];
+        ln->len = offsets[r + 1] - offsets[r];
+        ln->op_base = ln->op = out + wc_start(offsets, r);
+        ln->pos = 0;
+    } else {
+        ln->row = -1;
+    }
+}
+
+/* Interleaved bulk compress: N_LANES rows advance in lockstep so their
+ * independent load->lookup->advance dependency chains overlap in the
+ * out-of-order window (the original FSST implementation's concurrent-
+ * strings trick). Rows are written into per-row worst-case slots and
+ * compacted in order afterwards; `out` must hold
+ * 2*total + 8*n_rows + 8 bytes. Output is bit-identical to the
+ * single-cursor loop: each row's greedy parse is independent of lane
+ * scheduling. */
 int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
                            int64_t n_rows, const uint16_t *two_byte,
                            const uint64_t *pht_symbol,
                            const uint16_t *pht_code,
                            const uint16_t *pht_ignored, uint8_t suffix_lim,
                            uint8_t *out, int64_t *out_offsets) {
-    uint8_t *op = out;
-    out_offsets[0] = 0;
-    for (int64_t r = 0; r < n_rows; r++) {
-        const uint8_t *in = data + offsets[r];
-        int64_t len = offsets[r + 1] - offsets[r];
-        int64_t pos = 0;
-        int64_t adv_out;
-        while (pos + 8 <= len) {
-            pos += compress_word(load_word(in + pos), two_byte, pht_symbol,
-                                 pht_code, pht_ignored, suffix_lim, op,
-                                 &adv_out);
-            op += adv_out;
-        }
-        /* tail: zero-padded word, shifted as we consume */
-        int64_t remaining = len - pos;
-        uint64_t last_word = 0;
-        memcpy(&last_word, in + pos, (size_t)remaining);
-        while (remaining > 0) {
-            int64_t adv =
-                compress_word(last_word, two_byte, pht_symbol, pht_code,
-                              pht_ignored, suffix_lim, op, &adv_out);
-            op += adv_out;
-            remaining -= adv;
-            last_word = (adv >= 8) ? 0 : (last_word >> (8 * adv));
-        }
-        out_offsets[r + 1] = op - out;
+    /* pack symbol+mask into adjacent u64 pairs: one probe = one line */
+    uint64_t pht_sm[2 * (PHT_MASK + 1)];
+    for (uint32_t s = 0; s <= PHT_MASK; s++) {
+        uint16_t ign = pht_ignored[s];
+        pht_sm[2 * s] = pht_symbol[s];
+        pht_sm[2 * s + 1] = (ign >= 64) ? 0 : (~0ULL >> ign);
     }
-    return op - out;
+    out_offsets[0] = 0;
+
+    Lane lanes[N_LANES];
+    int64_t next_row = 0;
+    for (int l = 0; l < N_LANES; l++)
+        refill(&lanes[l], data, offsets, n_rows, &next_row, out);
+
+    for (;;) {
+        /* top up: finish tails / short rows until every lane is either
+         * runnable (>= 8 readable bytes) or idle */
+        for (int l = 0; l < N_LANES; l++) {
+            while (lanes[l].row >= 0 && lanes[l].pos + 8 > lanes[l].len) {
+                finish_tail(&lanes[l], two_byte, pht_sm, pht_code, suffix_lim,
+                            out_offsets);
+                refill(&lanes[l], data, offsets, n_rows, &next_row, out);
+            }
+        }
+        int any_idle = 0;
+        for (int l = 0; l < N_LANES; l++)
+            any_idle |= (lanes[l].row < 0);
+        if (any_idle)
+            break; /* fewer than N_LANES rows remain: drain below */
+        /* hoist lane state into locals: uint8_t* stores may alias the
+         * Lane structs, so in-struct cursors would reload every step.
+         * Fixed-size local arrays + full unroll keep these in registers. */
+        const uint8_t *in_[N_LANES];
+        int64_t pos_[N_LANES], end_[N_LANES];
+        uint8_t *op_[N_LANES];
+        for (int l = 0; l < N_LANES; l++) {
+            in_[l] = lanes[l].in;
+            pos_[l] = lanes[l].pos;
+            end_[l] = lanes[l].len - 8;
+            op_[l] = lanes[l].op;
+        }
+        int run = 1;
+        do {
+#pragma GCC unroll 8
+            for (int l = 0; l < N_LANES; l++) {
+                uint64_t w = load_word(in_[l] + pos_[l]);
+                int64_t s = step_word(w, two_byte, pht_sm, pht_code,
+                                      suffix_lim, op_[l]);
+                pos_[l] += s >> 8;
+                op_[l] += s & 0xFF;
+            }
+            run = 1;
+#pragma GCC unroll 8
+            for (int l = 0; l < N_LANES; l++)
+                run &= (pos_[l] <= end_[l]);
+        } while (run);
+        for (int l = 0; l < N_LANES; l++) {
+            lanes[l].pos = pos_[l];
+            lanes[l].op = op_[l];
+        }
+    }
+
+    /* drain the (<= N_LANES-1) still-active lanes one at a time; rows
+     * are exhausted, so no refills happen */
+    for (int l = 0; l < N_LANES; l++) {
+        Lane *ln = &lanes[l];
+        if (ln->row < 0)
+            continue;
+        while (ln->pos + 8 <= ln->len) {
+            int64_t s = step_word(load_word(ln->in + ln->pos), two_byte,
+                                  pht_sm, pht_code, suffix_lim, ln->op);
+            ln->pos += s >> 8;
+            ln->op += s & 0xFF;
+        }
+        finish_tail(ln, two_byte, pht_sm, pht_code, suffix_lim, out_offsets);
+    }
+
+    /* compact rows (at worst-case starts, sizes in out_offsets[r+1])
+     * into contiguous order; every final start <= its worst-case start,
+     * so a forward memmove pass is safe */
+    int64_t pos = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t size = out_offsets[r + 1];
+        int64_t src = wc_start(offsets, r);
+        if (src != pos)
+            memmove(out + pos, out + src, (size_t)size);
+        pos += size;
+        out_offsets[r + 1] = pos;
+    }
+    return pos;
 }
 
 /* ---- fixed-width bit packing (used by bitpack/FOR/RLE/dict codecs) ----

@@ -101,7 +101,8 @@ def compress_bulk(data: np.ndarray, offsets: np.ndarray, comp) -> tuple[np.ndarr
         # normalize a sliced view to zero-based offsets
         data = data[int(offsets[0]) : int(offsets[-1])]
         offsets = offsets - offsets[0]
-    out = np.empty(2 * total + 8, dtype=np.uint8)
+    # lane-slotted worst-case layout: 2 bytes/input byte + 8 per row
+    out = np.empty(2 * total + 8 * n_rows + 8, dtype=np.uint8)
     out_offsets = np.empty(n_rows + 1, dtype=np.int64)
     written = lib.fsst_compress_bulk(
         _ptr(data, ctypes.c_uint8),

@@ -137,3 +137,27 @@ def test_randomized_roundtrip_property():
         dec = comp.decompressor()
         for line in lines:
             assert dec.decompress(comp.compress(line)) == line
+
+
+def test_train_never_panics_on_adversarial_bytes():
+    """Mirror of /root/reference/fuzz/fuzz_targets/fuzz_train.rs:5-7:
+    training on arbitrary byte inputs must never raise, and the trained
+    table must round-trip the training data. Covers all-escape bytes,
+    >16 KiB single lines (beyond FSST_SAMPLEMAX), empty mixes, single
+    repeated bytes, and dense byte-space sweeps."""
+    rng = np.random.default_rng(0xF5A7)
+    adversarial = [
+        [b""],
+        [b"", b"", b""],
+        [bytes(range(256)) * 80],                      # every byte, 20 KiB
+        [b"\xff" * 40000],                             # one line > sample max
+        [bytes([rng.integers(0, 256)]) * 3 for _ in range(300)],
+        [rng.integers(0, 256, 17000).astype(np.uint8).tobytes()],  # random > 16 KiB
+        [b"\x00" * 5, b"", b"\x00\x01" * 9000, b"ab"],
+        [rng.integers(0, 2, 1000).astype(np.uint8).tobytes() for _ in range(64)],
+    ]
+    for lines in adversarial:
+        comp = fsst.train(lines)  # must never raise
+        dec = comp.decompressor()
+        for line in lines:
+            assert dec.decompress(comp.compress(line)) == line
