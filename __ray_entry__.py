@@ -46,10 +46,17 @@ def _tmp_out(tag: str) -> str:
 
 def entry() -> Any:
     from fsst_ray import decode_dataset, encode_dataset, read_tokens_dataset, verify_roundtrip
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
 
     ds = read_tokens_dataset(scale=0.1)
     out = _tmp_out("entry")
-    encode_dataset(ds, out, chunk_tokens=1 << 16, bucket_tokens=1 << 18)
+    encode_dataset(
+        ds,
+        out,
+        chunk_tokens=1 << 16,
+        bucket_tokens=1 << 18,
+        input_path=ensure_tokens_parquet(0.1),
+    )
     v = verify_roundtrip(ds, out)
     assert v["match"], f"round-trip verification failed: {v}"
     return decode_dataset(out)
@@ -190,11 +197,19 @@ def _q_tokens_roundtrip(sf_dir: str):
     the DuckDB oracle computes the same summary over the original corpus
     parquet, so any token value/order/row difference hash-mismatches."""
     from fsst_ray import decode_dataset, encode_dataset, read_tokens_dataset
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
     from fsst_ray.stages.decoder import tokens_summary
 
-    ds = read_tokens_dataset(scale=_scale_for(sf_dir))
+    scale = _scale_for(sf_dir)
+    ds = read_tokens_dataset(scale=scale)
     out = _tmp_out("tok_rt")
-    encode_dataset(ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
+    encode_dataset(
+        ds,
+        out,
+        chunk_tokens=1 << 17,
+        bucket_tokens=1 << 19,
+        input_path=ensure_tokens_parquet(scale),
+    )
     return tokens_summary(decode_dataset(out))
 
 
@@ -210,10 +225,17 @@ def _q_encode_metrics(sf_dir: str):
     from fsst_ray import encode_dataset, read_tokens_dataset
     from fsst_ray.state import manifest as mf
 
-    ds = read_tokens_dataset(scale=_scale_for(sf_dir))
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
+
+    scale = _scale_for(sf_dir)
+    ds = read_tokens_dataset(scale=scale)
     out = _tmp_out("metrics")
     result = encode_dataset(
-        ds, out, chunk_tokens=1 << 17, bucket_tokens=_METRICS_BUCKET_TOKENS
+        ds,
+        out,
+        chunk_tokens=1 << 17,
+        bucket_tokens=_METRICS_BUCKET_TOKENS,
+        input_path=ensure_tokens_parquet(scale),
     )
     per_source: dict[str, dict] = {
         s: {"n_parts": n, "n_docs": 0, "total_tokens": 0}

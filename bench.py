@@ -88,6 +88,7 @@ def run_bench() -> dict:
             mode="bucketed",
             chunk_tokens=1 << 19,
             bucket_tokens=1 << 22,  # ~4M tokens/bucket: >=2 tasks per core at sf0.1
+            input_path=path,  # pruned pass 1: mass/sample reads skip token bytes
         )
         queries["encode_bucketed"] = time.perf_counter() - t0
         metrics = result.metrics
@@ -98,6 +99,7 @@ def run_bench() -> dict:
             f"{out_root}/streaming",
             mode="streaming",
             chunk_tokens=1 << 19,
+            input_path=path,
         )
         queries["encode_streaming"] = time.perf_counter() - t0
 

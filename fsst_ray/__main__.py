@@ -69,6 +69,7 @@ def main(argv=None):
                 chunk_tokens=args.chunk_tokens,
                 bucket_tokens=args.bucket_tokens,
                 resume=args.resume,
+                input_path=args.input,
             )
             print(json.dumps(result.metrics, indent=2, default=str))
         elif args.command == "decode":

@@ -328,12 +328,18 @@ def encode_dataset(
     encode_concurrency: int | None = None,
     writer_flush_tokens: int | None = None,
     writer_budget_tokens: int | None = None,
+    input_path: str | None = None,
 ) -> EncodeResult:
     """Run the two-pass encode job over a tokens dataset.
 
     Input precondition: `doc_id` is unique per row (it is the retry /
     resume identity); duplicated doc_ids raise rather than silently
     dropping rows.
+
+    When `input_path` (the parquet directory behind `ds`) is given,
+    pass 1 uses the pruned two-read path: mass from a projected
+    (doc_id, n_tok, source) scan + samples from a doc_id-filtered read
+    — identical states, ~0.1% of the read bytes at scale.
     """
     import ray
 
@@ -354,7 +360,12 @@ def encode_dataset(
             f"resume config mismatch: {saved_config} != {config}"
         )
     else:
-        states, mass = train_states(ds)
+        if input_path is not None:
+            from ..stages.trainer import train_states_pruned
+
+            states, mass = train_states_pruned(input_path)
+        else:
+            states, mass = train_states(ds)
         bucket_plan = build_bucket_plan(mass, bucket_tokens)
         mf.save_plan(out_dir, states, bucket_plan, mass, config)
     timings["pass1_train"] = time.perf_counter() - t0
@@ -420,8 +431,11 @@ def encode_dataset(
         # finalize; delivery verified by per-bucket row counts
         import zlib
 
+        # cpus//2: writers encode concurrently with the (cheap) routing
+        # map tasks; a full-cpus pool only adds actor ramp-up and
+        # scheduler contention (measured at sf0.1 and scale 2400)
         n_writers = encode_concurrency or max(
-            2, int(ray.cluster_resources().get("CPU", 8))
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2
         )
         # num_cpus=0: writers only buffer table refs until finalize, so
         # they must not steal task slots from the routing map stage

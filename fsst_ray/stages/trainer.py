@@ -110,6 +110,138 @@ def train_source_group(group: pa.Table) -> pa.Table:
     )
 
 
+def mass_partials_batch(batch: pa.Table) -> pa.Table:
+    """Pruned pass-1 phase (a): per-(block, source) token mass, row
+    count, and the block's K lowest-priority non-empty (priority,
+    doc_id) sample candidates — computed from (doc_id, n_tok, source)
+    columns only, so the read never touches token bytes."""
+    sources = batch["source"].to_numpy(zero_copy_only=False)
+    n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    priorities = _doc_priorities(batch["doc_id"])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+    out = {"source": [], "mass": [], "rows": [], "priority": [], "doc_id": []}
+    order = np.argsort(sources, kind="stable")
+    ss = sources[order]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(ss[1:] != ss[:-1]) + 1, [len(ss)]]
+    )
+    for g in range(len(bounds) - 1):
+        idx = order[bounds[g] : bounds[g + 1]]
+        source = ss[bounds[g]]
+        out["source"].append(source)
+        out["mass"].append(int(n_tok[idx].sum()))
+        out["rows"].append(len(idx))
+        out["priority"].append(0)
+        out["doc_id"].append("")
+        nonempty = idx[n_tok[idx] > 0]
+        if len(nonempty) == 0:
+            continue
+        take = nonempty[np.argsort(priorities[nonempty], kind="stable")[:SAMPLE_K]]
+        for i in take:
+            out["source"].append(source)
+            out["mass"].append(0)
+            out["rows"].append(0)
+            out["priority"].append(int(priorities[i]) or 1)
+            out["doc_id"].append(str(doc_ids[i]))
+    return pa.table(
+        {
+            "source": pa.array(out["source"], type=pa.string()),
+            "mass": pa.array(out["mass"], type=pa.int64()),
+            "rows": pa.array(out["rows"], type=pa.int64()),
+            "priority": pa.array(out["priority"], type=pa.uint64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.string()),
+        }
+    )
+
+
+def _sample_chunk(row_bytes: bytes, priority: int) -> bytes:
+    """The reference's pseudo-random 512-byte chunk of one sample row
+    (same rule as sample_and_mass_batch)."""
+    n_chunks = 1 + (len(row_bytes) - 1) // FSST_SAMPLELINE
+    chunk_no = fsst_hash(priority) % n_chunks
+    lo = FSST_SAMPLELINE * chunk_no
+    return row_bytes[lo : lo + FSST_SAMPLELINE]
+
+
+def train_states_pruned(input_path: str) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Pruned two-read pass 1 over a parquet corpus path: (a) a
+    projected scan of (doc_id, n_tok, source) for exact mass + the
+    global K lowest-priority sample doc_ids per source, (b) a
+    doc_id-filtered read of only the sampled rows' tokens (parquet
+    row-group pruning bounds it to <= K row groups per source at
+    scale). Produces bit-identical states to the full-scan path —
+    same sample rule, same chunks — while reading ~0.1% of the bytes
+    at 100 TB."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    tiny = rd.read_parquet(
+        input_path,
+        columns=["doc_id", "n_tok", "source"],
+        file_extensions=["parquet"],
+    ).map_batches(mass_partials_batch, batch_format="pyarrow", batch_size=None)
+
+    by_source: dict[str, dict] = {}
+    for r in tiny.iter_rows():
+        info = by_source.setdefault(
+            r["source"], {"tokens": 0, "rows": 0, "cands": []}
+        )
+        if r["priority"] == 0:
+            info["tokens"] += int(r["mass"])
+            info["rows"] += int(r["rows"])
+        else:
+            info["cands"].append((int(r["priority"]), r["doc_id"]))
+    sample_ids: dict[str, int] = {}
+    for source, info in by_source.items():
+        info["cands"].sort()
+        info["cands"] = info["cands"][:SAMPLE_K]
+        for pr, doc in info["cands"]:
+            sample_ids[doc] = pr
+
+    if sample_ids:
+        wanted = pa.array(sorted(sample_ids), type=pa.string())
+        rows = rd.read_parquet(
+            input_path,
+            columns=["doc_id", "tokens", "source"],
+            filter=pc.field("doc_id").isin(wanted),
+            file_extensions=["parquet"],
+        ).take_all()
+    else:
+        rows = []
+    chunks_by_doc: dict[str, bytes] = {}
+    for r in rows:
+        raw = np.asarray(r["tokens"], dtype=np.int32).astype("<i4").tobytes()
+        chunks_by_doc[r["doc_id"]] = _sample_chunk(raw, sample_ids[r["doc_id"]])
+
+    @ray.remote(num_cpus=1)
+    def _train(samples: list[tuple[int, bytes]]) -> dict:
+        from fsst_ray.codecs.fsst_codec import train_with_ratio
+
+        lines, total = [], 0
+        for _, c in samples:
+            if total >= FSST_SAMPLEMAX:
+                break
+            lines.append(bytes(c))
+            total += len(c)
+        return train_with_ratio(lines)
+
+    sources = sorted(by_source)
+    futures = {
+        s: _train.remote(
+            [(pr, chunks_by_doc[doc]) for pr, doc in by_source[s]["cands"] if doc in chunks_by_doc]
+        )
+        for s in sources
+    }
+    states = {s: ray.get(f) for s, f in futures.items()}
+    mass = {
+        s: {"tokens": by_source[s]["tokens"], "rows": by_source[s]["rows"]}
+        for s in sources
+    }
+    return states, mass
+
+
 AUTO_GROUPBY_BLOCKS = 512  # driver reduce holds ~blocks x 32 KiB of samples
 
 

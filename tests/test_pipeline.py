@@ -159,3 +159,19 @@ def test_duplicate_doc_id_rejected(ray_session, tmp_path):
         encode_dataset(
             ds, str(tmp_path / "enc_dup"), chunk_tokens=1 << 14, bucket_tokens=1 << 15
         )
+
+
+def test_pruned_pass1_matches_full_scan(tokens_ds, ray_session):
+    """train_states_pruned (projected mass scan + doc_id-filtered sample
+    read) must produce bit-identical states and mass to the full scan."""
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
+    from fsst_ray.stages.trainer import train_states, train_states_pruned
+
+    path = ensure_tokens_parquet(SCALE)
+    s_full, m_full = train_states(tokens_ds, reduce="driver")
+    s_pruned, m_pruned = train_states_pruned(path)
+    assert m_full == m_pruned
+    assert set(s_full) == set(s_pruned)
+    for source in s_full:
+        assert s_full[source]["fsst"] == s_pruned[source]["fsst"], source
+        assert s_full[source]["ratio"] == s_pruned[source]["ratio"], source
