@@ -76,6 +76,10 @@ def run_bench() -> dict:
     ds = rd.read_parquet(path, file_extensions=["parquet"])
     total_tokens = int(ds.sum("n_tok"))
 
+    # headline stages always run; the streaming stages are skipped when
+    # FSST_BENCH_STAGES=headline (the --scaling runs: fewer /dev/shm +
+    # object-store leftovers polluting the timed stages)
+    stages = os.environ.get("FSST_BENCH_STAGES", "all")
     queries: dict[str, float] = {}
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out_root = tempfile.mkdtemp(prefix="bench_", dir=scratch)
@@ -93,30 +97,32 @@ def run_bench() -> dict:
         queries["encode_bucketed"] = time.perf_counter() - t0
         metrics = result.metrics
 
-        t0 = time.perf_counter()
-        encode_dataset(
-            ds,
-            f"{out_root}/streaming",
-            mode="streaming",
-            chunk_tokens=1 << 19,
-            input_path=path,
-        )
-        queries["encode_streaming"] = time.perf_counter() - t0
+        if stages == "all":
+            t0 = time.perf_counter()
+            encode_dataset(
+                ds,
+                f"{out_root}/streaming",
+                mode="streaming",
+                chunk_tokens=1 << 19,
+                input_path=path,
+            )
+            queries["encode_streaming"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         check = dataset_checksum(decode_dataset(f"{out_root}/bucketed"))
         queries["decode_verify"] = time.perf_counter() - t0
         assert check["tokens"] == total_tokens, "decode token count mismatch"
 
-        t0 = time.perf_counter()
-        v = verify_roundtrip(ds, f"{out_root}/streaming")
-        assert v["match"], v
-        queries["roundtrip_verify_streaming"] = time.perf_counter() - t0
+        if stages == "all":
+            t0 = time.perf_counter()
+            v = verify_roundtrip(ds, f"{out_root}/streaming")
+            assert v["match"], v
+            queries["roundtrip_verify_streaming"] = time.perf_counter() - t0
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
     headline = queries["encode_bucketed"] + queries["decode_verify"]
-    return {
+    out = {
         "metric": "encode+decode wall time (synthetic tokens corpus)",
         "value": round(headline, 3),
         "unit": "sec",
@@ -125,12 +131,16 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "tokens": total_tokens,
         "encode_tokens_per_sec": round(total_tokens / queries["encode_bucketed"]),
-        "streaming_tokens_per_sec": round(total_tokens / queries["encode_streaming"]),
         "decode_tokens_per_sec": round(total_tokens / queries["decode_verify"]),
         "bytes_per_token": round(metrics.get("bytes_per_token", 0.0), 4),
         "compression_ratio": round(metrics.get("compression_ratio", 0.0), 3),
         "encode_timings": metrics.get("timings", {}),
     }
+    if "encode_streaming" in queries:
+        out["streaming_tokens_per_sec"] = round(
+            total_tokens / queries["encode_streaming"]
+        )
+    return out
 
 
 def run_scaling() -> dict:
@@ -141,8 +151,11 @@ def run_scaling() -> dict:
         # scaling runs use a much larger corpus (~4.2B tokens) so fixed
         # per-stage latencies do not dominate the 8-cpu leg (same input
         # at both levels; this is the configuration recorded in
-        # BASELINE.md — expect ~15-20 min total)
+        # BASELINE.md — expect ~15-20 min total). Only the headline
+        # stages run: the streaming stages would leave ~8 GB of extra
+        # /dev/shm output polluting the timed stages.
         env.setdefault("FSST_BENCH_SCALE", "2400")
+        env.setdefault("FSST_BENCH_STAGES", "headline")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout
@@ -160,10 +173,16 @@ def run_scaling() -> dict:
     thr_lo = r_lo["tokens"] / r_lo["value"]
     thr_hi = r_hi["tokens"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    stage_eff = {
+        k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
+        for k in r_hi["queries"]
+        if k in r_lo["queries"]
+    }
     return {
         "metric": "scaling efficiency (headline encode+decode, 8 vs 32 cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "stage_efficiency": stage_eff,
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
         "tokens_per_sec_8": round(thr_lo),

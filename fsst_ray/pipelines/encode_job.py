@@ -34,6 +34,20 @@ from ..stages.encoder import (
 from ..stages.trainer import train_states
 from ..state import manifest as mf
 
+# below this on-disk size, a single full-scan pass 1 is cheaper than the
+# pruned two-read path (samples hit ~every row group of a small corpus)
+PRUNED_PASS1_MIN_BYTES = 4 << 30
+
+
+def _corpus_bytes(input_path: str) -> int:
+    import pathlib
+
+    p = pathlib.Path(input_path)
+    if p.is_file():
+        return p.stat().st_size
+    return sum(f.stat().st_size for f in p.glob("**/*.parquet"))
+
+
 MANIFEST_ROW_SCHEMA = pa.schema(
     [
         ("part_key", pa.string()),
@@ -206,29 +220,32 @@ class _BucketWriter:
         if send_id in self.seen_sends:
             return 0  # retried map task resent this sub-batch
         self.seen_sends.add(send_id)
+        # contract: route() sends sub-tables already sorted by part_key,
+        # so parts are contiguous runs — zero-copy slices, no gather in
+        # the writer (the writers are the exchange's serial resource;
+        # sorting happens in the parallel routing tasks)
         keys = table["part_key"].to_numpy(zero_copy_only=False)
         n_tok = table["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(keys, kind="stable")
-        skeys = keys[order]
         bounds = np.concatenate(
-            [[0], np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, [len(skeys)]]
+            [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)]]
         )
         for g in range(len(bounds) - 1):
-            idx = order[bounds[g] : bounds[g + 1]]
-            key = skeys[bounds[g]]
+            lo, hi = int(bounds[g]), int(bounds[g + 1])
+            key = keys[lo]
             st = self._part(key)
-            st["bufs"].append(table.take(pa.array(idx)))
-            toks = int(n_tok[idx].sum())
+            st["bufs"].append(table.slice(lo, hi - lo))
+            toks = int(n_tok[lo:hi].sum())
             st["buf_tokens"] += toks
-            st["rows"] += len(idx)
+            st["rows"] += hi - lo
             self.total_buffered += toks
             if st["buf_tokens"] >= self.flush_tokens:
                 self._flush(key, st)
-        while self.total_buffered > self.budget_tokens:
-            key = max(self.parts, key=lambda k: self.parts[k]["buf_tokens"])
-            if self.parts[key]["buf_tokens"] == 0:
-                break
-            self._flush(key, self.parts[key])
+        if self.total_buffered > self.budget_tokens:
+            # full sweep: buffered slices are zero-copy views into whole
+            # add-tables, so only flushing everything releases them
+            for key, st in self.parts.items():
+                if st["buf_tokens"]:
+                    self._flush(key, st)
         return table.num_rows
 
     def _flush(self, key: str, st: dict) -> None:
@@ -238,9 +255,19 @@ class _BucketWriter:
         st["bufs"] = []
         self.total_buffered -= st["buf_tokens"]
         st["buf_tokens"] = 0
-        rows = _sort_validate_unique(rows, key)
+        doc_ids = rows["doc_id"].to_numpy(zero_copy_only=False)
+        sd = np.sort(doc_ids)
+        dup = sd[1:] == sd[:-1]
+        if dup.any():
+            raise ValueError(
+                f"duplicate doc_id rows in bucket {key}: "
+                f"{np.unique(sd[1:][dup])[:5].tolist()} "
+                "(input precondition: doc_id must be unique per row)"
+            )
+        # doc-sorted chunking via sort_keys: no physical table sort —
+        # the chunk gather inside encode copies the values once anyway
         chunks = encode_rows_to_chunks(
-            rows, self.states, key, self.chunk_tokens, self.codecs
+            rows, self.states, key, self.chunk_tokens, self.codecs, sort_keys=doc_ids
         )
         chunks = chunks.set_column(
             chunks.schema.get_field_index("chunk_seq"),
@@ -360,11 +387,14 @@ def encode_dataset(
             f"resume config mismatch: {saved_config} != {config}"
         )
     else:
-        if input_path is not None:
+        if input_path is not None and _corpus_bytes(input_path) >= PRUNED_PASS1_MIN_BYTES:
+            # big corpus: mass/sample reads skip the token bytes
             from ..stages.trainer import train_states_pruned
 
             states, mass = train_states_pruned(input_path)
         else:
+            # small corpus: one full scan beats two reads (the sampled
+            # docs would touch ~every row group anyway)
             states, mass = train_states(ds)
         bucket_plan = build_bucket_plan(mass, bucket_tokens)
         mf.save_plan(out_dir, states, bucket_plan, mass, config)
@@ -467,12 +497,22 @@ def encode_dataset(
             if isinstance(doc_col, pa.ChunkedArray):
                 doc_col = doc_col.combine_chunks()
             doc_hash = pl.from_arrow(doc_col).hash(seed=11).to_numpy().astype(np.uint64)
+            # one gather sorted by (writer, part_key): per-writer
+            # sub-tables are contiguous slices whose parts are adjacent
+            # runs, so the (serial) writer never gathers
+            order = np.lexsort((keys, wid))
+            sorted_batch = batch.take(pa.array(order))
+            swid = wid[order]
+            shash = doc_hash[order]
+            wb = np.concatenate(
+                [[0], np.flatnonzero(swid[1:] != swid[:-1]) + 1, [len(swid)]]
+            )
             refs = []
-            for w in np.unique(wid):
-                m = wid == w
-                sub = batch.filter(pa.array(m))
-                send_id = (int(doc_hash[m].sum(dtype=np.uint64)), int(m.sum()))
-                refs.append(writer_pool[int(w)].add.remote(sub, send_id))
+            for g in range(len(wb) - 1):
+                lo, hi = int(wb[g]), int(wb[g + 1])
+                sub = sorted_batch.slice(lo, hi - lo)
+                send_id = (int(shash[lo:hi].sum(dtype=np.uint64)), hi - lo)
+                refs.append(writer_pool[int(swid[lo])].add.remote(sub, send_id))
             # ack before the task finishes: guarantees every send is
             # processed before finalize's delivery check can run
             ray.get(refs)

@@ -61,12 +61,16 @@ def encode_rows_to_chunks(
     chunk_tokens: int,
     codecs: tuple[str, ...],
     group_col: str | None = None,
+    sort_keys: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode a run of rows into encoded-chunk rows.
 
     Rows are grouped by `group_col` when given (map-side bucketing:
     each part_key run becomes its own chunks), else by source; an
     explicit `part_key` labels all output (already-grouped input).
+    `sort_keys` orders rows within each group (e.g. doc_id for
+    deterministic chunking) without a physical table sort — the chunk
+    gather below copies the values once either way.
     """
     values, offsets = tokens_views(batch)
     sources = batch["source"].to_numpy(zero_copy_only=False)
@@ -77,7 +81,10 @@ def encode_rows_to_chunks(
     )
 
     out = {name: [] for name in ENCODED_CHUNK_SCHEMA.names}
-    order = np.argsort(group_keys, kind="stable")
+    if sort_keys is not None:
+        order = np.lexsort((sort_keys, group_keys))
+    else:
+        order = np.argsort(group_keys, kind="stable")
     sorted_keys = group_keys[order]
     boundaries = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
     group_starts = np.concatenate([[0], boundaries, [len(sources)]])
@@ -101,8 +108,14 @@ def encode_rows_to_chunks(
             end = int(np.searchsorted(chunk_of_row, chunk_of_row[start], side="right"))
             rows = idx[start:end]
             # gather values of these rows — zero-copy slice when the run
-            # is contiguous (single-source batches / bucketed groups)
-            if len(rows) and rows[-1] - rows[0] == len(rows) - 1:
+            # is contiguous ascending (first/last span alone is not
+            # enough: sort_keys makes rows a permutation, e.g. [0,2,1,3]
+            # spans len-1 without being ascending)
+            if (
+                len(rows)
+                and rows[-1] - rows[0] == len(rows) - 1
+                and (len(rows) == 1 or (np.diff(rows) == 1).all())
+            ):
                 chunk_values = values[offsets[rows[0]] : offsets[rows[-1] + 1]]
             else:
                 parts = [values[offsets[i] : offsets[i + 1]] for i in rows]

@@ -175,3 +175,41 @@ def test_pruned_pass1_matches_full_scan(tokens_ds, ray_session):
     for source in s_full:
         assert s_full[source]["fsst"] == s_pruned[source]["fsst"], source
         assert s_full[source]["ratio"] == s_pruned[source]["ratio"], source
+
+
+def test_encode_sort_keys_permutation_regression():
+    """sort_keys makes the encoder's gather order a permutation; a run
+    like [0, 2, 1, 3] spans len-1 without being ascending, which once
+    spuriously took the contiguous zero-copy fast path and mis-paired
+    doc_ids with another row's token values."""
+    from fsst_ray.stages.decoder import decode_chunks_batch
+    from fsst_ray.codecs.select import DEFAULT_CODECS
+    from fsst_ray.stages.encoder import encode_rows_to_chunks
+
+    rows = {
+        "d0": [1, 2, 3],
+        "d2": [4, 5],
+        "d1": [6, 7, 8, 9],
+        "d3": [10],
+    }
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(rows)),
+            "tokens": pa.array(list(rows.values()), type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(v) for v in rows.values()], type=pa.int32()),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    # one chunk holds all rows; lexsort order is [0, 2, 1, 3]
+    chunks = encode_rows_to_chunks(
+        batch, {}, "s:00000", 1 << 20, DEFAULT_CODECS, sort_keys=doc_ids
+    )
+    decoded = decode_chunks_batch(chunks)
+    got = {
+        d: v
+        for d, v in zip(
+            decoded["doc_id"].to_pylist(), decoded["tokens"].to_pylist()
+        )
+    }
+    assert got == rows
