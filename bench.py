@@ -73,7 +73,9 @@ def run_bench() -> dict:
 
     # corpus generation is cached; warm the page cache with an untimed scan
     path = ensure_tokens_parquet(scale)
-    ds = rd.read_parquet(path, file_extensions=["parquet"])
+    from fsst_ray.sources.tokens import read_parquet_bundled
+
+    ds = read_parquet_bundled(path)
     total_tokens = int(ds.sum("n_tok"))
 
     # headline stages always run; the streaming stages are skipped when

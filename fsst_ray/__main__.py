@@ -61,7 +61,9 @@ def main(argv=None):
         if args.command == "encode":
             from fsst_ray import encode_dataset
 
-            ds = rd.read_parquet(args.input, file_extensions=["parquet"])
+            from fsst_ray.sources.tokens import read_parquet_bundled
+
+            ds = read_parquet_bundled(args.input)
             result = encode_dataset(
                 ds,
                 args.output,
@@ -80,7 +82,9 @@ def main(argv=None):
         elif args.command == "verify":
             from fsst_ray import verify_roundtrip
 
-            ds = rd.read_parquet(args.input, file_extensions=["parquet"])
+            from fsst_ray.sources.tokens import read_parquet_bundled
+
+            ds = read_parquet_bundled(args.input)
             v = verify_roundtrip(ds, args.encoded)
             print(json.dumps(v))
             return 0 if v["match"] else 1

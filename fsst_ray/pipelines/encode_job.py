@@ -20,6 +20,7 @@ output files don't matter.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -197,6 +198,10 @@ class _BucketWriter:
         self.parts: dict[str, dict] = {}
         self.seen_sends: set = set()
         self.total_buffered = 0
+        # telemetry (seconds): exchange attribution for bench tuning
+        self.t_add = 0.0
+        self.t_encode = 0.0
+        self.t_write = 0.0
 
     def _part(self, key: str) -> dict:
         st = self.parts.get(key)
@@ -220,6 +225,7 @@ class _BucketWriter:
         if send_id in self.seen_sends:
             return 0  # retried map task resent this sub-batch
         self.seen_sends.add(send_id)
+        _t0 = time.perf_counter()
         # contract: route() sends sub-tables already sorted by part_key,
         # so parts are contiguous runs — zero-copy slices, no gather in
         # the writer (the writers are the exchange's serial resource;
@@ -246,6 +252,7 @@ class _BucketWriter:
             for key, st in self.parts.items():
                 if st["buf_tokens"]:
                     self._flush(key, st)
+        self.t_add += time.perf_counter() - _t0
         return table.num_rows
 
     def _flush(self, key: str, st: dict) -> None:
@@ -266,9 +273,11 @@ class _BucketWriter:
             )
         # doc-sorted chunking via sort_keys: no physical table sort —
         # the chunk gather inside encode copies the values once anyway
+        _t0 = time.perf_counter()
         chunks = encode_rows_to_chunks(
             rows, self.states, key, self.chunk_tokens, self.codecs, sort_keys=doc_ids
         )
+        self.t_encode += time.perf_counter() - _t0
         chunks = chunks.set_column(
             chunks.schema.get_field_index("chunk_seq"),
             "chunk_seq",
@@ -289,7 +298,9 @@ class _BucketWriter:
             st["writer"] = pq.ParquetWriter(
                 st["tmp"], ENCODED_CHUNK_SCHEMA, compression="none"
             )
+        _t0 = time.perf_counter()
         st["writer"].write_table(chunks)
+        self.t_write += time.perf_counter() - _t0
         st["chunks"] += chunks.num_rows
         st["tokens"] += int(pa.compute.sum(chunks["n_values"]).as_py() or 0)
         st["bytes_in"] += int(pa.compute.sum(chunks["bytes_in"]).as_py() or 0)
@@ -327,6 +338,11 @@ class _BucketWriter:
             entries.append(entry)
         self.parts = {}
         return entries
+
+    def timing(self) -> dict:
+        """add is inclusive of in-add flushes; encode/write are the
+        flush internals (from add or finalize)."""
+        return {"add": self.t_add, "encode": self.t_encode, "write": self.t_write}
 
 
 def _make_streaming_encoder(states_ref, chunk_tokens, codecs):
@@ -531,6 +547,11 @@ def encode_dataset(
             expected[r["part_key"]] = expected.get(r["part_key"], 0) + int(r["n_rows"])
         for entries_list in ray.get([w.finalize.remote(expected) for w in writer_pool]):
             del entries_list  # entries are persisted in the manifest dir
+        wt = ray.get([w.timing.remote() for w in writer_pool])
+        timings["writer_add_max"] = round(max(t["add"] for t in wt), 3)
+        timings["writer_encode_max"] = round(max(t["encode"] for t in wt), 3)
+        timings["writer_write_max"] = round(max(t["write"] for t in wt), 3)
+        timings["writer_encode_sum"] = round(sum(t["encode"] for t in wt), 3)
         for w in writer_pool:
             ray.kill(w)
 
