@@ -1,0 +1,103 @@
+//! Same-VM per-core throughput of the reference fsst crate on the exact
+//! cases tools/micro_bench.py times for our C kernel (cf=1/2/4/8,
+//! two-byte, escape-heavy, plus a trained-tokens realistic case fed on
+//! stdin). Prints one JSON line {case: MB_per_sec}.
+use fsst::{Compressor, CompressorBuilder, Symbol};
+use std::io::Read;
+use std::time::Instant;
+
+fn one_buf(seed: &[u8], mb: usize) -> Vec<u8> {
+    seed.iter().copied().cycle().take(mb << 20).collect()
+}
+
+fn time_compress(c: &Compressor, data: &[u8], reps: usize) -> f64 {
+    let mut out: Vec<u8> = Vec::with_capacity(2 * data.len() + 16);
+    let mut best = f64::INFINITY;
+    for _ in 0..reps {
+        let t0 = Instant::now();
+        unsafe { c.compress_into(data, &mut out) };
+        let dt = t0.elapsed().as_secs_f64();
+        if dt < best {
+            best = dt;
+        }
+    }
+    (data.len() as f64 / best) / 1.0e6
+}
+
+fn sym(bytes: &[u8]) -> Symbol {
+    Symbol::from_slice(&{
+        let mut b = [0u8; 8];
+        b[..bytes.len()].copy_from_slice(bytes);
+        b
+    })
+}
+
+fn main() {
+    let mb: usize = std::env::args().nth(1).and_then(|s| s.parse().ok()).unwrap_or(48);
+    let mut results: Vec<(String, f64)> = Vec::new();
+
+    // cf=1: 1-byte symbol via hash table
+    let mut b = CompressorBuilder::new();
+    assert!(b.insert(Symbol::from_u8(b'a'), 1));
+    let c = b.build();
+    results.push(("cf1_compress".into(), time_compress(&c, &one_buf(b"aaaaaaaa", mb), 3)));
+
+    // cf=2: 1-byte + 3-byte symbols, 2 codes per 4 bytes
+    let mut b = CompressorBuilder::new();
+    assert!(b.insert(sym(b"a"), 1));
+    assert!(b.insert(sym(b"bab"), 3));
+    let c = b.build();
+    results.push(("cf2_compress".into(), time_compress(&c, &one_buf(b"ab", mb), 3)));
+
+    // cf=4: one 4-byte symbol
+    let mut b = CompressorBuilder::new();
+    assert!(b.insert(sym(b"abcd"), 4));
+    let c = b.build();
+    results.push(("cf4_compress".into(), time_compress(&c, &one_buf(b"abcd", mb), 3)));
+
+    // cf=8: one 8-byte symbol
+    let mut b = CompressorBuilder::new();
+    assert!(b.insert(sym(b"abcdefgh"), 8));
+    let c = b.build();
+    results.push(("cf8_compress".into(), time_compress(&c, &one_buf(b"abcdefgh", mb), 3)));
+
+    // two-byte fast path
+    let mut b = CompressorBuilder::new();
+    assert!(b.insert(sym(b"ab"), 2));
+    let c = b.build();
+    results.push(("twobyte_compress".into(), time_compress(&c, &one_buf(b"ab", mb), 3)));
+
+    // escape-heavy: random bytes against an unrelated table
+    let mut b = CompressorBuilder::new();
+    assert!(b.insert(sym(b"zyxwvuts"), 8));
+    let c = b.build();
+    // xorshift64 PRNG random bytes (escape rate ~1: table never hits)
+    let mut rnd: u64 = 0x9E3779B97F4A7C15;
+    let mut esc = vec![0u8; mb << 20];
+    for x in esc.iter_mut() {
+        rnd ^= rnd << 13; rnd ^= rnd >> 7; rnd ^= rnd << 17;
+        *x = rnd as u8;
+    }
+    results.push(("escape_compress".into(), time_compress(&c, &esc, 3)));
+
+    // realistic: token bytes on stdin (train on first 16 KiB sample set)
+    let mut stdin_data = Vec::new();
+    if std::io::stdin().read_to_end(&mut stdin_data).is_ok() && !stdin_data.is_empty() {
+        // same sample lines as tools/micro_bench.py: 512-byte slices of
+        // the first 32 KiB
+        let mut samples: Vec<&[u8]> = Vec::new();
+        let mut i = 0usize;
+        while i < (1 << 15) && i + 512 <= stdin_data.len() {
+            samples.push(&stdin_data[i..i + 512]);
+            i += 512;
+        }
+        let c = Compressor::train(&samples);
+        results.push(("tokens_compress_1row".into(), time_compress(&c, &stdin_data, 3)));
+    }
+
+    let body: Vec<String> = results
+        .iter()
+        .map(|(k, v)| format!("\"{}\": {:.1}", k, v))
+        .collect();
+    println!("{{{}}}", body.join(", "));
+}
