@@ -122,6 +122,12 @@ def _q_events_window(sf_dir: str):
     return tumbling_counts(_read(sf_dir, "events"))
 
 
+def _q_hopping_window(sf_dir: str):
+    from fsst_ray.functions.windows import hopping_counts
+
+    return hopping_counts(_read(sf_dir, "events"), width_hours=2, hop_hours=1)
+
+
 def _q_session_windows(sf_dir: str):
     from fsst_ray.functions.windows import session_windows
 
@@ -138,6 +144,14 @@ def _q_ann_lsh(sf_dir: str):
     from fsst_ray.functions.similarity import lsh_topk
 
     return lsh_topk(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+def _q_ann_ivf(sf_dir: str):
+    from fsst_ray.functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5, nprobe=8
+    )
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -262,9 +276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
+        "hopping_window": _q_hopping_window,
         "session_windows": _q_session_windows,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
@@ -343,6 +359,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, "
             "CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, "
             "COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "hopping_window": (
+            # each event covered by width/hop = 2 hop-aligned windows
+            "SELECT event_type, "
+            "CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) "
+            "- 3600 * k AS window_start, COUNT(*) AS n "
+            "FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) "
+            "GROUP BY 1, 2"
         ),
         "session_windows": (
             "WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "

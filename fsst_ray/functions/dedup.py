@@ -28,6 +28,22 @@ _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 # ---------------- shared vectorized primitives ----------------
 
 
+def _pair_blocks(n: int, max_pairs: int = 1 << 22):
+    """Yield (ia, ib) upper-triangle index blocks of at most ~max_pairs
+    candidate entries each. A hot LSH bucket of n docs has n(n-1)/2
+    candidate pairs; materializing them at once is O(n^2) memory
+    (10k docs -> 50M pairs). Blocked emission bounds verification
+    memory to O(max_pairs) while still vectorizing each block."""
+    if n < 2:
+        return
+    rows_per = max(1, max_pairs // n)
+    for i0 in range(0, n - 1, rows_per):
+        ii = np.arange(i0, min(i0 + rows_per, n - 1))
+        mask = np.arange(n)[None, :] > ii[:, None]
+        r, c = np.nonzero(mask)
+        yield ii[r], c
+
+
 def _pl_hash(arr: pa.Array, seed: int) -> np.ndarray:
     """Vectorized u64 hash of a string array (polars xxhash)."""
     import polars as pl
@@ -285,21 +301,27 @@ def _bucket_verified_pairs(threshold: float):
             [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_pylist()]
         )[order]
         n = len(ids)
-        ia, ib = np.triu_indices(n, k=1)
-        agree = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = agree >= threshold
-        if band > 0 and keep.any():
-            # drop pairs that an earlier band already emitted
-            bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
-            earlier = (
-                (bands[ia[keep], :band] == bands[ib[keep], :band]).all(axis=2).any(axis=1)
-            )
-            kidx = np.flatnonzero(keep)
-            keep[kidx[earlier]] = False
+        bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
+        out_a, out_b = [], []
+        for ia, ib in _pair_blocks(n):
+            agree = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = agree >= threshold
+            if band > 0 and keep.any():
+                # drop pairs that an earlier band already emitted
+                earlier = (
+                    (bands[ia[keep], :band] == bands[ib[keep], :band])
+                    .all(axis=2)
+                    .any(axis=1)
+                )
+                kidx = np.flatnonzero(keep)
+                keep[kidx[earlier]] = False
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia[keep]], type=pa.int64()),
-                "doc_b": pa.array(ids[ib[keep]], type=pa.int64()),
+                "doc_a": pa.array(cat(out_a), type=pa.int64()),
+                "doc_b": pa.array(cat(out_b), type=pa.int64()),
             }
         )
 
@@ -456,22 +478,27 @@ def _simhash_bucket_pairs(max_hamming: int):
         order = np.argsort(ids)
         ids = ids[order]
         sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = _hamming_matrix(sh[ia], sh[ib])
-        keep = ham <= max_hamming
-        if band > 0 and keep.any():
-            # emitted by the lowest matching band only
-            earlier = np.zeros(int(keep.sum()), dtype=bool)
-            for b in range(band):
-                mask = np.uint64(0xFFFF) << np.uint64(b * 16)
-                earlier |= (sh[ia[keep]] & mask) == (sh[ib[keep]] & mask)
-            kidx = np.flatnonzero(keep)
-            keep[kidx[earlier]] = False
+        out_a, out_b, out_h = [], [], []
+        for ia, ib in _pair_blocks(len(ids)):
+            ham = _hamming_matrix(sh[ia], sh[ib])
+            keep = ham <= max_hamming
+            if band > 0 and keep.any():
+                # emitted by the lowest matching band only
+                earlier = np.zeros(int(keep.sum()), dtype=bool)
+                for b in range(band):
+                    mask = np.uint64(0xFFFF) << np.uint64(b * 16)
+                    earlier |= (sh[ia[keep]] & mask) == (sh[ib[keep]] & mask)
+                kidx = np.flatnonzero(keep)
+                keep[kidx[earlier]] = False
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+            out_h.append(ham[keep])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia[keep]], type=pa.int64()),
-                "doc_b": pa.array(ids[ib[keep]], type=pa.int64()),
-                "hamming": pa.array(ham[keep], type=pa.int64()),
+                "doc_a": pa.array(cat(out_a), type=pa.int64()),
+                "doc_b": pa.array(cat(out_b), type=pa.int64()),
+                "hamming": pa.array(cat(out_h), type=pa.int64()),
             }
         )
 

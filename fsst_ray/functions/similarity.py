@@ -100,20 +100,7 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 5) -> pa.Table:
         fn_constructor_args=(queries_ref, k),
         concurrency=(1, 8),
     ).to_pandas()
-
-    rows = []
-    for qid, group in candidates.groupby("query_id"):
-        group = group.sort_values(["sim", "neighbor_id"], ascending=[False, True])
-        for rank, (_, r) in enumerate(group.head(k).iterrows(), start=1):
-            rows.append(
-                {"query_id": int(qid), "rank": rank, "neighbor_id": int(r.neighbor_id)}
-            )
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [("query_id", pa.int64()), ("rank", pa.int64()), ("neighbor_id", pa.int64())]
-        ),
-    )
+    return _merge_topk(candidates, k)
 
 
 def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 8) -> pa.Table:
@@ -177,9 +164,17 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 8) -> pa.Tabl
         )
 
     candidates = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _merge_topk(candidates, k)
+
+
+def _merge_topk(candidates: pd.DataFrame, k: int) -> pa.Table:
+    """Driver-side merge of per-batch candidate rows into global top-k
+    (query_id, rank, neighbor_id); ties broken by neighbor_id."""
     rows = []
     for qid, group in candidates.groupby("query_id"):
-        group = group.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+        group = group.drop_duplicates("neighbor_id").sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        )
         for rank, (_, r) in enumerate(group.head(k).iterrows(), start=1):
             rows.append(
                 {"query_id": int(qid), "rank": rank, "neighbor_id": int(r.neighbor_id)}
@@ -190,6 +185,108 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 8) -> pa.Tabl
             [("query_id", pa.int64()), ("rank", pa.int64()), ("neighbor_id", pa.int64())]
         ),
     )
+
+
+def _kmeans(mat: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 901) -> np.ndarray:
+    """Small spherical k-means on a normalized sample (driver-side):
+    cosine assignment, mean + renormalize update, empty clusters
+    reseeded from the worst-fit points. Deterministic."""
+    rng = np.random.default_rng(seed)
+    n = mat.shape[0]
+    n_centroids = min(n_centroids, n)
+    cent = mat[rng.choice(n, size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+            else:
+                cent[c] = mat[int(np.argmin(np.max(sims, axis=1)))]
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_every: int = 7,
+    sample_max: int = 4096,
+) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index: the scale
+    path beside lsh_topk.
+
+    1. A deterministic sample (every `sample_every`-th vec_id, capped)
+       trains spherical k-means centroids on the driver.
+    2. Centroids + queries broadcast once (ray.put); each query probes
+       its `nprobe` nearest centroids.
+    3. One map pass assigns each batch vector to its nearest centroid
+       (matmul) and scores it against only the queries probing that
+       centroid — no shuffle, corpus never collected.
+
+    At 100 TB the same centroids would instead key a bucketed parquet
+    layout (one directory per centroid) written once and scanned
+    per-probe; the map-side assignment and scoring here are exactly the
+    build and search kernels of that layout. Output schema matches
+    brute_force_topk; recall is approximate (grows with nprobe).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    qset = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_tbl = pa.Table.from_pylist(q_rows)
+    q_mat, q_ids = _embedding_matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % sample_every == 0))
+
+    sample_rows = (
+        ds.map_batches(pick_sample, batch_format="pyarrow").limit(sample_max).take_all()
+    )
+    s_mat, _ = _embedding_matrix(pa.Table.from_pylist(sample_rows))
+    centroids = _kmeans(_normalize(s_mat), n_centroids)
+
+    # per-query probe list: its nprobe nearest centroids
+    q_cent = np.argsort(-(q_mat @ centroids.T), axis=1)[:, : min(nprobe, len(centroids))]
+    broadcast = ray.put((q_ids, q_mat, centroids, q_cent))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, cent, probes = ray.get(broadcast)
+        mat, ids = _embedding_matrix(batch)
+        out_q, out_n, out_s = [], [], []
+        if mat.size:
+            mat = _normalize(mat)
+            assign = np.argmax(mat @ cent.T, axis=1)
+            for row, (quid, qvec) in enumerate(zip(qi, qm)):
+                cand = np.flatnonzero(np.isin(assign, probes[row]) & (ids != quid))
+                if len(cand) == 0:
+                    continue
+                sims = mat[cand] @ qvec
+                keep = np.argsort(-sims)[: k + 1]
+                out_q.extend([int(quid)] * len(keep))
+                out_n.extend(int(ids[cand[j]]) for j in keep)
+                out_s.extend(float(sims[j]) for j in keep)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _merge_topk(candidates, k)
 
 
 def plant_twins(ds, every: int = 50, id_offset: int = 10_000_000, scale: float = 1.001):

@@ -60,6 +60,55 @@ def tumbling_counts(ds, hours: int = 1):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_counts(ds, width_hours: int = 2, hop_hours: int = 1):
+    """(event_type, window_start epoch s, n) for overlapping hopping
+    windows: each event lands in width/hop windows, emitted map-side
+    (vectorized repeat — the flat_map shape without per-row Python),
+    then a grouped count. Returns a Dataset.
+
+    width must be a multiple of hop; windows are hop-aligned.
+    """
+    assert width_hours % hop_hours == 0, "width must be a multiple of hop"
+    n_win = width_hours // hop_hours
+    hop_s = hop_hours * 3600
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        epoch_s = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        # last hop-aligned start covering the event, then n_win hops back
+        last = (epoch_s // hop_s) * hop_s
+        starts = last[:, None] - hop_s * np.arange(n_win, dtype=np.int64)[None, :]
+        idx = np.repeat(np.arange(batch.num_rows), n_win)
+        return pa.table(
+            {
+                "event_type": pc.take(batch["event_type"], pa.array(idx)),
+                "window_start": pa.array(starts.reshape(-1), type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        def col(name):
+            c = batch[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.cast(col("window_start"), pa.int64()),
+                "n": pc.cast(col("count()"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def session_windows(ds, gap_minutes: int = 30):
     """Per-user session windows (gap-based): (user_id, session_start
     epoch s, n_events). Sessions computed per user group, ts-sorted."""

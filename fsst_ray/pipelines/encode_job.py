@@ -169,9 +169,14 @@ class _BucketWriter:
     Memory is bounded, not proportional to input: each bucket's rows
     are buffered only until `flush_tokens`, then encoded and appended
     to the bucket's parquet file as a row group (tmp file, renamed at
-    finalize so resume sees only complete buckets). A global
-    `budget_tokens` cap flushes the largest buffer early, so writer
-    heap stays O(budget) however many buckets a writer owns. Retried
+    finalize so resume sees only complete buckets). Buffered rows are
+    zero-copy slices that pin their whole parent add-table, so a
+    global `budget_tokens` cap tracks PINNED tokens; when it trips,
+    parts with at least half a flush of rows are flushed and the rest
+    are compacted (slices copied into one owned table, releasing the
+    parents) — never flushed small, which would fragment chunks and
+    multiply per-flush overhead (measured 2x encode CPU). Writer heap
+    is then O(budget + n_parts x flush_tokens/2). Retried
     map tasks resend their sub-batches; `seen_sends` makes delivery
     idempotent (content-addressed send ids), replacing the old silent
     doc_id dedup. Chunk composition is deterministic (doc_id-sorted)
@@ -197,7 +202,7 @@ class _BucketWriter:
         self.budget_tokens = budget_tokens or max(16 * self.flush_tokens, 64 << 20)
         self.parts: dict[str, dict] = {}
         self.seen_sends: set = set()
-        self.total_buffered = 0
+        self.pinned_tokens = 0  # tokens held via zero-copy slices
         # telemetry (seconds): exchange attribution for bench tuning
         self.t_add = 0.0
         self.t_encode = 0.0
@@ -209,6 +214,7 @@ class _BucketWriter:
             st = self.parts[key] = {
                 "bufs": [],
                 "buf_tokens": 0,
+                "pinned": 0,
                 "rows": 0,
                 "writer": None,
                 "tmp": None,
@@ -242,25 +248,46 @@ class _BucketWriter:
             st["bufs"].append(table.slice(lo, hi - lo))
             toks = int(n_tok[lo:hi].sum())
             st["buf_tokens"] += toks
+            st["pinned"] += toks
             st["rows"] += hi - lo
-            self.total_buffered += toks
+            self.pinned_tokens += toks
             if st["buf_tokens"] >= self.flush_tokens:
                 self._flush(key, st)
-        if self.total_buffered > self.budget_tokens:
-            # full sweep: buffered slices are zero-copy views into whole
-            # add-tables, so only flushing everything releases them
+        if self.pinned_tokens > self.budget_tokens:
+            # pinned sweep: flush sizable buffers, compact the rest
+            # (copy slices into owned tables so parent add-tables
+            # release) — small buffers are never flushed early, which
+            # would fragment chunks and multiply per-flush overhead
+            floor = self.flush_tokens // 2
             for key, st in self.parts.items():
-                if st["buf_tokens"]:
+                if not st["pinned"]:
+                    continue
+                if st["buf_tokens"] >= floor:
                     self._flush(key, st)
+                else:
+                    self._compact(st)
         self.t_add += time.perf_counter() - _t0
         return table.num_rows
+
+    def _compact(self, st: dict) -> None:
+        merged = (
+            pa.concat_tables(st["bufs"]) if len(st["bufs"]) > 1 else st["bufs"][0]
+        )
+        # take, not combine_chunks: combine keeps referencing the parent
+        # add-table's child buffers (verified: a 5-row slice of a 1000-row
+        # list table still holds the full 3000-value child after combine),
+        # so only a gather actually releases the pinned parent
+        st["bufs"] = [merged.take(pa.array(np.arange(merged.num_rows)))]
+        self.pinned_tokens -= st["pinned"]
+        st["pinned"] = 0
 
     def _flush(self, key: str, st: dict) -> None:
         if not st["bufs"]:
             return
         rows = pa.concat_tables(st["bufs"]) if len(st["bufs"]) > 1 else st["bufs"][0]
         st["bufs"] = []
-        self.total_buffered -= st["buf_tokens"]
+        self.pinned_tokens -= st["pinned"]
+        st["pinned"] = 0
         st["buf_tokens"] = 0
         doc_ids = rows["doc_id"].to_numpy(zero_copy_only=False)
         sd = np.sort(doc_ids)
@@ -480,8 +507,10 @@ def encode_dataset(
         # cpus//2: writers encode concurrently with the (cheap) routing
         # map tasks; a full-cpus pool only adds actor ramp-up and
         # scheduler contention (measured at sf0.1 and scale 2400)
-        n_writers = encode_concurrency or max(
-            2, int(ray.cluster_resources().get("CPU", 8)) // 2
+        n_writers = (
+            encode_concurrency
+            or int(os.environ.get("FSST_ENCODE_WRITERS", "0"))
+            or max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
         )
         # num_cpus=0: writers only buffer table refs until finalize, so
         # they must not steal task slots from the routing map stage

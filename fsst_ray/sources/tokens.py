@@ -214,7 +214,8 @@ def read_parquet_bundled(path: str, columns: list[str] | None = None):
     files = [p] if p.is_file() else sorted(p.glob("**/*.parquet"))
     nbytes = sum(f.stat().st_size for f in files)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    blocks = max(2 * cpus, -(-nbytes // (256 << 20)))
+    per_block = int(os.environ.get("FSST_READ_BLOCK_MB", "256")) << 20
+    blocks = max(2 * cpus, -(-nbytes // per_block))
     return rd.read_parquet(
         path,
         file_extensions=["parquet"],

@@ -90,6 +90,26 @@ def test_lsh_recalls_top1(embeddings_ds):
     assert top1(approx, 0) == 100
 
 
+def test_ivf_recalls_top1(embeddings_ds):
+    from fsst_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(embeddings_ds, query_ids=[0, 5], k=3).to_pandas()
+    approx = ivf_topk(
+        embeddings_ds, query_ids=[0, 5], k=3, n_centroids=8, nprobe=4, sample_every=1
+    ).to_pandas()
+    top1 = lambda df, q: int(
+        df[(df["query_id"] == q) & (df["rank"] == 1)]["neighbor_id"].iloc[0]
+    )
+    # the planted near-identical vector must be rank 1 for query 0
+    assert top1(exact, 0) == 100
+    assert top1(approx, 0) == 100
+    # with nprobe covering half the centroids, overall top-3 recall
+    # against brute force should be high
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert len(e & a) >= 4, (e, a)
+
+
 def test_media_feature_plumbing(ray_session):
     from fsst_ray.functions.multimodal import (
         RealMediaDecoder,
