@@ -154,6 +154,22 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe == n_centroids probes every inverted list, so
+    the result is exact — the whole IVF machinery (sampling, k-means,
+    assignment, scoring, merge) is oracle-checked end-to-end; the
+    approximate nprobe<k path is covered by the pytest recall test."""
+    from fsst_ray.functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_centroids=32,
+        nprobe=32,
+    )
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Near-dup pairs over embeddings augmented with deterministic
     cosine-identical twins (the natural corpus has none — max natural
@@ -281,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
@@ -416,6 +433,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {corpus} GROUP BY source"
         ),
         "ann_topk": (
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
+            "FROM embeddings q, embeddings b "
+            "WHERE q.vec_id < 10 AND b.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+        # exhaustive IVF == exact top-k: same oracle as ann_topk
+        "ann_ivf_exhaustive": (
             "SELECT query_id, rank, neighbor_id FROM ("
             "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
             "row_number() OVER (PARTITION BY q.vec_id ORDER BY "

@@ -19,12 +19,16 @@ def read_encoded(out_dir: str):
     import ray.data as rd
 
     path = mf.chunks_dir(out_dir)
-    n_files = sum(1 for _ in pathlib.Path(path).glob("*.parquet"))
+    nbytes = sum(f.stat().st_size for f in pathlib.Path(path).glob("*.parquet"))
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # bytes-aware block count (same rule as read_parquet_bundled): many
+    # small bucket files bundle together, few big ones split — either
+    # way ~2 blocks per CPU of ~<=256 MB
+    blocks = max(2 * cpus, -(-nbytes // (256 << 20)))
     return rd.read_parquet(
         str(path),
         file_extensions=["parquet"],
-        override_num_blocks=max(n_files, 2 * cpus),
+        override_num_blocks=blocks,
     )
 
 
