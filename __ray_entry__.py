@@ -222,6 +222,14 @@ def _q_media_features(sf_dir: str):
     return extract_media_features(synthetic_media_dataset(200))
 
 
+def _q_token_histogram(sf_dir: str):
+    """Top-100 token ids of the synthetic tokens corpus (vocab stats)."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.vocab import token_histogram
+
+    return token_histogram(read_tokens_dataset(scale=_scale_for(sf_dir)), k=100)
+
+
 def _q_tokens_roundtrip(sf_dir: str):
     """Flagship: encode -> decode -> per-source order-sensitive summary;
     the DuckDB oracle computes the same summary over the original corpus
@@ -304,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
         "media_features": _q_media_features,
+        "token_histogram": _q_token_histogram,
         "tokens_roundtrip": _q_tokens_roundtrip,
         "encode_metrics": _q_encode_metrics,
     }
@@ -431,6 +440,11 @@ def oracle_sql() -> dict[str, str]:
             f"{_METRICS_BUCKET_TOKENS - 1}) // {_METRICS_BUCKET_TOKENS}) AS n_parts, "
             "COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
             f"FROM {corpus} GROUP BY source"
+        ),
+        "token_histogram": (
+            f"SELECT token, n FROM (SELECT token, COUNT(*) AS n FROM "
+            f"(SELECT unnest(tokens)::BIGINT AS token FROM {corpus}) "
+            f"GROUP BY token ORDER BY n DESC, token LIMIT 100)"
         ),
         "ann_topk": (
             "SELECT query_id, rank, neighbor_id FROM ("
