@@ -217,9 +217,17 @@ def _q_token_count(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    from fsst_ray.functions.multimodal import extract_media_features, synthetic_media_dataset
+    """Media decode plumbing over payloads derived from the documents
+    table (header fields are pure functions of doc_id, body = UTF-8
+    text bytes), projected to the integer columns a SQL oracle can
+    recompute; the float feature path is covered by pytest."""
+    from fsst_ray.functions.multimodal import extract_media_features, media_from_documents
 
-    return extract_media_features(synthetic_media_dataset(200))
+    feats = extract_media_features(media_from_documents(_read(sf_dir, "documents")))
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "media_type", "width", "height", "n_bytes"]),
+        batch_format="pyarrow",
+    )
 
 
 def _q_token_histogram(sf_dir: str):
@@ -445,6 +453,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, n FROM (SELECT token, COUNT(*) AS n FROM "
             f"(SELECT unnest(tokens)::BIGINT AS token FROM {corpus}) "
             f"GROUP BY token ORDER BY n DESC, token LIMIT 100)"
+        ),
+        "media_features": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'audio/fake' ELSE 'image/fake' END "
+            "AS media_type, "
+            "CAST((doc_id * 7) % 496 + 16 AS INT) AS width, "
+            "CAST((doc_id * 13) % 496 + 16 AS INT) AS height, "
+            "8 + octet_length(encode(text)) AS n_bytes FROM documents"
         ),
         "ann_topk": (
             "SELECT query_id, rank, neighbor_id FROM ("

@@ -128,6 +128,35 @@ def synthetic_media_dataset(n_items: int = 200, seed: int = 42):
     return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
 
 
+def media_from_documents(ds):
+    """Derive a deterministic media table from the documents table:
+    payload = 8-byte width/height header (pure functions of doc_id, so
+    a SQL oracle can recompute them) + the document's UTF-8 bytes as
+    the body. Exercises the same decode plumbing against real input
+    rows instead of a synthetic table."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        widths = (ids * 7) % 496 + 16
+        heights = (ids * 13) % 496 + 16
+        payloads = [
+            int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little") + t.encode()
+            for w, h, t in zip(widths, heights, texts)
+        ]
+        types = np.where(ids % 3 == 0, "audio/fake", "image/fake")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(types, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
 def extract_media_features(ds, use_real_decoder: bool = False, concurrency=(1, 8)):
     return ds.map_batches(
         MediaFeatureExtractor,
