@@ -185,6 +185,17 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup(_read(sf_dir, "documents"))
 
 
+def _q_minhash_exact_clusters(sf_dir: str):
+    """MinHash at threshold 1.0: a pair survives only if all 64 perms
+    agree, i.e. (whp) the docs' distinct word-3-shingle sets are equal
+    — which SQL can recompute exactly. Oracle-checks the full MinHash
+    machinery (shingling, signatures, banding, verify, union-find,
+    distributed assignment); the approximate 0.7 path stays rows-only."""
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents"), jaccard_threshold=1.0)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from fsst_ray.functions.dedup import simhash_near_pairs
 
@@ -316,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_exact_clusters": _q_minhash_exact_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
@@ -419,6 +431,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM aug a, aug b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98"
+        ),
+        "minhash_exact_clusters": (
+            "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_sort(list_distinct("
+            "CASE WHEN len(ws) < 3 THEN [text] "
+            "ELSE list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh FROM w) "
+            "SELECT a.doc_id, m.cid AS cluster_id FROM s a "
+            "JOIN (SELECT sh, MIN(doc_id) AS cid FROM s GROUP BY sh) m "
+            "ON a.sh = m.sh"
         ),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "

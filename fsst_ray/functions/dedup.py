@@ -257,12 +257,24 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     buckets = _band_buckets(sig)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
+    # exact order-independent set digest (wrapping sum of the distinct
+    # shingle hashes), appended as a 65th signature word: signature
+    # agreement == 1.0 only means set equality with probability J^perms
+    # (near-dup sets leak through at threshold 1.0 — observed 10/500 on
+    # real documents), so exact-mode verification compares this digest
+    digest = np.zeros(n_docs, dtype=np.uint64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if len(shingles):
+        sums = np.add.reduceat(shingles, offsets[:-1][nonempty])
+        digest[nonempty] = sums
+    sig = np.hstack([sig, digest[:, None]])
+
     band_no = np.tile(np.arange(_LSH_BANDS, dtype=np.int64), n_docs)
     bucket_strs = np.char.add(
         np.char.add(band_no.astype(str), ":"), buckets.reshape(-1).astype(str)
     )
     sig_bytes = sig.tobytes()
-    row_bytes = _MINHASH_PERMS * 8
+    row_bytes = (_MINHASH_PERMS + 1) * 8
     sig_col = pa.array(
         [sig_bytes[i * row_bytes : (i + 1) * row_bytes] for i in range(n_docs)],
         type=pa.large_binary(),
@@ -301,11 +313,17 @@ def _bucket_verified_pairs(threshold: float):
             [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_pylist()]
         )[order]
         n = len(ids)
+        digests = sigs[:, _MINHASH_PERMS]
+        sigs = sigs[:, :_MINHASH_PERMS]
         bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
         out_a, out_b = [], []
         for ia, ib in _pair_blocks(n):
             agree = (sigs[ia] == sigs[ib]).mean(axis=1)
             keep = agree >= threshold
+            if threshold >= 1.0:
+                # exact mode: require set-digest equality, not just
+                # full signature agreement (see minhash_bands_batch)
+                keep &= digests[ia] == digests[ib]
             if band > 0 and keep.any():
                 # drop pairs that an earlier band already emitted
                 earlier = (
