@@ -213,3 +213,49 @@ def test_encode_sort_keys_permutation_regression():
         )
     }
     assert got == rows
+
+
+def test_bucket_writer_compaction_and_delivery_check(tmp_path):
+    """Direct _BucketWriter unit: budget pressure compacts small
+    buffers (pinned accounting drops to zero, rows survive), and
+    finalize raises when delivered rows fall short of expected."""
+    from fsst_ray.codecs.select import DEFAULT_CODECS
+    from fsst_ray.pipelines.encode_job import _BucketWriter
+
+    def make_table(part: str, ids: list[int]):
+        return pa.table(
+            {
+                "doc_id": pa.array([f"{part}-{i}" for i in ids]),
+                "tokens": pa.array([[i, i + 1] for i in ids], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([2] * len(ids), type=pa.int32()),
+                "source": pa.array(["s"] * len(ids)),
+                "part_key": pa.array([part] * len(ids)),
+            }
+        )
+
+    w = _BucketWriter(
+        str(tmp_path / "out"),
+        {},
+        chunk_tokens=1 << 10,
+        codecs=DEFAULT_CODECS,
+        flush_tokens=1 << 20,  # never flush on size
+        budget_tokens=1,  # every add trips the budget sweep
+    )
+    w.add(make_table("s:00000", [0, 1, 2]), send_id=("a", 1))
+    assert w.pinned_tokens == 0, "budget sweep must unpin small buffers"
+    st = w.parts["s:00000"]
+    assert st["rows"] == 3 and st["buf_tokens"] == 6
+    # compacted buffer owns tight child buffers (parent released)
+    child = st["bufs"][0]["tokens"].chunk(0).values
+    assert len(child) == 6
+    w.add(make_table("s:00000", [3]), send_id=("b", 1))
+    entries = w.finalize({"s:00000": 4})
+    assert entries[0]["rows"] == 4
+
+    # delivery check: a writer that received fewer rows than routed
+    w2 = _BucketWriter(
+        str(tmp_path / "out2"), {}, chunk_tokens=1 << 10, codecs=DEFAULT_CODECS
+    )
+    w2.add(make_table("s:00001", [0, 1]), send_id=("c", 1))
+    with pytest.raises(RuntimeError, match="expected"):
+        w2.finalize({"s:00001": 5})
