@@ -227,6 +227,20 @@ def _q_token_count(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(count, batch_format="pyarrow")
 
 
+def _q_corpus_split(sf_dir: str):
+    from fsst_ray.functions.curate import corpus_split
+
+    return corpus_split(_read(sf_dir, "documents"), val_pct=10)
+
+
+def _q_curate(sf_dir: str):
+    """Composite curation: map-side quality+langid filter, exact-dedup
+    winners — only survivors' projections shuffle."""
+    from fsst_ray.functions.curate import curate
+
+    return curate(_read(sf_dir, "documents"), min_quality=60, langs=("en",))
+
+
 def _q_media_features(sf_dir: str):
     """Media decode plumbing over payloads derived from the documents
     table (header fields are pure functions of doc_id, body = UTF-8
@@ -331,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
+        "corpus_split": _q_corpus_split,
+        "curate": _q_curate,
         "media_features": _q_media_features,
         "token_histogram": _q_token_histogram,
         "tokens_roundtrip": _q_tokens_roundtrip,
@@ -400,6 +416,34 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN c_es = {greatest} THEN 'es' "
             f"WHEN c_fr = {greatest} THEN 'fr' "
             "ELSE 'zh' END AS pred_lang, c_de, c_en, c_es, c_fr, c_zh FROM c"
+        ),
+        "corpus_split": (
+            "SELECT doc_id, CASE WHEN "
+            "md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10 "
+            "THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        "curate": (
+            "WITH q AS (SELECT doc_id, text, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents), "
+            "sc AS (SELECT doc_id, text, "
+            "LEAST(GREATEST((100*n_distinct)//GREATEST(n_words,1) + "
+            "(100*n_stop_en)//GREATEST(n_words,1), 0), 200) AS quality FROM q), "
+            f"l AS (SELECT doc_id, {counts} FROM documents), "
+            "lp AS (SELECT doc_id, CASE "
+            f"WHEN c_de = {greatest} THEN 'de' "
+            f"WHEN c_en = {greatest} THEN 'en' "
+            f"WHEN c_es = {greatest} THEN 'es' "
+            f"WHEN c_fr = {greatest} THEN 'fr' "
+            "ELSE 'zh' END AS pred_lang FROM l), "
+            "f AS (SELECT sc.doc_id, sc.text, sc.quality, lp.pred_lang "
+            "FROM sc JOIN lp USING (doc_id) "
+            "WHERE sc.quality >= 60 AND lp.pred_lang IN ('en')) "
+            "SELECT f.doc_id, f.quality, f.pred_lang FROM f "
+            "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM f GROUP BY text) w "
+            "ON f.doc_id = w.doc_id"
         ),
         "events_window": (
             "SELECT event_type, "

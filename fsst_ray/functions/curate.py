@@ -1,0 +1,104 @@
+"""Composite corpus-curation operators: the end-to-end shapes a
+training-data pipeline actually runs, built from the per-batch
+primitives in textstats/dedup.
+
+`curate` demonstrates the engine's composability AND the 100-TB filter
+ordering that matters at scale: quality + language are computed and
+filtered MAP-SIDE (vectorized, no shuffle), so only surviving rows'
+(dedup_key, doc_id, metrics) projections enter the exact-dedup shuffle
+— a corpus that is 90% filtered or duplicated shuffles a fraction of
+its bytes.
+
+`corpus_split` is the deterministic train/val assignment: a content
+hash of the doc id, so the split is stable under reordering,
+repartitioning and reruns (md5 parity with the SQL oracle, like
+fingerprint_batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import langid_batch, quality_batch
+
+
+def corpus_split(ds, val_pct: int = 10):
+    """(doc_id, split): deterministic 'val' for val_pct% of docs by
+    md5(doc_id-as-string) — oracle: md5_number_upper(doc_id::VARCHAR)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        split = np.where(fp % np.uint64(100) < val_pct, "val", "train")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def curate(ds, min_quality: int = 60, langs: tuple[str, ...] = ("en",)):
+    """Quality + language filter, then exact-dedup winners: returns a
+    Dataset of (doc_id, quality, pred_lang) for the curated corpus.
+
+    Map-side: per-batch quality/langid (vectorized), filter, and the
+    content dedup key; only survivors' small projections shuffle.
+    Reduce-side: min-doc_id winner per exact content key.
+    """
+    import polars as pl
+
+    def score_and_key(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        lang = langid_batch(batch)
+        quality = q["quality"].to_numpy(zero_copy_only=False)
+        pred = lang["pred_lang"].to_numpy(zero_copy_only=False)
+        keep = (quality >= min_quality) & np.isin(pred, list(langs))
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    "dedup_key": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "quality": pa.array([], type=pa.int64()),
+                    "pred_lang": pa.array([], type=pa.string()),
+                }
+            )
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        sub = arr.take(pa.array(idx))
+        h1 = pl.from_arrow(sub).hash(seed=1).to_numpy().astype(np.uint64)
+        h2 = pl.from_arrow(sub).hash(seed=2).to_numpy().astype(np.uint64)
+        key = np.char.add(np.char.add(h1.astype(str), ":"), h2.astype(str))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dedup_key": pa.array(key, type=pa.string()),
+                "doc_id": pa.array(ids[idx], type=pa.int64()),
+                "quality": pa.array(quality[idx].astype(np.int64), type=pa.int64()),
+                "pred_lang": pa.array(pred[idx], type=pa.string()),
+            }
+        )
+
+    def keep_winner(group: pa.Table) -> pa.Table:
+        i = pc.index(group["doc_id"], pc.min(group["doc_id"]).as_py()).as_py()
+        return group.select(["doc_id", "quality", "pred_lang"]).slice(i, 1)
+
+    return (
+        ds.map_batches(score_and_key, batch_format="pyarrow")
+        .groupby("dedup_key")
+        .map_groups(keep_winner, batch_format="pyarrow")
+    )
