@@ -366,6 +366,11 @@ class _BucketWriter:
         self.parts = {}
         return entries
 
+    def received_rows(self) -> int:
+        """Total rows delivered to this writer (dedup-safe): the async
+        exchange's drain poll compares this against routed totals."""
+        return sum(st["rows"] for st in self.parts.values())
+
     def timing(self) -> dict:
         """add is inclusive of in-add flushes; encode/write are the
         flush internals (from add or finalize)."""
@@ -512,6 +517,21 @@ def encode_dataset(
             or int(os.environ.get("FSST_ENCODE_WRITERS", "0"))
             or max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
         )
+        # send acknowledgement policy (measured at scale 2400, 32 CPUs:
+        # full-barrier 45-62 s encode vs windowed/async 33-42 s):
+        #   full   — each route task ray.gets every send: strictest
+        #            in-flight bound (~concurrent blocks), but every
+        #            task convoys behind its round's slowest writer
+        #   window — wait for all-but-K sends (default): kills the
+        #            convoy (the slowest K writers are not waited on)
+        #            while bounding undelivered sends to K per block
+        #   none   — no per-task wait at all; in-flight bounded only by
+        #            the object store (spills under backlog)
+        # window/none rely on the driver-side drain poll before
+        # finalize; a worker dying after task completion is detected by
+        # the poll timing out -> rerun with resume.
+        route_ack = os.environ.get("FSST_ROUTE_ACK", "window")
+        ack_window = int(os.environ.get("FSST_ROUTE_ACK_WINDOW", "4"))
         # num_cpus=0: writers only buffer table refs until finalize, so
         # they must not steal task slots from the routing map stage
         writer_pool = [
@@ -558,9 +578,14 @@ def encode_dataset(
                 sub = sorted_batch.slice(lo, hi - lo)
                 send_id = (int(shash[lo:hi].sum(dtype=np.uint64)), hi - lo)
                 refs.append(writer_pool[int(swid[lo])].add.remote(sub, send_id))
-            # ack before the task finishes: guarantees every send is
-            # processed before finalize's delivery check can run
-            ray.get(refs)
+            if route_ack == "full":
+                ray.get(refs)
+            elif route_ack == "window" and len(refs) > ack_window:
+                ray.wait(
+                    refs, num_returns=len(refs) - ack_window, fetch_local=False
+                )
+            # remaining sends drain in the background; the driver polls
+            # writer received-row counts before finalize
             return pa.table(
                 {
                     "part_key": pa.array(uniq, type=pa.string()),
@@ -574,6 +599,20 @@ def encode_dataset(
         expected: dict[str, int] = {}
         for r in count_rows:
             expected[r["part_key"]] = expected.get(r["part_key"], 0) + int(r["n_rows"])
+        if route_ack != "full":
+            total_routed = sum(expected.values())
+            deadline = time.perf_counter() + 300.0
+            while True:
+                got = sum(ray.get([w.received_rows.remote() for w in writer_pool]))
+                if got >= total_routed:
+                    break
+                if time.perf_counter() > deadline:
+                    raise RuntimeError(
+                        f"exchange drain timed out: writers received {got} of "
+                        f"{total_routed} routed rows (a routing worker may have "
+                        "died after task completion — rerun with resume=True)"
+                    )
+                time.sleep(0.05)
         for entries_list in ray.get([w.finalize.remote(expected) for w in writer_pool]):
             del entries_list  # entries are persisted in the manifest dir
         wt = ray.get([w.timing.remote() for w in writer_pool])
