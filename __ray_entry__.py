@@ -170,6 +170,29 @@ def _q_ann_ivf_exhaustive(sf_dir: str):
     )
 
 
+def _q_ann_ivf_disk(sf_dir: str):
+    """On-disk IVF: build the centroid-partitioned parquet index, then
+    search with every list probed (exact — shares the ann_topk oracle).
+    Partition pruning itself is asserted in pytest."""
+    import pyarrow as pa
+
+    from fsst_ray.functions.similarity import ivf_build, ivf_search
+
+    ds = _read(sf_dir, "embeddings")
+    idx = _tmp_out("ivf_idx")
+    ivf_build(ds, idx, n_centroids=32)
+    import pyarrow.compute as pc
+
+    qset = pa.array(list(range(10)), type=pa.int64())
+    q_rows = pa.Table.from_pylist(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qset)),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    return ivf_search(idx, q_rows, k=5, nprobe=32)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Near-dup pairs over embeddings augmented with deterministic
     cosine-identical twins (the natural corpus has none — max natural
@@ -339,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
+        "ann_ivf_disk": _q_ann_ivf_disk,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -530,6 +554,14 @@ def oracle_sql() -> dict[str, str]:
             "8 + octet_length(encode(text)) AS n_bytes FROM documents"
         ),
         "ann_topk": (
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
+            "FROM embeddings q, embeddings b "
+            "WHERE q.vec_id < 10 AND b.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+        "ann_ivf_disk": (
             "SELECT query_id, rank, neighbor_id FROM ("
             "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
             "row_number() OVER (PARTITION BY q.vec_id ORDER BY "

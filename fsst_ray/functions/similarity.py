@@ -289,6 +289,126 @@ def ivf_topk(
     return _merge_topk(candidates, k)
 
 
+def ivf_build(ds, out_dir: str, n_centroids: int = 64, sample_every: int = 7,
+              sample_max: int = 4096) -> np.ndarray:
+    """Build the on-disk IVF index: centroid-partitioned parquet
+    (one directory per inverted list, hive layout `centroid=K/`) plus
+    the centroid matrix. This is the 100-TB layout `ivf_topk` stands in
+    for: built once with a single assignment pass, searched with
+    partition pruning (only probed lists are read). Returns the
+    centroid matrix (also persisted as centroids.npy)."""
+    import pathlib
+
+    import pyarrow.compute as pc
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % sample_every == 0))
+
+    sample_rows = (
+        ds.map_batches(pick_sample, batch_format="pyarrow").limit(sample_max).take_all()
+    )
+    s_mat, _ = _embedding_matrix(pa.Table.from_pylist(sample_rows))
+    centroids = _kmeans(_normalize(s_mat), n_centroids)
+
+    import ray
+
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat, ids = _embedding_matrix(batch)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32())),
+                    "centroid": pa.array([], type=pa.int64()),
+                }
+            )
+        c = np.argmax(_normalize(mat) @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "centroid": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        str(out), partition_cols=["centroid"]
+    )
+    np.save(out / "centroids.npy", centroids)
+    return centroids
+
+
+def ivf_search(index_dir: str, query_rows: pa.Table, k: int = 5, nprobe: int = 8) -> pa.Table:
+    """Search the on-disk IVF index with partition pruning: only the
+    union of the queries' nprobe nearest inverted-list directories is
+    read (everything else never leaves storage). Output schema matches
+    brute_force_topk."""
+    import pathlib
+
+    import ray
+
+    out = pathlib.Path(index_dir)
+    centroids = np.load(out / "centroids.npy")
+    q_mat, q_ids = _embedding_matrix(query_rows)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+    nprobe = min(nprobe, len(centroids))
+    q_cent = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted(set(q_cent.reshape(-1).tolist()))
+    # explicit file list of only the probed inverted-list directories
+    # (Ray still infers the hive `centroid` column from the paths);
+    # unprobed lists never leave storage
+    paths = [
+        str(f)
+        for c in probed
+        for f in sorted((out / f"centroid={c}").glob("*.parquet"))
+        if (out / f"centroid={c}").exists()
+    ]
+    if not paths:
+        return _merge_topk(pd.DataFrame(columns=["query_id", "neighbor_id", "sim"]), k)
+
+    broadcast = ray.put((q_ids, q_mat, q_cent))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, probes = ray.get(broadcast)
+        mat, ids = _embedding_matrix(batch)
+        cent_col = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        if mat.size:
+            mat = _normalize(mat)
+            for row, (quid, qvec) in enumerate(zip(qi, qm)):
+                cand = np.flatnonzero(np.isin(cent_col, probes[row]) & (ids != quid))
+                if len(cand) == 0:
+                    continue
+                sims = mat[cand] @ qvec
+                keep = np.argsort(-sims)[: k + 1]
+                out_q.extend([int(quid)] * len(keep))
+                out_n.extend(int(ids[cand[j]]) for j in keep)
+                out_s.extend(float(sims[j]) for j in keep)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    import ray.data as rd
+
+    candidates = (
+        rd.read_parquet(paths)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _merge_topk(candidates, k)
+
+
 def plant_twins(ds, every: int = 50, id_offset: int = 10_000_000, scale: float = 1.001):
     """Append a deterministic scaled twin (cosine-identical direction)
     for every `every`-th vector — makes near-dup queries non-vacuous on

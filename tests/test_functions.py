@@ -148,3 +148,24 @@ def test_minhash_pairs_emitted_once(docs_with_dups):
     keys = list(zip(pairs["doc_a"], pairs["doc_b"]))
     assert len(keys) == len(set(keys)), "pair emitted by more than one band"
     assert (0, 101) in set(keys)
+
+
+def test_ivf_disk_index_partition_pruned_search(embeddings_ds, tmp_path):
+    from fsst_ray.functions.similarity import brute_force_topk, ivf_build, ivf_search
+
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build(embeddings_ds, idx, n_centroids=8, sample_every=1)
+    assert cents.shape == (8, 32)
+    q_rows = pa.Table.from_pylist(
+        [r for r in embeddings_ds.take_all() if r["vec_id"] in (0, 5)]
+    )
+    # exhaustive probe == exact
+    exact = brute_force_topk(embeddings_ds, query_ids=[0, 5], k=3).to_pandas()
+    full = ivf_search(idx, q_rows, k=3, nprobe=8).to_pandas()
+    assert full.equals(exact), (full, exact)
+    # pruned probe still finds the planted near-identical twin
+    pruned = ivf_search(idx, q_rows, k=3, nprobe=3).to_pandas()
+    top1 = int(
+        pruned[(pruned["query_id"] == 0) & (pruned["rank"] == 1)]["neighbor_id"].iloc[0]
+    )
+    assert top1 == 100
