@@ -225,6 +225,15 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(_read(sf_dir, "documents"))
 
 
+def _q_simhash_exact_pairs(sf_dir: str):
+    """SimHash exact mode: hamming 0 + distinct-word-set digest
+    equality == identical word sets (whp) — SQL-recomputable; the
+    approximate hamming<=6 path stays rows-only."""
+    from fsst_ray.functions.dedup import simhash_exact_pairs
+
+    return simhash_exact_pairs(_read(sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from fsst_ray.functions.dedup import ngram_jaccard_pairs
 
@@ -367,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_exact_pairs": _q_simhash_exact_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
         "corpus_split": _q_corpus_split,
@@ -510,6 +520,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id, m.cid AS cluster_id FROM s a "
             "JOIN (SELECT sh, MIN(doc_id) AS cid FROM s GROUP BY sh) m "
             "ON a.sh = m.sh"
+        ),
+        "simhash_exact_pairs": (
+            "WITH s AS (SELECT doc_id, "
+            "list_sort(list_distinct(string_split(text, ' '))) AS ws "
+            "FROM documents) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b "
+            "ON a.ws = b.ws AND a.doc_id < b.doc_id"
         ),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "

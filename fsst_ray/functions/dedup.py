@@ -438,10 +438,17 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         votes = np.add.reduceat(bits * 2 - 1, offsets[:-1][nonempty], axis=0)
         packed = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
         sim[nonempty] = packed
+    # exact order-independent distinct-word-set digest: different word
+    # sets can still collide at hamming 0 (simhash is a 64-bit vote
+    # aggregate), so exact-mode pair emission compares this digest
+    digest = np.zeros(n_docs, dtype=np.uint64)
+    if len(dh) and nonempty.any():
+        digest[nonempty] = np.add.reduceat(dh, offsets[:-1][nonempty])
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "simhash": pa.array((sim >> np.uint64(1)).astype(np.int64), type=pa.int64()),
+            "digest": pa.array(digest.astype(np.int64), type=pa.int64()),
         }
     )
 
@@ -467,6 +474,9 @@ def _simhash_explode(batch: pa.Table) -> pa.Table:
             "band": pa.array(band_no, type=pa.int64()),
             "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
             "simhash": pa.array(sh[rep].astype(np.int64), type=pa.int64()),
+            "digest": pa.array(
+                batch["digest"].to_numpy(zero_copy_only=False)[rep], type=pa.int64()
+            ),
         }
     )
 
@@ -477,7 +487,7 @@ def _hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCOUNT8[x].sum(axis=-1).astype(np.int64)
 
 
-def _simhash_bucket_pairs(max_hamming: int):
+def _simhash_bucket_pairs(max_hamming: int, exact: bool = False):
     def fn(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -496,10 +506,13 @@ def _simhash_bucket_pairs(max_hamming: int):
         order = np.argsort(ids)
         ids = ids[order]
         sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        dg = g["digest"].to_numpy(zero_copy_only=False)[order]
         out_a, out_b, out_h = [], [], []
         for ia, ib in _pair_blocks(len(ids)):
             ham = _hamming_matrix(sh[ia], sh[ib])
             keep = ham <= max_hamming
+            if exact:
+                keep &= dg[ia] == dg[ib]
             if band > 0 and keep.any():
                 # emitted by the lowest matching band only
                 earlier = np.zeros(int(keep.sum()), dtype=bool)
@@ -532,6 +545,21 @@ def simhash_near_pairs(ds, max_hamming: int = 6):
     exploded = sigs.map_batches(_simhash_explode, batch_format="pyarrow")
     return exploded.groupby("bucket").map_groups(
         _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    )
+
+
+def simhash_exact_pairs(ds):
+    """Pairs of documents with identical distinct-word SETS (whp),
+    through the full SimHash machinery: hamming 0 + set-digest
+    equality. SQL-recomputable: group by the sorted distinct word
+    list."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    exploded = sigs.map_batches(_simhash_explode, batch_format="pyarrow")
+    pairs = exploded.groupby("bucket").map_groups(
+        _simhash_bucket_pairs(0, exact=True), batch_format="pyarrow"
+    )
+    return pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
 
 
