@@ -93,6 +93,18 @@ fn main() {
         }
         let c = Compressor::train(&samples);
         results.push(("tokens_compress_1row".into(), time_compress(&c, &stdin_data, 3)));
+        // decompress the same stream
+        let compressed = c.compress(&stdin_data);
+        let d = c.decompressor();
+        let mut best = f64::INFINITY;
+        for _ in 0..3 {
+            let t0 = Instant::now();
+            let out = d.decompress(&compressed);
+            let dt = t0.elapsed().as_secs_f64();
+            assert_eq!(out.len(), stdin_data.len());
+            if dt < best { best = dt; }
+        }
+        results.push(("tokens_decompress".into(), (stdin_data.len() as f64 / best) / 1.0e6));
     }
 
     let body: Vec<String> = results
