@@ -68,6 +68,35 @@ static inline int64_t step_word(uint64_t word, const uint16_t *two_byte,
     return (int64_t)((adv_in << 8) | adv_out);
 }
 
+/* Branchy twin of step_word: identical decisions with real branches.
+ * On highly-predictable data (uniform corpora: one symbol repeating, or
+ * all escapes) the predictor makes branches free while the branchless
+ * select pays its ALU+merge cost every step (measured: the reference's
+ * branchy loop is ~2x ours on cf=1 and escape-only micro cases, while
+ * ours is ~2x theirs on mixed realistic data). A cheap pre-scan picks
+ * per call which loop body runs — same outputs either way. */
+static inline int64_t step_word_br(uint64_t word, const uint16_t *two_byte,
+                                   const uint64_t *pht_sm,
+                                   const uint16_t *pht_code,
+                                   uint8_t suffix_lim, uint8_t *op) {
+    uint16_t ct = two_byte[(uint16_t)word];
+    op[1] = (uint8_t)word; /* speculative escape byte */
+    if ((uint8_t)ct < suffix_lim) {
+        op[0] = (uint8_t)ct;
+        return (2 << 8) | 1;
+    }
+    uint32_t slot = (uint32_t)(fsst_hash3(word) & PHT_MASK);
+    uint64_t sym = pht_sm[2 * slot];
+    uint64_t msk = pht_sm[2 * slot + 1];
+    uint16_t pc = pht_code[slot];
+    if (pc != CODE_UNUSED && (word & msk) == sym) {
+        op[0] = (uint8_t)pc;
+        return ((int64_t)(pc >> 12) << 8) | 1;
+    }
+    op[0] = (uint8_t)ct;
+    return ((int64_t)(ct >> 12) << 8) | (1 + ((ct >> 8) & 1));
+}
+
 #ifndef N_LANES
 #define N_LANES 4
 #endif
@@ -143,6 +172,37 @@ int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
     }
     out_offsets[0] = 0;
 
+    /* pre-scan ~512 words spread across the input: when the PHT-hit
+     * branch outcome is near-constant (uniform corpora), the branchy
+     * step is ~2x the branchless one (prediction makes the branch
+     * free); on mixed data branchless wins by the same margin. The
+     * sampled positions are not the greedy parse's positions — close
+     * enough for a loop-body heuristic, and both bodies produce
+     * identical output. */
+    int branchy = 0;
+    int64_t total = n_rows ? offsets[n_rows] - offsets[0] : 0;
+    if (total >= (1 << 20)) {
+        /* only large calls amortize the scan; production 32 KiB chunk
+         * segments skip it and keep the branchless body. Branchy only
+         * wins when the PHT branch mostly FALLS THROUGH (escape /
+         * 1-byte-fallback corpora); hit-dominated data measured faster
+         * branchless in the lane structure, so it stays there. */
+        int64_t probes = 128, pht_miss = 0, reached = 0;
+        for (int64_t k = 0; k < probes; k++) {
+            int64_t i = (total - 8) * k / probes;
+            uint64_t w = load_word(data + i);
+            uint16_t ct = two_byte[(uint16_t)w];
+            if ((uint8_t)ct < suffix_lim)
+                continue;
+            uint32_t slot = (uint32_t)(fsst_hash3(w) & PHT_MASK);
+            reached++;
+            if (!(pht_code[slot] != CODE_UNUSED &&
+                  (w & pht_sm[2 * slot + 1]) == pht_sm[2 * slot]))
+                pht_miss++;
+        }
+        branchy = reached >= 64 && pht_miss * 100 >= reached * 97;
+    }
+
     Lane lanes[N_LANES];
     int64_t next_row = 0;
     for (int l = 0; l < N_LANES; l++)
@@ -175,21 +235,27 @@ int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
             end_[l] = lanes[l].len - 8;
             op_[l] = lanes[l].op;
         }
-        int run = 1;
-        do {
-#pragma GCC unroll 8
-            for (int l = 0; l < N_LANES; l++) {
-                uint64_t w = load_word(in_[l] + pos_[l]);
-                int64_t s = step_word(w, two_byte, pht_sm, pht_code,
-                                      suffix_lim, op_[l]);
-                pos_[l] += s >> 8;
-                op_[l] += s & 0xFF;
-            }
-            run = 1;
-#pragma GCC unroll 8
-            for (int l = 0; l < N_LANES; l++)
-                run &= (pos_[l] <= end_[l]);
-        } while (run);
+#define LOCKSTEP_LOOP(STEP)                                                   \
+    {                                                                         \
+        int run = 1;                                                          \
+        do {                                                                  \
+            _Pragma("GCC unroll 8") for (int l = 0; l < N_LANES; l++) {       \
+                uint64_t w = load_word(in_[l] + pos_[l]);                     \
+                int64_t s = STEP(w, two_byte, pht_sm, pht_code, suffix_lim,   \
+                                 op_[l]);                                     \
+                pos_[l] += s >> 8;                                            \
+                op_[l] += s & 0xFF;                                           \
+            }                                                                 \
+            run = 1;                                                          \
+            _Pragma("GCC unroll 8") for (int l = 0; l < N_LANES; l++)         \
+                run &= (pos_[l] <= end_[l]);                                  \
+        } while (run);                                                        \
+    }
+        if (branchy)
+            LOCKSTEP_LOOP(step_word_br)
+        else
+            LOCKSTEP_LOOP(step_word)
+#undef LOCKSTEP_LOOP
         for (int l = 0; l < N_LANES; l++) {
             lanes[l].pos = pos_[l];
             lanes[l].op = op_[l];
@@ -197,16 +263,32 @@ int64_t fsst_compress_bulk(const uint8_t *data, const int64_t *offsets,
     }
 
     /* drain the (<= N_LANES-1) still-active lanes one at a time; rows
-     * are exhausted, so no refills happen */
+     * are exhausted, so no refills happen. Single-row inputs spend
+     * their whole life here, so the branchy/branchless choice applies
+     * too (hoist cursors into locals like the lockstep loop). */
     for (int l = 0; l < N_LANES; l++) {
         Lane *ln = &lanes[l];
         if (ln->row < 0)
             continue;
-        while (ln->pos + 8 <= ln->len) {
-            int64_t s = step_word(load_word(ln->in + ln->pos), two_byte,
-                                  pht_sm, pht_code, suffix_lim, ln->op);
-            ln->pos += s >> 8;
-            ln->op += s & 0xFF;
+        if (branchy) {
+            const uint8_t *in = ln->in;
+            int64_t pos = ln->pos, end = ln->len - 8;
+            uint8_t *op = ln->op;
+            while (pos <= end) {
+                int64_t s = step_word_br(load_word(in + pos), two_byte,
+                                         pht_sm, pht_code, suffix_lim, op);
+                pos += s >> 8;
+                op += s & 0xFF;
+            }
+            ln->pos = pos;
+            ln->op = op;
+        } else {
+            while (ln->pos + 8 <= ln->len) {
+                int64_t s = step_word(load_word(ln->in + ln->pos), two_byte,
+                                      pht_sm, pht_code, suffix_lim, ln->op);
+                ln->pos += s >> 8;
+                ln->op += s & 0xFF;
+            }
         }
         finish_tail(ln, two_byte, pht_sm, pht_code, suffix_lim, out_offsets);
     }
