@@ -12,7 +12,10 @@ Usage:
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default
 /root/testdata/sf0.1; only its sf suffix is used to size the synthetic
 corpus — scale = sf*SCALE_PER_SF), FSST_BENCH_SCALE (explicit scale
-override).
+override), FSST_BENCH_REPS (best-of-N for the graded headline stages,
+default 2), FSST_BENCH_STAGES=headline|all, FSST_SCALING_LO (N of the
+N-vs-4N scaling legs, default 4). Exchange knobs honored downstream:
+FSST_ROUTE_ACK, FSST_ENCODE_WRITERS, FSST_READ_BLOCK_MB.
 """
 
 from __future__ import annotations
@@ -214,20 +217,24 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best of two: single-node wall times are noisy (page cache,
-        # object-store placement); min is the standard noise filter
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
-
     # 4 vs 16, not 8 vs 32: the hi leg must leave the host headroom, or
     # VM oversubscription (see _hw_ceiling) pollutes the measurement —
     # pure compute only scales 0.78x from 8->32 on this box vs 0.91x
     # from 4->16. N and 4N per the evidence plan in BASELINE.md.
     lo = int(os.environ.get("FSST_SCALING_LO", "4"))
     hi = 4 * lo
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # best of two per level, legs ALTERNATED (lo,hi,lo,hi): this VM's
+    # noise comes in multi-minute windows, so grouped ordering lets one
+    # window hit only one level and bias the ratio (observed raw
+    # efficiency swinging 0.39-0.77 across grouped-leg runs whose
+    # per-leg best times were otherwise reproducible)
+    best: dict[int, dict] = {}
+    for _ in range(2):
+        for ncpu in (lo, hi):
+            r = run_once(ncpu)
+            if ncpu not in best or r["value"] < best[ncpu]["value"]:
+                best[ncpu] = r
+    r_lo, r_hi = best[lo], best[hi]
     ceiling = _hw_ceiling(lo, hi)
     thr_lo = r_lo["tokens"] / r_lo["value"]
     thr_hi = r_hi["tokens"] / r_hi["value"]

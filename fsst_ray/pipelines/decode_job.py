@@ -21,10 +21,12 @@ def read_encoded(out_dir: str):
     path = mf.chunks_dir(out_dir)
     nbytes = sum(f.stat().st_size for f in pathlib.Path(path).glob("*.parquet"))
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # bytes-aware block count (same rule as read_parquet_bundled): many
-    # small bucket files bundle together, few big ones split — either
-    # way ~2 blocks per CPU of ~<=256 MB
-    blocks = max(2 * cpus, -(-nbytes // (256 << 20)))
+    # bytes-aware block count (same rule as read_parquet_bundled but
+    # 4x CPUs): decode blocks are heavy (payload decode writes ~2x the
+    # encoded bytes), so ~2 blocks/CPU quantizes badly — a 33-block
+    # read on 16 CPUs gives some workers 3 blocks and a 50% tail
+    # (measured: the 16-CPU decode leg swung 10.5-18.9 s on it)
+    blocks = max(4 * cpus, -(-nbytes // (256 << 20)))
     return rd.read_parquet(
         str(path),
         file_extensions=["parquet"],
