@@ -517,20 +517,24 @@ def encode_dataset(
             or int(os.environ.get("FSST_ENCODE_WRITERS", "0"))
             or max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
         )
-        # send acknowledgement policy (measured at scale 2400, 32 CPUs:
-        # full-barrier 45-62 s encode vs windowed/async 33-42 s):
+        # send acknowledgement policy:
         #   full   — each route task ray.gets every send: strictest
-        #            in-flight bound (~concurrent blocks), but every
-        #            task convoys behind its round's slowest writer
-        #   window — wait for all-but-K sends (default): kills the
-        #            convoy (the slowest K writers are not waited on)
-        #            while bounding undelivered sends to K per block
+        #            in-flight bound (~concurrent blocks) and the
+        #            simplest delivery guarantee. DEFAULT: at 32 CPUs
+        #            it measures equal to window within VM noise, and
+        #            bounded in-flight routed bytes is the conservative
+        #            posture for cluster-scale runs.
+        #   window — wait for all-but-K sends: kills the convoy where
+        #            every task waits on its round's slowest writer;
+        #            measured 1.7x faster at 4 CPUs (where few
+        #            concurrent tasks make the convoy bite), equal at
+        #            16-32; undelivered sends bounded to K per block
         #   none   — no per-task wait at all; in-flight bounded only by
         #            the object store (spills under backlog)
         # window/none rely on the driver-side drain poll before
         # finalize; a worker dying after task completion is detected by
         # the poll timing out -> rerun with resume.
-        route_ack = os.environ.get("FSST_ROUTE_ACK", "window")
+        route_ack = os.environ.get("FSST_ROUTE_ACK", "full")
         ack_window = int(os.environ.get("FSST_ROUTE_ACK_WINDOW", "4"))
         # num_cpus=0: writers only buffer table refs until finalize, so
         # they must not steal task slots from the routing map stage
