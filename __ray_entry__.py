@@ -295,6 +295,22 @@ def _q_token_histogram(sf_dir: str):
     return token_histogram(read_tokens_dataset(scale=_scale_for(sf_dir)), k=100)
 
 
+def _q_frame_sample(sf_dir: str):
+    """Frame-sampling plumbing over documents-derived media payloads;
+    the (media_id, frame_no, n_frames) projection is SQL-recomputable
+    from the payload layout (8-byte header + UTF-8 body, 256-byte
+    frames, stride 4)."""
+    from fsst_ray.functions.multimodal import media_from_documents, sample_frames
+
+    frames = sample_frames(
+        media_from_documents(_read(sf_dir, "documents")), frame_bytes=256, stride=4
+    )
+    return frames.map_batches(
+        lambda t: t.select(["media_id", "frame_no", "n_frames"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_tokens_roundtrip(sf_dir: str):
     """Flagship: encode -> decode -> per-source order-sensitive summary;
     the DuckDB oracle computes the same summary over the original corpus
@@ -382,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
         "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
         "tokens_roundtrip": _q_tokens_roundtrip,
         "encode_metrics": _q_encode_metrics,
@@ -569,6 +586,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id * 7) % 496 + 16 AS INT) AS width, "
             "CAST((doc_id * 13) % 496 + 16 AS INT) AS height, "
             "8 + octet_length(encode(text)) AS n_bytes FROM documents"
+        ),
+        "frame_sample": (
+            "WITH f AS (SELECT doc_id, "
+            "octet_length(encode(text)) // 256 AS n_frames FROM documents) "
+            "SELECT doc_id AS media_id, "
+            "CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_no, "
+            "CAST(n_frames AS INT) AS n_frames FROM f"
         ),
         "ann_topk": (
             "SELECT query_id, rank, neighbor_id FROM ("

@@ -157,6 +157,96 @@ def media_from_documents(ds):
     return ds.map_batches(to_media, batch_format="pyarrow")
 
 
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_no", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("frame", pa.large_binary()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool stage: treat the payload body as fixed-size frames
+    and emit every `stride`-th one (video frame-sampling plumbing; a
+    real build would decode containers here — the Ray-side shape is
+    identical). One input row fans out to ceil(n_frames/stride) rows,
+    so batches stay small like every large-binary stage."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in FRAME_SCHEMA.names}
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for mid, payload in zip(ids, payloads):
+            body = payload[8:] if len(payload) >= 8 else payload
+            n_frames = len(body) // self.frame_bytes
+            for f in range(0, n_frames, self.stride):
+                rows["media_id"].append(mid)
+                rows["frame_no"].append(f)
+                rows["n_frames"].append(n_frames)
+                rows["frame"].append(
+                    body[f * self.frame_bytes : (f + 1) * self.frame_bytes]
+                )
+        return pa.table(rows, schema=FRAME_SCHEMA)
+
+
+def sample_frames(ds, frame_bytes: int = 256, stride: int = 4, concurrency=(1, 8)):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(frame_bytes, stride),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+class FakeResizer:
+    """Actor-pool stage: 'resize' by integer byte subsampling and
+    rewrite the header dims (the real PIL path is the stub in
+    RealMediaDecoder; this keeps schema/actor plumbing identical)."""
+
+    def __init__(self, factor: int = 2):
+        assert factor >= 1
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out = []
+        for payload in payloads:
+            if len(payload) >= 8:
+                w = int.from_bytes(payload[0:4], "little") // self.factor
+                h = int.from_bytes(payload[4:8], "little") // self.factor
+                body = payload[8 :: self.factor]
+                out.append(w.to_bytes(4, "little") + h.to_bytes(4, "little") + body)
+            else:
+                out.append(payload)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(types, type=pa.string()),
+                "payload": pa.array(out, type=pa.large_binary()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
+def resize_media(ds, factor: int = 2, concurrency=(1, 8)):
+    return ds.map_batches(
+        FakeResizer,
+        fn_constructor_args=(factor,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
 def extract_media_features(ds, use_real_decoder: bool = False, concurrency=(1, 8)):
     return ds.map_batches(
         MediaFeatureExtractor,

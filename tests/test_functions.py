@@ -169,3 +169,35 @@ def test_ivf_disk_index_partition_pruned_search(embeddings_ds, tmp_path):
         pruned[(pruned["query_id"] == 0) & (pruned["rank"] == 1)]["neighbor_id"].iloc[0]
     )
     assert top1 == 100
+
+
+def test_frame_sampling_and_resize(ray_session):
+    from fsst_ray.functions.multimodal import (
+        extract_media_features,
+        resize_media,
+        sample_frames,
+        synthetic_media_dataset,
+    )
+
+    media = synthetic_media_dataset(30)
+    frames = sample_frames(media, frame_bytes=256, stride=4).take_all()
+    # every sampled frame_no is a stride multiple and < n_frames
+    assert frames, "no frames sampled"
+    for f in frames:
+        assert f["frame_no"] % 4 == 0 and f["frame_no"] < f["n_frames"]
+        assert len(f["frame"]) == 256
+    # per-media counts = ceil(n_frames / stride)
+    from collections import Counter
+
+    per = Counter(f["media_id"] for f in frames)
+    nf = {f["media_id"]: f["n_frames"] for f in frames}
+    for mid, count in per.items():
+        assert count == -(-nf[mid] // 4)
+
+    # resize halves header dims and shrinks payload; features still flow
+    resized = extract_media_features(resize_media(media, factor=2)).take_all()
+    orig = {f["media_id"]: f for f in extract_media_features(media).take_all()}
+    for r in resized:
+        o = orig[r["media_id"]]
+        assert r["width"] == o["width"] // 2 and r["height"] == o["height"] // 2
+        assert r["n_bytes"] <= o["n_bytes"] // 2 + 9
