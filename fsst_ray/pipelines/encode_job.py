@@ -536,6 +536,9 @@ def encode_dataset(
         # the poll timing out -> rerun with resume.
         route_ack = os.environ.get("FSST_ROUTE_ACK", "full")
         ack_window = int(os.environ.get("FSST_ROUTE_ACK_WINDOW", "4"))
+        # read driver-side and captured by the route closure: workers
+        # started before the test set the env would not see it
+        fault_dir = os.environ.get("FSST_FAULT_ROUTE_ONCE_DIR")
         # num_cpus=0: writers only buffer table refs until finalize, so
         # they must not steal task slots from the routing map stage
         writer_pool = [
@@ -582,6 +585,19 @@ def encode_dataset(
                 sub = sorted_batch.slice(lo, hi - lo)
                 send_id = (int(shash[lo:hi].sum(dtype=np.uint64)), hi - lo)
                 refs.append(writer_pool[int(swid[lo])].add.remote(sub, send_id))
+            # fault injection (tests only): after the sends are in
+            # flight, kill this worker once — Ray reruns the task, the
+            # retry resends everything, and the writers' send-id dedup
+            # must absorb the duplicates
+            if fault_dir:
+                import pathlib
+
+                flag = pathlib.Path(fault_dir) / "route_killed"
+                try:
+                    flag.touch(exist_ok=False)
+                    os._exit(1)  # simulated worker death (not an exception)
+                except FileExistsError:
+                    pass
             if route_ack == "full":
                 ray.get(refs)
             elif route_ack == "window" and len(refs) > ack_window:

@@ -259,3 +259,20 @@ def test_bucket_writer_compaction_and_delivery_check(tmp_path):
     w2.add(make_table("s:00001", [0, 1]), send_id=("c", 1))
     with pytest.raises(RuntimeError, match="expected"):
         w2.finalize({"s:00001": 5})
+
+
+def test_route_worker_death_retry_dedup(tokens_ds, tmp_path, monkeypatch):
+    """Kill one routing worker AFTER its sends are in flight; Ray
+    reruns the task, the retry resends byte-identical sub-batches, and
+    the writers' content-addressed send-id dedup must keep the output
+    exact (no duplicated or lost rows)."""
+    monkeypatch.setenv("FSST_FAULT_ROUTE_ONCE_DIR", str(tmp_path))
+    out = str(tmp_path / "enc_fault")
+    result = encode_dataset(
+        tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    assert (tmp_path / "route_killed").exists(), "fault did not fire"
+    assert result.metrics["rows"] == tokens_ds.count()
+    monkeypatch.delenv("FSST_FAULT_ROUTE_ONCE_DIR")
+    v = verify_roundtrip(tokens_ds, out)
+    assert v["match"], v
