@@ -146,6 +146,18 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
 
 
+def _q_ann_lsh_exhaustive(sf_dir: str):
+    """LSH with zero hyperplanes: every vector lands in one bucket, so
+    the scan is exhaustive and the result exact — oracle-checks the
+    LSH machinery (bucketing, probe sets, scoring, merge) end-to-end;
+    the approximate 8-plane path stays rows-only with a recall test."""
+    from fsst_ray.functions.similarity import lsh_topk
+
+    return lsh_topk(
+        _read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5, n_planes=0
+    )
+
+
 def _q_ann_ivf(sf_dir: str):
     from fsst_ray.functions.similarity import ivf_topk
 
@@ -385,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_exhaustive": _q_ann_lsh_exhaustive,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "ann_ivf_disk": _q_ann_ivf_disk,
@@ -595,6 +608,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_frames AS INT) AS n_frames FROM f"
         ),
         "ann_topk": (
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
+            "FROM embeddings q, embeddings b "
+            "WHERE q.vec_id < 10 AND b.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+        "ann_lsh_exhaustive": (
             "SELECT query_id, rank, neighbor_id FROM ("
             "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
             "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
