@@ -201,3 +201,34 @@ def test_frame_sampling_and_resize(ray_session):
         o = orig[r["media_id"]]
         assert r["width"] == o["width"] // 2 and r["height"] == o["height"] // 2
         assert r["n_bytes"] <= o["n_bytes"] // 2 + 9
+
+
+def test_jsonl_documents_source(ray_session, tmp_path):
+    """JSONL ingestion normalizes to the documents schema and feeds the
+    operators directly; rows without doc_id get stable content-hash
+    ids."""
+    import json as _json
+
+    from fsst_ray.functions.dedup import exact_dedup
+    from fsst_ray.sources.documents import read_documents_jsonl
+
+    f = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "the cat sat", "lang": "en"},
+        {"doc_id": 2, "text": "the cat sat"},          # exact dup of 1
+        {"doc_id": 3, "text": "unrelated words here", "source": "web"},
+        {"text": "no id assigned"},                     # hash-assigned id
+    ]
+    f.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    ds = read_documents_jsonl(str(f))
+    got = {r["doc_id"]: r for r in ds.take_all()}
+    assert got[1]["lang"] == "en" and got[3]["source"] == "web"
+    hashed = [d for d in got if d not in (1, 2, 3)]
+    assert len(hashed) == 1 and got[hashed[0]]["text"] == "no id assigned"
+    # stable across a second read
+    again = {r["doc_id"] for r in read_documents_jsonl(str(f)).take_all()}
+    assert set(got) == again
+
+    winners = exact_dedup(ds).to_pandas()
+    assert 1 in set(winners["doc_id"]) and 2 not in set(winners["doc_id"])
