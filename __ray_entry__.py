@@ -271,6 +271,21 @@ def _q_token_count(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(count, batch_format="pyarrow")
 
 
+def _q_top_quality(sf_dir: str):
+    from fsst_ray.functions.curate import top_quality_docs
+
+    return top_quality_docs(_read(sf_dir, "documents"), k=100)
+
+
+def _q_ntok_percentiles(sf_dir: str):
+    """Exact per-source n_tok percentiles of the tokens corpus via a
+    distributed value histogram (DuckDB quantile_disc parity)."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.vocab import ntok_percentiles
+
+    return ntok_percentiles(read_tokens_dataset(scale=_scale_for(sf_dir)))
+
+
 def _q_corpus_split(sf_dir: str):
     from fsst_ray.functions.curate import corpus_split
 
@@ -408,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_exact_pairs": _q_simhash_exact_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
+        "top_quality_docs": _q_top_quality,
+        "ntok_percentiles": _q_ntok_percentiles,
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
         "media_features": _q_media_features,
@@ -480,6 +497,23 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN c_es = {greatest} THEN 'es' "
             f"WHEN c_fr = {greatest} THEN 'fr' "
             "ELSE 'zh' END AS pred_lang, c_de, c_en, c_es, c_fr, c_zh FROM c"
+        ),
+        "top_quality_docs": (
+            "WITH s AS (SELECT doc_id, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents) "
+            "SELECT doc_id, LEAST(GREATEST((100*n_distinct)//GREATEST(n_words,1) + "
+            "(100*n_stop_en)//GREATEST(n_words,1), 0), 200) AS quality "
+            "FROM s ORDER BY quality DESC, doc_id LIMIT 100"
+        ),
+        "ntok_percentiles": (
+            "SELECT source, "
+            "CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS p50, "
+            "CAST(quantile_disc(n_tok, 0.95) AS BIGINT) AS p95, "
+            "CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS p99 "
+            f"FROM {corpus} GROUP BY source"
         ),
         "corpus_split": (
             "SELECT doc_id, CASE WHEN "

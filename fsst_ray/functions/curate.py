@@ -51,6 +51,36 @@ def corpus_split(ds, val_pct: int = 10):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def top_quality_docs(ds, k: int = 100) -> pa.Table:
+    """Global top-k documents by quality score WITHOUT a global sort:
+    each batch emits its local top-k (quality desc, doc_id asc), the
+    driver merges k x n_batches candidates. At 100 TB this is the only
+    sane shape for a top-k — `ds.sort` would shuffle the corpus."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        quality = q["quality"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = q["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -quality))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "quality": pa.array(quality[order], type=pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in cand], dtype=np.int64)
+    quality = np.array([r["quality"] for r in cand], dtype=np.int64)
+    order = np.lexsort((ids, -quality))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "quality": pa.array(quality[order], type=pa.int64()),
+        }
+    )
+
+
 def curate(ds, min_quality: int = 60, langs: tuple[str, ...] = ("en",)):
     """Quality + language filter, then exact-dedup winners: returns a
     Dataset of (doc_id, quality, pred_lang) for the curated corpus.

@@ -35,6 +35,59 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+def _ntok_partials(batch: pa.Table) -> pa.Table:
+    sources = batch["source"].to_numpy(zero_copy_only=False)
+    n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = np.char.add(np.char.add(sources.astype(str), "\x00"), n_tok.astype(str))
+    uniq, idx, cnt = np.unique(key, return_index=True, return_counts=True)
+    return pa.table(
+        {
+            "source": pa.array(sources[idx], type=pa.string()),
+            "n_tok": pa.array(n_tok[idx], type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def ntok_percentiles(ds, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> pa.Table:
+    """EXACT per-source discrete percentiles of n_tok, computed
+    distributed: per-batch (source, n_tok) count partials -> a
+    distribution-sized groupby -> driver rank lookup. The shuffle moves
+    only the value histogram (sources x distinct lengths), never rows.
+    Rank convention matches DuckDB quantile_disc: the 1-based
+    ceil(q*n)-th smallest value."""
+    agg = (
+        ds.map_batches(_ntok_partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "n_tok"])
+        .sum("cnt")
+    )
+    rows = agg.take_all()
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((int(r["n_tok"]), int(r["sum(cnt)"])))
+    out = {"source": []}
+    for q in qs:
+        out[f"p{int(q * 100)}"] = []
+    for src in sorted(by_src):
+        dist = sorted(by_src[src])
+        vals = np.array([v for v, _ in dist], dtype=np.int64)
+        cum = np.cumsum([c for _, c in dist])
+        n = int(cum[-1])
+        out["source"].append(src)
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            out[f"p{int(q * 100)}"].append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "source": pa.array(out["source"], type=pa.string()),
+            **{
+                f"p{int(q * 100)}": pa.array(out[f"p{int(q * 100)}"], type=pa.int64())
+                for q in qs
+            },
+        }
+    )
+
+
 def token_histogram(ds, k: int = 100) -> pa.Table:
     """Top-k most frequent token ids: (token, n), ties broken by token
     ascending. Partial per-batch histograms -> vocabulary-sized groupby
