@@ -271,6 +271,44 @@ def _q_token_count(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(count, batch_format="pyarrow")
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate over lineitem: map-side partial
+    sums per (returnflag, linestatus) before a tiny groupby — the
+    pre-aggregation shape every wide grouped sum should take. Integer
+    columns only (quantity is integral-valued in the testdata) so the
+    value hash is exact cross-engine."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        ls = batch["l_linestatus"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(np.char.add(rf.astype(str), "\x00"), ls.astype(str))
+        uniq, inv = np.unique(key, return_inverse=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv] = np.arange(len(key))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rf[first], type=pa.string()),
+                "l_linestatus": pa.array(ls[first], type=pa.string()),
+                "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem")
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "n"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_quality(sf_dir: str):
     from fsst_ray.functions.curate import top_quality_docs
 
@@ -423,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_exact_pairs": _q_simhash_exact_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
+        "lineitem_pricing": _q_lineitem_pricing,
         "top_quality_docs": _q_top_quality,
         "ntok_percentiles": _q_ntok_percentiles,
         "corpus_split": _q_corpus_split,
@@ -497,6 +536,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN c_es = {greatest} THEN 'es' "
             f"WHEN c_fr = {greatest} THEN 'fr' "
             "ELSE 'zh' END AS pred_lang, c_de, c_en, c_es, c_fr, c_zh FROM c"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
         ),
         "top_quality_docs": (
             "WITH s AS (SELECT doc_id, "
