@@ -561,7 +561,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_split": (
             "SELECT doc_id, CASE WHEN "
-            "md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10 "
+            "hash(doc_id) % 100 < 10 "
             "THEN 'val' ELSE 'train' END AS split FROM documents"
         ),
         "curate": (

@@ -11,13 +11,11 @@ its bytes.
 
 `corpus_split` is the deterministic train/val assignment: a content
 hash of the doc id, so the split is stable under reordering,
-repartitioning and reruns (md5 parity with the SQL oracle, like
-fingerprint_batch).
+repartitioning and reruns (vectorized murmur64 with bit-exact DuckDB
+`hash()` parity — no per-row Python hashing).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -26,20 +24,28 @@ import pyarrow.compute as pc
 from .textstats import langid_batch, quality_batch
 
 
+def _murmur64(x: np.ndarray) -> np.ndarray:
+    """DuckDB's integer hash (murmurhash64 finalizer), vectorized:
+    identical to SQL `hash(doc_id)` so split assignment is
+    recomputable by the oracle with no per-row Python hashing."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(32)
+        x *= np.uint64(0xD6E8FEB86659FD93)
+        x ^= x >> np.uint64(32)
+        x *= np.uint64(0xD6E8FEB86659FD93)
+        x ^= x >> np.uint64(32)
+    return x
+
+
 def corpus_split(ds, val_pct: int = 10):
     """(doc_id, split): deterministic 'val' for val_pct% of docs by
-    md5(doc_id-as-string) — oracle: md5_number_upper(doc_id::VARCHAR)."""
+    murmur64(doc_id) — stable under reordering/repartition/rerun;
+    oracle: DuckDB `hash(doc_id)` (same finalizer bit-for-bit)."""
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        fp = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
-                for i in ids
-            ),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        fp = _murmur64(ids)
         split = np.where(fp % np.uint64(100) < val_pct, "val", "train")
         return pa.table(
             {

@@ -585,7 +585,12 @@ def _shingle_group_pairs(df_cap: int):
     Shingles with document frequency > df_cap are dropped (they are
     stopword-like and would blow up quadratically); exactness therefore
     assumes no near-dup pair relies ONLY on ultra-common shingles —
-    with df_cap >= corpus dup-group size this holds."""
+    with df_cap >= corpus dup-group size this holds.
+
+    The n(n-1)/2 pairs are emitted through `_pair_blocks` into exactly-
+    sized preallocated arrays: peak working memory beyond the (bounded,
+    df_cap-capped) output is O(max_pairs), never an O(n^2) index
+    matrix materialized at once."""
 
     def fn(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -602,26 +607,35 @@ def _shingle_group_pairs(df_cap: int):
         sizes = group["n_shingles"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids, sizes = ids[order], sizes[order]
-        ia, ib = np.triu_indices(n, k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ia], type=pa.int64()),
-                "doc_b": pa.array(ids[ib], type=pa.int64()),
-                "n_a": pa.array(sizes[ia], type=pa.int64()),
-                "n_b": pa.array(sizes[ib], type=pa.int64()),
-            }
-        )
+        total = n * (n - 1) // 2
+        out = {
+            k: np.empty(total, dtype=np.int64) for k in ("doc_a", "doc_b", "n_a", "n_b")
+        }
+        pos = 0
+        for ia, ib in _pair_blocks(n):
+            m = len(ia)
+            out["doc_a"][pos : pos + m] = ids[ia]
+            out["doc_b"][pos : pos + m] = ids[ib]
+            out["n_a"][pos : pos + m] = sizes[ia]
+            out["n_b"][pos : pos + m] = sizes[ib]
+            pos += m
+        assert pos == total
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
 
     return fn
 
 
-def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 16):
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 12):
     """Exact word-3-gram Jaccard near-duplicate pairs via a distributed
-    inverted index: shingle groupby emits co-occurrences, a pair
-    groupby counts shared shingles, Jaccard = shared/(|A|+|B|-shared).
+    inverted index: shingle groupby emits co-occurrences, a built-in
+    hash aggregate counts shared shingles per (doc_a, doc_b) — no
+    Python call per pair — and a vectorized map applies the integer
+    threshold: Jaccard = shared/(|A|+|B|-shared).
     Returns (doc_a, doc_b, n_shared, n_union) rows for pairs with
     Jaccard >= threshold."""
     from fractions import Fraction
+
+    from ray.data.aggregate import Count, Min
 
     # integer cross-multiply (num/den) so the threshold compare is
     # bit-exact with the SQL oracle's integer form (no 0.8*union float)
@@ -632,19 +646,11 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 16):
     cooc = postings.groupby("shingle").map_groups(
         _shingle_group_pairs(df_cap), batch_format="pyarrow"
     )
+    # n_a/n_b are constant per doc, so Min() is just "carry the value"
+    agg = cooc.groupby(["doc_a", "doc_b"]).aggregate(Count(), Min("n_a"), Min("n_b"))
 
-    def pair_key(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(a.astype(str), ":"), b.astype(str))
-        return batch.append_column("pair", pa.array(key, type=pa.string()))
-
-    def reduce_pair(group: pa.Table) -> pa.Table:
-        shared = group.num_rows
-        n_a = int(group["n_a"][0].as_py())
-        n_b = int(group["n_b"][0].as_py())
-        union = n_a + n_b - shared
-        if union <= 0 or den * shared < num * union:
+    def threshold_filter(batch: pa.Table) -> pa.Table:
+        if "count()" not in batch.column_names:  # empty aggregate
             return pa.table(
                 {
                     "doc_a": pa.array([], type=pa.int64()),
@@ -653,17 +659,19 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 16):
                     "n_union": pa.array([], type=pa.int64()),
                 }
             )
+        shared = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_a = batch["min(n_a)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = batch["min(n_b)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = n_a + n_b - shared
+        keep = np.flatnonzero((union > 0) & (den * shared >= num * union))
+        take = pa.array(keep)
         return pa.table(
             {
-                "doc_a": group["doc_a"].slice(0, 1),
-                "doc_b": group["doc_b"].slice(0, 1),
-                "n_shared": pa.array([shared], type=pa.int64()),
-                "n_union": pa.array([union], type=pa.int64()),
+                "doc_a": batch["doc_a"].take(take),
+                "doc_b": batch["doc_b"].take(take),
+                "n_shared": pa.array(shared[keep], type=pa.int64()),
+                "n_union": pa.array(union[keep], type=pa.int64()),
             }
         )
 
-    return (
-        cooc.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(reduce_pair, batch_format="pyarrow")
-    )
+    return agg.map_batches(threshold_filter, batch_format="pyarrow")

@@ -500,6 +500,23 @@ def embedding_near_dups(ds, threshold: float = 0.98, n_planes: int = 8, n_tables
             }
         )
 
+    return (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            _near_dup_bucket_pairs(threshold, n_tables), batch_format="pyarrow"
+        )
+    )
+
+
+def _near_dup_bucket_pairs(threshold: float, n_tables: int, max_pairs: int = 1 << 22):
+    """In-bucket exact-cosine verification for embedding_near_dups,
+    blocked: a hot bucket (many near-identical vectors — precisely the
+    near-dup case) must not allocate the full n x n similarity matrix;
+    each block is a (rows_per, n) matmul bounded to ~max_pairs
+    entries. Module-level so the hot-bucket memory test can drive it
+    directly."""
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
@@ -513,8 +530,18 @@ def embedding_near_dups(ds, threshold: float = 0.98, n_planes: int = 8, n_tables
         mat, ids = _embedding_matrix_named(g, "vec_id", "embedding")
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order].astype(np.float64)
-        sims = mat @ mat.T
-        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        n = len(ids)
+        rows_per = max(1, max_pairs // n)
+        blk_a, blk_b = [], []
+        for i0 in range(0, n - 1, rows_per):
+            i1 = min(i0 + rows_per, n - 1)
+            sims = mat[i0:i1] @ mat.T  # (rows, n)
+            r, c = np.nonzero(sims >= threshold)
+            keep = c > r + i0  # strict upper triangle
+            blk_a.append(r[keep] + i0)
+            blk_b.append(c[keep])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
+        ia, ib = cat(blk_a), cat(blk_b)
         if table_no > 0 and len(ia):
             # emitted by the lowest matching table only (exact codes
             # carried from the bucketing pass)
@@ -538,11 +565,7 @@ def embedding_near_dups(ds, threshold: float = 0.98, n_planes: int = 8, n_tables
             }
         )
 
-    return (
-        ds.map_batches(to_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
+    return bucket_pairs
 
 
 def _embedding_matrix_named(batch: pa.Table, id_col: str, emb_col: str):
