@@ -141,9 +141,19 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
-    from fsst_ray.functions.similarity import lsh_topk
+    """Approximate LSH ANN made oracle-checkable without weakening the
+    approximation: plant deterministic cosine-identical twins, query
+    the planted originals, and project to rank-1 — the twin (sim 1.0)
+    shares every LSH bucket with its original, so the 8-plane
+    approximate path must find it, and SQL can recompute the rank-1
+    neighbor exactly. Ranks 2+ stay approximate (pytest recall test)."""
+    import pyarrow.compute as pc
 
-    return lsh_topk(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+    from fsst_ray.functions.similarity import lsh_topk, plant_twins
+
+    aug = plant_twins(_read(sf_dir, "embeddings"))
+    t = lsh_topk(aug, query_ids=[i * 50 for i in range(10)], k=5)
+    return t.filter(pc.equal(t["rank"], 1))
 
 
 def _q_ann_lsh_exhaustive(sf_dir: str):
@@ -159,11 +169,17 @@ def _q_ann_lsh_exhaustive(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    from fsst_ray.functions.similarity import ivf_topk
+    """Approximate IVF ANN, oracle-checked at rank-1 via planted twins
+    (same pattern as ann_lsh_topk): a cosine-identical twin is assigned
+    to the same centroid as its original, which is always in the
+    query's probe list, so nprobe=8 must return it at rank 1."""
+    import pyarrow.compute as pc
 
-    return ivf_topk(
-        _read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5, nprobe=8
-    )
+    from fsst_ray.functions.similarity import ivf_topk, plant_twins
+
+    aug = plant_twins(_read(sf_dir, "embeddings"))
+    t = ivf_topk(aug, query_ids=[i * 50 for i in range(10)], k=5, nprobe=8)
+    return t.filter(pc.equal(t["rank"], 1))
 
 
 def _q_ann_ivf_exhaustive(sf_dir: str):
@@ -692,6 +708,32 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
             "FROM embeddings q, embeddings b "
             "WHERE q.vec_id < 10 AND b.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+        "ann_lsh_topk": (
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000000 AS vec_id, "
+            "list_transform(embedding, x -> x * 1.001) AS embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0) "
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
+            "FROM aug q, aug b "
+            "WHERE q.vec_id % 50 = 0 AND q.vec_id < 500 AND b.vec_id != q.vec_id) "
+            "WHERE rank = 1"
+        ),
+        "ann_ivf_topk": (
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000000 AS vec_id, "
+            "list_transform(embedding, x -> x * 1.001) AS embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0) "
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id) AS rank "
+            "FROM aug q, aug b "
+            "WHERE q.vec_id % 50 = 0 AND q.vec_id < 500 AND b.vec_id != q.vec_id) "
+            "WHERE rank = 1"
         ),
         "ann_lsh_exhaustive": (
             "SELECT query_id, rank, neighbor_id FROM ("
