@@ -201,6 +201,7 @@ class _BucketWriter:
         self.flush_tokens = flush_tokens or max(4 * chunk_tokens, 1 << 20)
         self.budget_tokens = budget_tokens or max(16 * self.flush_tokens, 64 << 20)
         self.parts: dict[str, dict] = {}
+        self.errors: list[str] = []  # deferred input-precondition errors
         self.seen_sends: set = set()
         self.pinned_tokens = 0  # tokens held via zero-copy slices
         # telemetry (seconds): exchange attribution for bench tuning
@@ -224,6 +225,10 @@ class _BucketWriter:
                 "bytes_in": 0,
                 "bytes_out": 0,
                 "codecs": {},
+                # sorted u64 digests of doc_ids flushed so far: the
+                # duplicate guard must also catch dups split across
+                # flushes of the same bucket (8 B/doc, bucket-bounded)
+                "doc_digests": np.empty(0, dtype=np.uint64),
             }
         return st
 
@@ -289,15 +294,39 @@ class _BucketWriter:
         self.pinned_tokens -= st["pinned"]
         st["pinned"] = 0
         st["buf_tokens"] = 0
+        # duplicate-doc_id guards. Errors are RECORDED and raised at
+        # finalize, never from add(): a raise mid-add would mark the
+        # send as seen while dropping later parts, so the task retry's
+        # resend is deduped away and the exchange drain poll hangs —
+        # deferring keeps delivery intact and surfaces the error
+        # deterministically on the driver's finalize ray.get.
         doc_ids = rows["doc_id"].to_numpy(zero_copy_only=False)
         sd = np.sort(doc_ids)
         dup = sd[1:] == sd[:-1]
         if dup.any():
-            raise ValueError(
+            self.errors.append(
                 f"duplicate doc_id rows in bucket {key}: "
                 f"{np.unique(sd[1:][dup])[:5].tolist()} "
                 "(input precondition: doc_id must be unique per row)"
             )
+        # cross-flush guard: compare u64 digests against every earlier
+        # flush of this bucket (a duplicate pair can straddle a flush
+        # boundary once a bucket exceeds flush_tokens)
+        import polars as pl
+
+        col = rows["doc_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        digests = np.sort(pl.from_arrow(col).hash(seed=23).to_numpy().astype(np.uint64))
+        if len(st["doc_digests"]) and np.isin(
+            digests, st["doc_digests"], assume_unique=True
+        ).any():
+            self.errors.append(
+                f"duplicate doc_id across flushes in bucket {key} "
+                "(input precondition: doc_id must be unique per row)"
+            )
+        st["doc_digests"] = np.concatenate([st["doc_digests"], digests])
+        st["doc_digests"].sort()
         # doc-sorted chunking via sort_keys: no physical table sort —
         # the chunk gather inside encode copies the values once anyway
         _t0 = time.perf_counter()
@@ -338,8 +367,11 @@ class _BucketWriter:
     def finalize(self, expected: dict[str, int]) -> list[dict]:
         entries = []
         for key in sorted(self.parts):
+            self._flush(key, self.parts[key])
+        if self.errors:
+            raise ValueError("; ".join(self.errors[:5]))
+        for key in sorted(self.parts):
             st = self.parts[key]
-            self._flush(key, st)
             if st["writer"] is None:
                 continue
             st["writer"].close()
@@ -520,10 +552,10 @@ def encode_dataset(
         # send acknowledgement policy:
         #   full   — each route task ray.gets every send: strictest
         #            in-flight bound (~concurrent blocks) and the
-        #            simplest delivery guarantee. DEFAULT: at 32 CPUs
-        #            it measures equal to window within VM noise, and
-        #            bounded in-flight routed bytes is the conservative
-        #            posture for cluster-scale runs.
+        #            simplest delivery guarantee. Default above 8 CPUs:
+        #            there it measures equal to window within VM noise,
+        #            and bounded in-flight routed bytes is the
+        #            conservative posture for cluster-scale runs.
         #   window — wait for all-but-K sends: kills the convoy where
         #            every task waits on its round's slowest writer;
         #            measured 1.7x faster at 4 CPUs (where few
@@ -534,15 +566,30 @@ def encode_dataset(
         # window/none rely on the driver-side drain poll before
         # finalize; a worker dying after task completion is detected by
         # the poll timing out -> rerun with resume.
-        route_ack = os.environ.get("FSST_ROUTE_ACK", "full")
+        # auto (default): window at low parallelism — the full-ack
+        # convoy (every route task waiting on its round's slowest
+        # writer) costs ~1.7x at 4 CPUs where few concurrent tasks
+        # hide it, while at 16-32 CPUs the two policies measure equal,
+        # so the conservative bounded-in-flight posture is kept there
+        route_ack = os.environ.get("FSST_ROUTE_ACK", "auto")
+        if route_ack == "auto":
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            route_ack = "window" if cluster_cpus <= 8 else "full"
         ack_window = int(os.environ.get("FSST_ROUTE_ACK_WINDOW", "4"))
         # read driver-side and captured by the route closure: workers
         # started before the test set the env would not see it
         fault_dir = os.environ.get("FSST_FAULT_ROUTE_ONCE_DIR")
-        # num_cpus=0: writers only buffer table refs until finalize, so
-        # they must not steal task slots from the routing map stage
+        # Writers encode+write parquet incrementally inside add(), so
+        # they DO burn CPU — but on a single node, declaring it
+        # (num_cpus=1) would let the cpus//2 writer pool reserve half
+        # the task slots and starve the routing map stage; measured
+        # best single-node config is an unreserved pool (num_cpus=0)
+        # sized to cpus//2 so routing and encoding overlap. On a
+        # multi-node cluster set FSST_WRITER_NUM_CPUS (e.g. 1) so the
+        # scheduler accounts for writer CPU and spreads actors.
+        writer_cpus = float(os.environ.get("FSST_WRITER_NUM_CPUS", "0"))
         writer_pool = [
-            ray.remote(num_cpus=0)(_BucketWriter).remote(
+            ray.remote(num_cpus=writer_cpus)(_BucketWriter).remote(
                 out_dir,
                 states,
                 chunk_tokens,

@@ -2,12 +2,15 @@
 
 The reference trains one table per corpus from a <=16 KiB pseudo-random
 sample (make_sample, reference src/builder.rs:535-584). Distributed
-adaptation: every block contributes its K lowest-priority 512-byte row
-chunks per source (priority = stable hash of doc_id), a tiny
-groupby("source") selects the global K lowest, and the kernel's own
+adaptation: every block contributes its lowest-priority 512-byte row
+chunks per source (priority = stable hash of doc_id) until the
+FSST_SAMPLEMAX byte budget, a tiny groupby("source") consumes the
+globally lowest until the same budget, and the kernel's own
 make_sample/train runs on those. Because each block emits its full
-top-K, the global top-K is independent of how rows are split into
-blocks — sampling is deterministic under any partitioning.
+budget prefix, the global budget prefix is independent of how rows are
+split into blocks — sampling is deterministic under any partitioning
+(any candidate inside the global prefix has block-cumulative bytes <=
+its global-cumulative bytes, so its block emitted it).
 
 The same scan also emits per-(block, source) token-mass partials used
 for skew-aware bucket planning, so pass 1 is a single read of the input.
@@ -22,7 +25,15 @@ from ..codecs.fsst_codec import train_with_ratio
 from ..kernel.fsst import FSST_SAMPLELINE, FSST_SAMPLEMAX, fsst_hash
 from .serialize import tokens_views
 
-SAMPLE_K = 64  # per-source chunks kept per block AND globally (64*512B = 32 KiB = FSST_SAMPLEMAX)
+# Per-source candidate emission per block is bounded by the SAMPLEMAX
+# byte budget (emit lowest-priority chunks while cumulative bytes <
+# FSST_SAMPLEMAX), matching the global consumer's rule. This keeps the
+# selected sample partition-independent: any candidate inside the
+# global budget prefix is inside its own block's budget prefix too
+# (its block-cumulative <= its global-cumulative). With full 512-byte
+# chunks the budget equals the historical 64-chunk cap (64*512B =
+# 32 KiB); short-doc sources emit more, smaller chunks (ADVICE r2 #1).
+SAMPLE_K = 64  # historical cap, kept for reference/tests (== budget/512B)
 
 
 def _doc_priorities(doc_ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -42,6 +53,7 @@ def sample_and_mass_batch(batch: pa.Table) -> pa.Table:
     priorities = _doc_priorities(batch["doc_id"])
 
     out_source, out_priority, out_chunk, out_mass, out_rows = [], [], [], [], []
+    out_is_mass = []
     order = np.argsort(sources, kind="stable")
     sorted_sources = sources[order]
     boundaries = np.flatnonzero(sorted_sources[1:] != sorted_sources[:-1]) + 1
@@ -49,33 +61,41 @@ def sample_and_mass_batch(batch: pa.Table) -> pa.Table:
     for g in range(len(group_starts) - 1):
         idx = order[group_starts[g] : group_starts[g + 1]]
         source = sorted_sources[group_starts[g]]
-        # mass row (priority=0 marks it; chunk empty)
+        # mass row (is_mass marks it; chunk empty)
         out_source.append(source)
         out_priority.append(0)
+        out_is_mass.append(True)
         out_chunk.append(b"")
         out_mass.append(int(n_tok[idx].sum()))
         out_rows.append(len(idx))
-        # sample rows: K lowest priorities among non-empty rows
+        # sample rows: lowest priorities among non-empty rows, emitted
+        # until the block's cumulative chunk bytes reach the budget
         nonempty = idx[n_tok[idx] > 0]
         if len(nonempty) == 0:
             continue
         pr = priorities[nonempty]
-        take = nonempty[np.argsort(pr, kind="stable")[:SAMPLE_K]]
-        for i in take:
+        total = 0
+        for i in nonempty[np.argsort(pr, kind="stable")]:
+            if total >= FSST_SAMPLEMAX:
+                break
             start, end = 4 * int(offsets[i]), 4 * int(offsets[i + 1])
             row_len = end - start
             n_chunks = 1 + (row_len - 1) // FSST_SAMPLELINE
             chunk_no = fsst_hash(int(priorities[i])) % n_chunks
             lo = start + FSST_SAMPLELINE * chunk_no
+            chunk = raw[lo : min(lo + FSST_SAMPLELINE, end)]
             out_source.append(source)
-            out_priority.append(int(priorities[i]) or 1)
-            out_chunk.append(raw[lo : min(lo + FSST_SAMPLELINE, end)])
+            out_priority.append(int(priorities[i]))  # true priority
+            out_is_mass.append(False)
+            out_chunk.append(chunk)
             out_mass.append(0)
             out_rows.append(0)
+            total += len(chunk)
     return pa.table(
         {
             "source": pa.array(out_source, type=pa.string()),
             "priority": pa.array(out_priority, type=pa.uint64()),
+            "is_mass": pa.array(out_is_mass, type=pa.bool_()),
             "chunk": pa.array(out_chunk, type=pa.large_binary()),
             "mass": pa.array(out_mass, type=pa.int64()),
             "rows": pa.array(out_rows, type=pa.int64()),
@@ -89,8 +109,9 @@ def train_source_group(group: pa.Table) -> pa.Table:
     mass = int(pa.compute.sum(group["mass"]).as_py() or 0)
     rows = int(pa.compute.sum(group["rows"]).as_py() or 0)
     pr = group["priority"].to_numpy(zero_copy_only=False)
+    is_mass = group["is_mass"].to_numpy(zero_copy_only=False)
     chunks = group["chunk"].to_pylist()
-    sample_rows = [(p, c) for p, c in zip(pr, chunks) if p != 0]
+    sample_rows = [(p, c) for p, c, m in zip(pr, chunks, is_mass) if not m]
     sample_rows.sort(key=lambda t: t[0])
     lines, total = [], 0
     for _, c in sample_rows:
@@ -120,7 +141,15 @@ def mass_partials_batch(batch: pa.Table) -> pa.Table:
     priorities = _doc_priorities(batch["doc_id"])
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
 
-    out = {"source": [], "mass": [], "rows": [], "priority": [], "doc_id": []}
+    out = {
+        "source": [],
+        "mass": [],
+        "rows": [],
+        "priority": [],
+        "is_mass": [],
+        "doc_id": [],
+        "chunk_len": [],
+    }
     order = np.argsort(sources, kind="stable")
     ss = sources[order]
     bounds = np.concatenate(
@@ -133,24 +162,41 @@ def mass_partials_batch(batch: pa.Table) -> pa.Table:
         out["mass"].append(int(n_tok[idx].sum()))
         out["rows"].append(len(idx))
         out["priority"].append(0)
+        out["is_mass"].append(True)
         out["doc_id"].append("")
+        out["chunk_len"].append(0)
         nonempty = idx[n_tok[idx] > 0]
         if len(nonempty) == 0:
             continue
-        take = nonempty[np.argsort(priorities[nonempty], kind="stable")[:SAMPLE_K]]
-        for i in take:
+        total = 0
+        for i in nonempty[np.argsort(priorities[nonempty], kind="stable")]:
+            if total >= FSST_SAMPLEMAX:
+                break
+            # the chunk the full-scan path would cut is a pure function
+            # of (n_tok, priority): compute its exact length here so
+            # candidate selection can apply the SAMPLEMAX byte budget
+            # without reading any token bytes
+            row_len = 4 * int(n_tok[i])
+            n_chunks = 1 + (row_len - 1) // FSST_SAMPLELINE
+            chunk_no = fsst_hash(int(priorities[i])) % n_chunks
+            clen = min(FSST_SAMPLELINE, row_len - FSST_SAMPLELINE * chunk_no)
             out["source"].append(source)
             out["mass"].append(0)
             out["rows"].append(0)
-            out["priority"].append(int(priorities[i]) or 1)
+            out["priority"].append(int(priorities[i]))  # true priority
+            out["is_mass"].append(False)
             out["doc_id"].append(str(doc_ids[i]))
+            out["chunk_len"].append(clen)
+            total += clen
     return pa.table(
         {
             "source": pa.array(out["source"], type=pa.string()),
             "mass": pa.array(out["mass"], type=pa.int64()),
             "rows": pa.array(out["rows"], type=pa.int64()),
             "priority": pa.array(out["priority"], type=pa.uint64()),
+            "is_mass": pa.array(out["is_mass"], type=pa.bool_()),
             "doc_id": pa.array(out["doc_id"], type=pa.string()),
+            "chunk_len": pa.array(out["chunk_len"], type=pa.int64()),
         }
     )
 
@@ -188,16 +234,26 @@ def train_states_pruned(input_path: str) -> tuple[dict[str, dict], dict[str, dic
         info = by_source.setdefault(
             r["source"], {"tokens": 0, "rows": 0, "cands": []}
         )
-        if r["priority"] == 0:
+        if r["is_mass"]:
             info["tokens"] += int(r["mass"])
             info["rows"] += int(r["rows"])
         else:
-            info["cands"].append((int(r["priority"]), r["doc_id"]))
+            info["cands"].append((int(r["priority"]), r["doc_id"], int(r["chunk_len"])))
     sample_ids: dict[str, int] = {}
     for source, info in by_source.items():
         info["cands"].sort()
-        info["cands"] = info["cands"][:SAMPLE_K]
-        for pr, doc in info["cands"]:
+        # keep candidates by the same SAMPLEMAX byte budget the
+        # full-scan consumer applies (append while total < budget) —
+        # a count cap would under-sample short-doc sources whose
+        # chunks are < FSST_SAMPLELINE bytes
+        kept, total = [], 0
+        for pr, doc, clen in info["cands"]:
+            if total >= FSST_SAMPLEMAX:
+                break
+            kept.append((pr, doc))
+            total += clen
+        info["cands"] = kept
+        for pr, doc in kept:
             sample_ids[doc] = pr
 
     if sample_ids:
@@ -282,7 +338,7 @@ def train_states(ds, reduce: str = "auto") -> tuple[dict[str, bytes], dict[str, 
     by_source: dict[str, dict] = {}
     for r in rows:
         info = by_source.setdefault(r["source"], {"tokens": 0, "rows": 0, "samples": []})
-        if r["priority"] == 0:
+        if r["is_mass"]:
             info["tokens"] += int(r["mass"])
             info["rows"] += int(r["rows"])
         else:

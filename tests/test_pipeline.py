@@ -161,6 +161,28 @@ def test_duplicate_doc_id_rejected(ray_session, tmp_path):
         )
 
 
+def test_duplicate_doc_id_across_flushes_rejected(ray_session, tmp_path):
+    """Duplicated doc_ids that land in DIFFERENT flushes of the same
+    bucket must still raise (ADVICE r2 item 2): tiny flush threshold
+    forces a flush per add, duplicates arrive in separate blocks."""
+    import ray.data as rd
+
+    rows = tokens_table(0.05)
+    # two blocks, each containing row 0 exactly once -> the duplicate
+    # pair reaches the bucket writer in two separate add()/flush calls
+    # (within-flush dedup never sees both rows together)
+    t2 = rows.take(pa.array([0]))
+    ds = rd.from_arrow(rows).union(rd.from_arrow(t2))
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        encode_dataset(
+            ds,
+            str(tmp_path / "enc_dup2"),
+            chunk_tokens=1 << 14,
+            bucket_tokens=1 << 15,
+            writer_flush_tokens=1,  # flush on every add
+        )
+
+
 def test_pruned_pass1_matches_full_scan(tokens_ds, ray_session):
     """train_states_pruned (projected mass scan + doc_id-filtered sample
     read) must produce bit-identical states and mass to the full scan."""
@@ -175,6 +197,58 @@ def test_pruned_pass1_matches_full_scan(tokens_ds, ray_session):
     for source in s_full:
         assert s_full[source]["fsst"] == s_pruned[source]["fsst"], source
         assert s_full[source]["ratio"] == s_pruned[source]["ratio"], source
+
+
+def test_pruned_pass1_matches_full_scan_short_docs(ray_session, tmp_path):
+    """Short-doc corpus (chunks well under FSST_SAMPLELINE): the pruned
+    path must select candidates by the SAMPLEMAX byte budget — a
+    SAMPLE_K count cap would train on fewer bytes than the full scan
+    consumes (ADVICE r2 item 1). Also exercises more candidates than
+    SAMPLE_K being kept."""
+    import ray.data as rd
+
+    from fsst_ray.stages.trainer import SAMPLE_K, train_states, train_states_pruned
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(300):
+        # 20-40 tokens -> 80-160 bytes per chunk, far below 512
+        n = int(rng.integers(20, 41))
+        rows.append(
+            {
+                "doc_id": f"d{i:05d}",
+                "tokens": rng.integers(0, 50, size=n).astype(np.int32).tolist(),
+                "n_tok": n,
+                "source": "short",
+            }
+        )
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("tokens", pa.list_(pa.int32())),
+                ("n_tok", pa.int32()),
+                ("source", pa.string()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "short_docs")
+    import pathlib
+
+    pathlib.Path(path).mkdir()
+    import pyarrow.parquet as pq
+
+    # several files so per-block top-K union exceeds one block's K
+    for part in range(3):
+        pq.write_table(table.slice(part * 100, 100), f"{path}/part{part}.parquet")
+
+    ds = rd.read_parquet(path, file_extensions=["parquet"])
+    s_full, m_full = train_states(ds, reduce="driver")
+    s_pruned, m_pruned = train_states_pruned(path)
+    assert m_full == m_pruned
+    assert s_full["short"]["fsst"] == s_pruned["short"]["fsst"]
+    assert s_full["short"]["ratio"] == s_pruned["short"]["ratio"]
 
 
 def test_encode_sort_keys_permutation_regression():
