@@ -163,6 +163,25 @@ def run_bench() -> dict:
     return out
 
 
+def _ceiling_work(q, dur: float):
+    # runs in a SPAWNED child: numpy is imported here for the first
+    # time in the process, after the parent exported *_NUM_THREADS=1,
+    # so BLAS really is single-threaded. A forked child would inherit
+    # the parent's already-initialized BLAS thread pool and the
+    # per-process accounting would be skewed (ADVICE r2 item 4).
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    a = rng.random((256, 256))
+    t_end = time.perf_counter() + dur
+    n = 0
+    while time.perf_counter() < t_end:
+        a = a @ a
+        a /= np.abs(a).max() + 1
+        n += 1
+    q.put(n)
+
+
 def _hw_ceiling(lo: int, hi: int, secs: float = 6.0) -> float:
     """Measured pure-compute scaling ceiling of THIS machine: aggregate
     throughput of hi vs lo independent cache-resident matmul processes.
@@ -173,28 +192,20 @@ def _hw_ceiling(lo: int, hi: int, secs: float = 6.0) -> float:
     the scaling report includes it for normalization."""
     import multiprocessing as mp
 
-    def work(q, dur):
-        import numpy as np
-
-        rng = np.random.default_rng(1)
-        a = rng.random((256, 256))
-        t_end = time.perf_counter() + dur
-        n = 0
-        while time.perf_counter() < t_end:
-            a = a @ a
-            a /= np.abs(a).max() + 1
-            n += 1
-        q.put(n)
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["MKL_NUM_THREADS"] = "1"
+    ctx = mp.get_context("spawn")
 
     def agg(nproc: int) -> float:
-        q = mp.Queue()
-        ps = [mp.Process(target=work, args=(q, secs)) for _ in range(nproc)]
+        q = ctx.Queue()
+        ps = [
+            ctx.Process(target=_ceiling_work, args=(q, secs)) for _ in range(nproc)
+        ]
         [p.start() for p in ps]
         [p.join() for p in ps]
         return sum(q.get() for _ in ps) / secs
 
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
     return (agg(hi) / agg(lo)) / (hi / lo)
 
 
@@ -223,22 +234,30 @@ def run_scaling() -> dict:
     # from 4->16. N and 4N per the evidence plan in BASELINE.md.
     lo = int(os.environ.get("FSST_SCALING_LO", "4"))
     hi = 4 * lo
-    # best of two per level, legs ALTERNATED (lo,hi,lo,hi): this VM's
-    # noise comes in multi-minute windows, so grouped ordering lets one
-    # window hit only one level and bias the ratio (observed raw
-    # efficiency swinging 0.39-0.77 across grouped-leg runs whose
-    # per-leg best times were otherwise reproducible)
-    best: dict[int, dict] = {}
-    for _ in range(2):
+    # median-of-5 per level, legs ALTERNATED (lo,hi,lo,hi,...): this
+    # VM's noise comes in multi-minute windows, so grouped ordering
+    # lets one window hit only one level and bias the ratio (observed
+    # raw efficiency swinging 0.39-0.77 across grouped-leg runs whose
+    # per-leg best times were otherwise reproducible). The reported
+    # efficiency is computed from per-leg MEDIAN wall times — robust to
+    # a single noise window hitting any one rep — with the per-rep
+    # times and the best-leg efficiency recorded alongside.
+    reps = int(os.environ.get("FSST_SCALING_REPS", "5"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
         for ncpu in (lo, hi):
-            r = run_once(ncpu)
-            if ncpu not in best or r["value"] < best[ncpu]["value"]:
-                best[ncpu] = r
-    r_lo, r_hi = best[lo], best[hi]
+            runs[ncpu].append(run_once(ncpu))
+
+    def median_run(rs: list[dict]) -> dict:
+        return sorted(rs, key=lambda r: r["value"])[len(rs) // 2]
+
+    r_lo, r_hi = median_run(runs[lo]), median_run(runs[hi])
     ceiling = _hw_ceiling(lo, hi)
     thr_lo = r_lo["tokens"] / r_lo["value"]
     thr_hi = r_hi["tokens"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    best_lo = min(r["value"] for r in runs[lo])
+    best_hi = min(r["value"] for r in runs[hi])
     stage_eff = {
         k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
         for k in r_hi["queries"]
@@ -248,11 +267,15 @@ def run_scaling() -> dict:
         "metric": f"scaling efficiency (headline encode+decode, {lo} vs {hi} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "protocol": f"median-of-{reps}, legs alternated",
         "hw_ceiling": round(ceiling, 3),
         "value_normalized": round(eff / ceiling, 3),
+        "value_best_legs": round((best_lo / best_hi) / (hi / lo), 3),
         "stage_efficiency": stage_eff,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        "sec_lo_all": [r["value"] for r in runs[lo]],
+        "sec_hi_all": [r["value"] for r in runs[hi]],
         "cpus_lo": lo,
         "cpus_hi": hi,
         "tokens_per_sec_lo": round(thr_lo),
