@@ -14,7 +14,7 @@ rule: dict, RLE, FSST, bit-pack, frame-of-reference.
 
 from __future__ import annotations
 
-from .base import Codec, decode_payload, CODEC_BY_ID, CODEC_BY_NAME, register
+from .base import Codec, decode_payload, decode_payload_into, CODEC_BY_ID, CODEC_BY_NAME, register
 from .simple import PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec
 from .fsst_codec import FsstCodec
 from .select import select_codec, encode_chunk, chunk_stats
@@ -22,6 +22,7 @@ from .select import select_codec, encode_chunk, chunk_stats
 __all__ = [
     "Codec",
     "decode_payload",
+    "decode_payload_into",
     "CODEC_BY_ID",
     "CODEC_BY_NAME",
     "register",

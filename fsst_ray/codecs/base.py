@@ -48,6 +48,14 @@ class Codec:
         """Decode the codec-specific body back into int32 values."""
         raise NotImplementedError
 
+    def decode_values_into(self, body: bytes, n_values: int, out: np.ndarray) -> None:
+        """Decode into a caller-provided int32 array of exactly
+        n_values elements. The caller must guarantee 8 writable bytes
+        of memory beyond out's end (codecs with 8-byte-store kernels
+        overshoot; see native.decompress_bulk). Default: decode then
+        copy — codecs override when they can write in place."""
+        out[:] = self.decode_values(body, n_values)
+
     # -- framing ----------------------------------------------------------
     def encode(self, values: np.ndarray, state: bytes | None = None) -> bytes:
         body = self.encode_values(np.ascontiguousarray(values, dtype=np.int32), state)
@@ -68,3 +76,19 @@ def decode_payload(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt chunk: implausible n_values {n_values}")
     codec = CODEC_BY_ID[codec_id]
     return codec.decode_values(payload[10:], n_values)
+
+
+def decode_payload_into(payload: bytes, out: np.ndarray) -> None:
+    """Decode a framed chunk payload into a caller-provided int32 array
+    (len(out) must equal the frame's n_values; 8 writable bytes must
+    exist beyond out's end — see Codec.decode_values_into)."""
+    codec_id, version, n_values = struct.unpack_from("<BBq", payload, 0)
+    if version != _MAGIC_VERSION:
+        raise ValueError(f"corrupt chunk: unknown payload version {version}")
+    if codec_id not in CODEC_BY_ID:
+        raise ValueError(f"corrupt chunk: unknown codec id {codec_id}")
+    if n_values != len(out):
+        raise ValueError(
+            f"chunk frame declares {n_values} values but metadata expects {len(out)}"
+        )
+    CODEC_BY_ID[codec_id].decode_values_into(payload[10:], n_values, out)

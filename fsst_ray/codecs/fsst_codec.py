@@ -106,6 +106,19 @@ class FsstCodec(Codec):
         return struct.pack("<I", len(state)) + state + codes.tobytes()
 
     def decode_values(self, body, n_values):
+        decoded, _ = self._decompress(body, n_values, out=None)
+        return decoded.view("<i4").astype(np.int32, copy=False)
+
+    def decode_values_into(self, body, n_values, out):
+        u8 = out.view(np.uint8)
+        decoded, _ = self._decompress(body, n_values, out=u8)
+        if len(decoded) != 4 * n_values:
+            raise ValueError(
+                f"fsst chunk decoded {len(decoded)} bytes, expected {4 * n_values}"
+            )
+
+    @staticmethod
+    def _decompress(body, n_values, out):
         (state_len,) = struct.unpack_from("<I", body, 0)
         state = body[4 : 4 + state_len]
         n = state[1] | (state[2] << 8)
@@ -113,10 +126,9 @@ class FsstCodec(Codec):
         lengths = np.frombuffer(state, dtype="u1", count=n, offset=4 + 8 * n).astype(np.uint8)
         codes = np.frombuffer(body, dtype=np.uint8, offset=4 + state_len)
         offsets = np.array([0, len(codes)], dtype=np.int64)
-        out, _ = native.decompress_bulk(
-            codes, offsets, symbols, lengths, decoded_size_hint=4 * n_values
+        return native.decompress_bulk(
+            codes, offsets, symbols, lengths, decoded_size_hint=4 * n_values, out=out
         )
-        return out.view("<i4").astype(np.int32, copy=False)
 
 
 FSST = register(FsstCodec())

@@ -25,6 +25,12 @@ _LOAD_FAILED = False
 
 
 def _build_and_load():
+    # test hook: tools/sanitize_check.py points this at an
+    # ASan/UBSan-instrumented build (with libasan LD_PRELOADed) so the
+    # whole parity/property suite runs under the sanitizers
+    override = os.environ.get("FSST_NATIVE_SO")
+    if override:
+        return _bind(ctypes.CDLL(override))
     src = _SRC.read_bytes()
     digest = hashlib.sha256(src).hexdigest()[:16]
     so_path = pathlib.Path(f"/tmp/fsst_ray_native_{digest}.so")
@@ -36,7 +42,10 @@ def _build_and_load():
             capture_output=True,
         )
         os.replace(tmp, so_path)  # atomic: concurrent workers race safely
-    lib = ctypes.CDLL(str(so_path))
+    return _bind(ctypes.CDLL(str(so_path)))
+
+
+def _bind(lib):
     i64 = ctypes.c_int64
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -121,12 +130,20 @@ def compress_bulk(data: np.ndarray, offsets: np.ndarray, comp) -> tuple[np.ndarr
 
 def decompress_bulk(
     codes: np.ndarray, offsets: np.ndarray, symbols: np.ndarray, lengths: np.ndarray,
-    decoded_size_hint: int | None = None,
+    decoded_size_hint: int | None = None, out: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decompress rows of `codes` back to plaintext bytes.
 
     decoded_size_hint, when known exactly (tokens: 4*sum(n_tok)), sizes
     the output buffer tightly; otherwise worst case 8x is used.
+
+    `out`, when given, is the destination uint8 buffer: the decoded
+    bytes are written in place (no allocation, no copy-out) and the
+    returned array is a view of it. The CALLER must guarantee 8
+    writable bytes of memory beyond out's end (the kernel's symbol
+    writes are full 8-byte stores) — e.g. slices of a batch-level
+    buffer allocated with 8 spare bytes, filled in ascending order so
+    each slice's overshoot lands in the not-yet-decoded next slice.
     """
     n_rows = len(offsets) - 1
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
@@ -139,22 +156,30 @@ def decompress_bulk(
     if lib is None:
         from . import fsst as _fsst
 
-        out = bytearray()
+        buf = bytearray()
         out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
         dec = _fsst.Decompressor(symbols, lengths)
         raw = codes.tobytes()
         for r in range(n_rows):
-            out += dec.decompress(raw[offsets[r] : offsets[r + 1]])
-            out_offsets[r + 1] = len(out)
-        return np.frombuffer(bytes(out), dtype=np.uint8), out_offsets
+            buf += dec.decompress(raw[offsets[r] : offsets[r + 1]])
+            out_offsets[r + 1] = len(buf)
+        decoded = np.frombuffer(bytes(buf), dtype=np.uint8)
+        if out is not None:
+            out[: len(decoded)] = decoded
+            return out[: len(decoded)], out_offsets
+        return decoded, out_offsets
 
-    cap = (decoded_size_hint if decoded_size_hint is not None else 8 * total) + 8
     symbols = np.ascontiguousarray(symbols, dtype=np.uint64)
     lengths = np.ascontiguousarray(lengths, dtype=np.uint8)
     if len(symbols) < 256:  # C indexes blindly by code byte
         symbols = np.concatenate([symbols, np.zeros(256 - len(symbols), dtype=np.uint64)])
         lengths = np.concatenate([lengths, np.zeros(256 - len(lengths), dtype=np.uint8)])
-    out = np.empty(cap, dtype=np.uint8)
+    if out is not None:
+        assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+        dest, cap = out, len(out) + 8  # +8: caller-guaranteed slack
+    else:
+        cap = (decoded_size_hint if decoded_size_hint is not None else 8 * total) + 8
+        dest = np.empty(cap, dtype=np.uint8)
     out_offsets = np.empty(n_rows + 1, dtype=np.int64)
     written = lib.fsst_decompress_bulk(
         _ptr(codes, ctypes.c_uint8),
@@ -162,10 +187,16 @@ def decompress_bulk(
         n_rows,
         _ptr(symbols, ctypes.c_uint64),
         _ptr(lengths, ctypes.c_uint8),
-        _ptr(out, ctypes.c_uint8),
+        _ptr(dest, ctypes.c_uint8),
         cap,
         _ptr(out_offsets, ctypes.c_int64),
     )
     if written < 0:
         raise ValueError("fsst decode exceeded output capacity (bad size hint or corrupt stream)")
-    return out[:written].copy(), out_offsets
+    if out is not None:
+        return dest[:written], out_offsets
+    # exact size hint: hand back a view (8-byte slack retained);
+    # worst-case sizing: copy out so the 8x buffer can be freed
+    if decoded_size_hint is not None and written >= cap - 8:
+        return dest[:written], out_offsets
+    return dest[:written].copy(), out_offsets

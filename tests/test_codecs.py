@@ -50,6 +50,36 @@ def test_roundtrip(name, case, fsst_state):
     assert np.array_equal(decoded, values), f"{name} round-trip failed on {case}"
 
 
+@pytest.mark.parametrize("case", sorted(CASES))
+@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta"])
+def test_roundtrip_into(name, case, fsst_state):
+    """decode_payload_into must produce the same values as
+    decode_payload when writing into a slice of a larger buffer, and
+    never touch bytes outside its slice + the documented 8-byte slack
+    (the next-slice region, here sentinel-checked beyond it)."""
+    from fsst_ray.codecs import decode_payload_into
+
+    values = CASES[case]
+    codec = codecs.CODEC_BY_NAME[name]
+    if name == "bitpack" and case == "negative":
+        pytest.skip("bitpack requires non-negative values")
+    state = fsst_state if name == "fsst" else None
+    payload = codec.encode(values, state)
+    pad = 16  # slack region: first 2 int32 may be overwritten (8-byte stores)
+    buf = np.full(len(values) + pad, -12345, dtype=np.int32)
+    decode_payload_into(payload, buf[: len(values)])
+    assert np.array_equal(buf[: len(values)], values), f"{name} into-decode on {case}"
+    assert np.all(buf[len(values) + 2 :] == -12345), "write beyond documented slack"
+
+
+def test_decode_payload_into_length_mismatch():
+    payload = codecs.CODEC_BY_NAME["plain"].encode(np.arange(10, dtype=np.int32), None)
+    from fsst_ray.codecs import decode_payload_into
+
+    with pytest.raises(ValueError, match="declares 10 values"):
+        decode_payload_into(payload, np.empty(11, dtype=np.int32))
+
+
 def test_pack_bits_roundtrip():
     for width in range(0, 33):
         n = 100
