@@ -223,8 +223,24 @@ def run_scaling() -> dict:
         env.setdefault("FSST_BENCH_SCALE", "2400")
         env.setdefault("FSST_BENCH_STAGES", "headline")
         env.setdefault("FSST_BENCH_REPS", "1")  # run() is already best-of-two
+
+        # pin the whole leg (driver -> raylet -> every worker inherits
+        # the affinity mask) to a cpuset of exactly ncpu hardware
+        # threads. Without this, an "N CPU" leg only caps Ray's task
+        # slots while its workers' helper threads (polars, Arrow IO)
+        # and bursts spill onto the other idle cores — the low leg
+        # free-rides, T_lo is unrealistically fast, and the N-vs-4N
+        # ratio stops measuring cluster-size scaling at all.
+        def _pin():
+            os.sched_setaffinity(0, set(range(ncpu)))
+
         out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            preexec_fn=_pin,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

@@ -95,6 +95,13 @@ fn main() {
         results.push(("tokens_compress_1row".into(), time_compress(&c, &stdin_data, 3)));
         // decompress the same stream
         let compressed = c.compress(&stdin_data);
+        // compression ratio on the stdin bytes (real-text evidence:
+        // feed documents-table text and compare with our kernel's
+        // ratio on the same bytes — bit-identical tables by design)
+        results.push((
+            "stdin_ratio".into(),
+            stdin_data.len() as f64 / compressed.len() as f64,
+        ));
         let d = c.decompressor();
         let mut best = f64::INFINITY;
         for _ in 0..3 {
@@ -109,7 +116,7 @@ fn main() {
 
     let body: Vec<String> = results
         .iter()
-        .map(|(k, v)| format!("\"{}\": {:.1}", k, v))
+        .map(|(k, v)| format!("\"{}\": {:.4}", k, v))
         .collect();
     println!("{{{}}}", body.join(", "));
 }
