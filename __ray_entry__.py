@@ -340,6 +340,17 @@ def _q_ntok_percentiles(sf_dir: str):
     return ntok_percentiles(read_tokens_dataset(scale=_scale_for(sf_dir)))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (packed pretraining layout): global token
+    offset + sequence span per doc via a distributed exclusive
+    prefix-scan over the (doc_id, n_tok) projection — token bytes
+    never move (fsst_ray/functions/packing.py)."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.packing import pack_sequences
+
+    return pack_sequences(read_tokens_dataset(scale=_scale_for(sf_dir)), seq_len=4096)
+
+
 def _q_corpus_split(sf_dir: str):
     from fsst_ray.functions.curate import corpus_split
 
@@ -480,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "top_quality_docs": _q_top_quality,
         "ntok_percentiles": _q_ntok_percentiles,
+        "pack_sequences": _q_pack_sequences,
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
         "media_features": _q_media_features,
@@ -567,6 +579,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, LEAST(GREATEST((100*n_distinct)//GREATEST(n_words,1) + "
             "(100*n_stop_en)//GREATEST(n_words,1), 0), 200) AS quality "
             "FROM s ORDER BY quality DESC, doc_id LIMIT 100"
+        ),
+        "pack_sequences": (
+            "WITH o AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, "
+            "CAST(COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off "
+            f"FROM {corpus}) "
+            'SELECT doc_id, off AS "offset", '
+            "CAST(off // 4096 AS BIGINT) AS seq_first, "
+            "CAST(GREATEST(off + n_tok - 1, off) // 4096 AS BIGINT) AS seq_last "
+            "FROM o"
         ),
         "ntok_percentiles": (
             "SELECT source, "
