@@ -82,14 +82,20 @@ class FsstCodec(Codec):
             offsets = np.array([0, len(sample)], dtype=np.int64)
             codes, _ = native.compress_bulk(data, offsets, comp)
             ratio = len(codes) / len(sample)
-        return len(blob) + 8 + ratio * 4 * stats["n"]
+        n_seg = max(1, -(-4 * stats["n"] // self.SEGMENT_BYTES))
+        return len(blob) + 16 + 4 * n_seg + ratio * 4 * stats["n"]
 
     # encode-side segmentation: concatenated FSST code streams decode
     # identically as one stream (the decoder is stateless per code), so
     # splitting the chunk into fixed segments costs only the symbols
     # that would have spanned a boundary (~8 bytes / segment) while
-    # letting the C kernel's multi-lane interleave engage.
+    # letting the C kernel's multi-lane interleave engage — on BOTH
+    # sides: the v2 body records per-segment code lengths, and since
+    # every segment decodes to exactly SEGMENT_BYTES raw bytes (last one
+    # excepted), decode output positions are known up front and
+    # fsst_decompress_bulk_at runs N_LANES segments in lockstep.
     SEGMENT_BYTES = 1 << 15
+    _SEG_FLAG = 0x80000000  # state_len high bit marks the v2 body
 
     def encode_values(self, values, state):
         assert state is not None, "fsst codec requires trained state"
@@ -102,8 +108,15 @@ class FsstCodec(Codec):
                 np.array([len(raw)], dtype=np.int64),
             ]
         )
-        codes, _ = native.compress_bulk(raw, offsets, comp)
-        return struct.pack("<I", len(state)) + state + codes.tobytes()
+        codes, seg_off = native.compress_bulk(raw, offsets, comp)
+        seg_lens = np.diff(seg_off).astype("<u4")
+        return (
+            struct.pack("<I", len(state) | self._SEG_FLAG)
+            + state
+            + struct.pack("<II", self.SEGMENT_BYTES, len(seg_lens))
+            + seg_lens.tobytes()
+            + codes.tobytes()
+        )
 
     def decode_values(self, body, n_values):
         decoded, _ = self._decompress(body, n_values, out=None)
@@ -117,18 +130,43 @@ class FsstCodec(Codec):
                 f"fsst chunk decoded {len(decoded)} bytes, expected {4 * n_values}"
             )
 
-    @staticmethod
-    def _decompress(body, n_values, out):
+    @classmethod
+    def _decompress(cls, body, n_values, out):
         (state_len,) = struct.unpack_from("<I", body, 0)
+        segmented = bool(state_len & cls._SEG_FLAG)
+        state_len &= cls._SEG_FLAG - 1
         state = body[4 : 4 + state_len]
         n = state[1] | (state[2] << 8)
         symbols = np.frombuffer(state, dtype="<u8", count=n, offset=4).astype(np.uint64)
         lengths = np.frombuffer(state, dtype="u1", count=n, offset=4 + 8 * n).astype(np.uint8)
-        codes = np.frombuffer(body, dtype=np.uint8, offset=4 + state_len)
-        offsets = np.array([0, len(codes)], dtype=np.int64)
-        return native.decompress_bulk(
-            codes, offsets, symbols, lengths, decoded_size_hint=4 * n_values, out=out
+        if not segmented:
+            # v1 body: one unsegmented code stream (decoded sizes unknown
+            # per position -> single-cursor kernel, 8-byte out slack)
+            codes = np.frombuffer(body, dtype=np.uint8, offset=4 + state_len)
+            offsets = np.array([0, len(codes)], dtype=np.int64)
+            return native.decompress_bulk(
+                codes, offsets, symbols, lengths, decoded_size_hint=4 * n_values, out=out
+            )
+        seg_raw, n_seg = struct.unpack_from("<II", body, 4 + state_len)
+        seg_lens = np.frombuffer(body, dtype="<u4", count=n_seg, offset=12 + state_len)
+        codes = np.frombuffer(body, dtype=np.uint8, offset=12 + state_len + 4 * n_seg)
+        offsets = np.zeros(n_seg + 1, dtype=np.int64)
+        np.cumsum(seg_lens, out=offsets[1:])
+        total = 4 * n_values
+        out_offsets = np.minimum(
+            np.arange(n_seg + 1, dtype=np.int64) * seg_raw, total
         )
+        if int(out_offsets[-1]) != total or (
+            n_seg > 1 and (n_seg - 1) * seg_raw >= total
+        ):
+            raise ValueError(
+                f"fsst chunk segment table inconsistent with {n_values} values"
+            )
+        dest = out if out is not None else np.empty(total, dtype=np.uint8)
+        written = native.decompress_bulk_at(
+            codes, offsets, symbols, lengths, dest, out_offsets
+        )
+        return dest[:written], out_offsets
 
 
 FSST = register(FsstCodec())

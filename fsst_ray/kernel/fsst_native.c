@@ -362,6 +362,212 @@ void row_checksums(const int32_t *values, const int64_t *offsets,
     }
 }
 
+/* ---- interleaved decompress into KNOWN output regions ----
+ *
+ * Here `out_offsets` is an INPUT: row r decodes into
+ * out[out_offsets[r] .. out_offsets[r+1]). The encoder produces such
+ * rows by compressing fixed-raw-size segments (fsst_codec.py
+ * SEGMENT_BYTES), so decoded positions are known before decoding and
+ * N_LANES rows advance in lockstep — the same concurrent-streams trick
+ * as fsst_compress_bulk, which the reference's single-stream
+ * decompressor (spiraldb/fsst src/lib.rs:255-303) cannot use. The
+ * lockstep body is branchless (escape-vs-symbol via mask selects): the
+ * escape branch is the classic decode mispredict, and one mispredict
+ * would stall all four lanes.
+ *
+ * Stores within 8 bytes of a row's end switch to exact-length copies so
+ * nothing crosses into a neighbouring row's region (another lane may
+ * already have filled it); consequently this kernel NEVER writes
+ * outside [out+out_offsets[0], out+out_offsets[n_rows]) — no slack
+ * bytes needed. Returns total decoded bytes, or -1 if any row fails to
+ * decode to exactly its declared size (corrupt stream). */
+
+typedef struct {
+    const uint8_t *in;
+    int64_t len;
+    int64_t pos;
+    uint8_t *op;
+    uint8_t *lim;
+    int64_t row; /* -1 when idle (rows exhausted) */
+} DLane;
+
+static inline int dstep_careful(DLane *ln, const uint64_t *symbols,
+                                const uint8_t *lengths) {
+    uint8_t code = ln->in[ln->pos];
+    if (code == ESCAPE) {
+        if (ln->op >= ln->lim)
+            return -1;
+        /* a valid stream never ends in a dangling escape */
+        *ln->op++ = (ln->pos + 1 < ln->len) ? ln->in[ln->pos + 1] : 0;
+        ln->pos += 2;
+    } else {
+        uint8_t L = lengths[code];
+        if (ln->op + L > ln->lim)
+            return -1;
+        uint64_t sym = symbols[code];
+        if (ln->op + 8 <= ln->lim)
+            memcpy(ln->op, &sym, 8);
+        else
+            memcpy(ln->op, &sym, (size_t)L); /* exact tail write */
+        ln->op += L;
+        ln->pos += 1;
+    }
+    return 0;
+}
+
+static void drefill(DLane *ln, const uint8_t *codes, const int64_t *offsets,
+                    const int64_t *out_offsets, int64_t n_rows,
+                    int64_t *next_row, uint8_t *out) {
+    if (*next_row < n_rows) {
+        int64_t r = (*next_row)++;
+        ln->row = r;
+        ln->in = codes + offsets[r];
+        ln->len = offsets[r + 1] - offsets[r];
+        ln->pos = 0;
+        ln->op = out + out_offsets[r];
+        ln->lim = out + out_offsets[r + 1];
+    } else {
+        ln->row = -1;
+    }
+}
+
+int64_t fsst_decompress_bulk_at(const uint8_t *codes, const int64_t *offsets,
+                                int64_t n_rows, const uint64_t *symbols,
+                                const uint8_t *lengths, uint8_t *out,
+                                const int64_t *out_offsets) {
+    if (n_rows <= 0)
+        return 0;
+    /* pre-scan: the sampled escape rate picks the lockstep body.
+     * Near-constant branch outcomes (rate ~0 or ~1) run faster branchy
+     * — prediction makes the branch free while mask selects pay ALU
+     * cost every step; mixed rates stall the predictor and run
+     * branchless. (A sampled byte can be an escaped literal rather
+     * than a code — close enough for a loop-body heuristic; both
+     * bodies produce identical output.) */
+    int branchy = 1;
+    int64_t total = offsets[n_rows] - offsets[0];
+    if (total >= 4096) {
+        int64_t esc = 0, probes = 256;
+        for (int64_t k = 0; k < probes; k++)
+            esc += (codes[offsets[0] + (total - 1) * k / probes] == ESCAPE);
+        branchy = (esc * 100 <= probes * 15) || (esc * 100 >= probes * 90);
+    }
+    DLane lanes[N_LANES];
+    int64_t next_row = 0;
+    for (int l = 0; l < N_LANES; l++)
+        drefill(&lanes[l], codes, offsets, out_offsets, n_rows, &next_row,
+                out);
+
+    for (;;) {
+        /* top up: careful-step each lane to a runnable state (>= 2
+         * readable input bytes, >= 8 writable output bytes), verifying
+         * and refilling rows that end */
+        for (int l = 0; l < N_LANES; l++) {
+            DLane *ln = &lanes[l];
+            while (ln->row >= 0 &&
+                   (ln->pos + 2 > ln->len || ln->op + 8 > ln->lim)) {
+                if (ln->pos >= ln->len) {
+                    if (ln->op != ln->lim)
+                        return -1; /* row decoded to the wrong size */
+                    drefill(ln, codes, offsets, out_offsets, n_rows,
+                            &next_row, out);
+                } else if (dstep_careful(ln, symbols, lengths)) {
+                    return -1;
+                }
+            }
+        }
+        int any_idle = 0;
+        for (int l = 0; l < N_LANES; l++)
+            any_idle |= (lanes[l].row < 0);
+        if (any_idle)
+            break; /* fewer than N_LANES rows remain: drain below */
+
+        const uint8_t *in_[N_LANES];
+        int64_t pos_[N_LANES], end_[N_LANES];
+        uint8_t *op_[N_LANES], *lim_[N_LANES];
+        for (int l = 0; l < N_LANES; l++) {
+            in_[l] = lanes[l].in;
+            pos_[l] = lanes[l].pos;
+            end_[l] = lanes[l].len - 2;
+            op_[l] = lanes[l].op;
+            lim_[l] = lanes[l].lim - 8;
+        }
+        /* do-while is safe: the FIRST round is guarded by the top-up
+         * loop above, every later round by the run recomputation */
+        int run = 1;
+#define DLOCKSTEP(BODY)                                                       \
+    do {                                                                      \
+        _Pragma("GCC unroll 8") for (int l = 0; l < N_LANES; l++) { BODY }    \
+        run = 1;                                                              \
+        _Pragma("GCC unroll 8") for (int l = 0; l < N_LANES; l++)             \
+            run &= (pos_[l] <= end_[l]) & (op_[l] <= lim_[l]);                \
+    } while (run)
+        if (branchy) {
+            /* predictable escape branch (rate near 0 or 1): branches
+             * are free while the mask selects pay ALU cost every step */
+            DLOCKSTEP({
+                uint8_t code = in_[l][pos_[l]];
+                if (code == ESCAPE) {
+                    op_[l][0] = in_[l][pos_[l] + 1];
+                    op_[l] += 1;
+                    pos_[l] += 2;
+                } else {
+                    uint64_t sym = symbols[code];
+                    memcpy(op_[l], &sym, 8);
+                    op_[l] += lengths[code];
+                    pos_[l] += 1;
+                }
+            });
+        } else {
+            /* mixed data: one mispredict would stall all four lanes,
+             * so select escape-vs-symbol with mask arithmetic */
+            DLOCKSTEP({
+                uint8_t code = in_[l][pos_[l]];
+                uint64_t esc_m = -(uint64_t)(code == ESCAPE);
+                uint64_t w = (esc_m & in_[l][pos_[l] + 1]) |
+                             (~esc_m & symbols[code]);
+                memcpy(op_[l], &w, 8);
+                op_[l] += (esc_m & 1) | (~esc_m & lengths[code]);
+                pos_[l] += 1 + (int64_t)(esc_m & 1);
+            });
+        }
+#undef DLOCKSTEP
+        for (int l = 0; l < N_LANES; l++) {
+            lanes[l].pos = pos_[l];
+            lanes[l].op = op_[l];
+        }
+    }
+
+    /* drain the (<= N_LANES-1) still-active lanes one at a time */
+    for (int l = 0; l < N_LANES; l++) {
+        DLane *ln = &lanes[l];
+        if (ln->row < 0)
+            continue;
+        for (;;) {
+            const uint8_t *in = ln->in;
+            int64_t pos = ln->pos, end = ln->len - 2;
+            uint8_t *op = ln->op, *lim = ln->lim - 8;
+            while (pos <= end && op <= lim) {
+                uint8_t code = in[pos];
+                uint64_t esc_m = -(uint64_t)(code == ESCAPE);
+                uint64_t w = (esc_m & in[pos + 1]) | (~esc_m & symbols[code]);
+                memcpy(op, &w, 8);
+                op += (esc_m & 1) | (~esc_m & lengths[code]);
+                pos += 1 + (int64_t)(esc_m & 1);
+            }
+            ln->pos = pos;
+            ln->op = op;
+            if (ln->pos >= ln->len)
+                break;
+            if (dstep_careful(ln, symbols, lengths))
+                return -1;
+        }
+        if (ln->op != ln->lim)
+            return -1;
+    }
+    return out_offsets[n_rows] - out_offsets[0];
+}
+
 /* Returns total decoded bytes, or -1 if `out_cap` would be exceeded
  * (callers size out_cap as exact_decoded_size + 8 when known). */
 int64_t fsst_decompress_bulk(const uint8_t *codes, const int64_t *offsets,

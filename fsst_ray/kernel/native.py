@@ -57,6 +57,8 @@ def _bind(lib):
     ]
     lib.fsst_decompress_bulk.restype = i64
     lib.fsst_decompress_bulk.argtypes = [u8p, i64p, i64, u64p, u8p, u8p, i64, i64p]
+    lib.fsst_decompress_bulk_at.restype = i64
+    lib.fsst_decompress_bulk_at.argtypes = [u8p, i64p, i64, u64p, u8p, u8p, i64p]
     lib.bitpack.restype = i64
     lib.bitpack.argtypes = [i64p, i64, ctypes.c_int32, u8p]
     lib.bitunpack.restype = None
@@ -128,6 +130,79 @@ def compress_bulk(data: np.ndarray, offsets: np.ndarray, comp) -> tuple[np.ndarr
     return out[:written].copy(), out_offsets
 
 
+def _pad_tables(symbols: np.ndarray, lengths: np.ndarray):
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint8)
+    if len(symbols) < 256:  # C indexes blindly by code byte
+        symbols = np.concatenate(
+            [symbols, np.zeros(256 - len(symbols), dtype=np.uint64)]
+        )
+        lengths = np.concatenate(
+            [lengths, np.zeros(256 - len(lengths), dtype=np.uint8)]
+        )
+    return symbols, lengths
+
+
+def decompress_bulk_at(
+    codes: np.ndarray,
+    offsets: np.ndarray,
+    symbols: np.ndarray,
+    lengths: np.ndarray,
+    out: np.ndarray,
+    out_offsets: np.ndarray,
+) -> int:
+    """Decompress rows into KNOWN disjoint regions of `out`: row r
+    decodes into out[out_offsets[r]:out_offsets[r+1]].
+
+    Unlike decompress_bulk, out_offsets is an INPUT — the caller knows
+    every row's decoded size up front (fsst_codec compresses fixed-raw-
+    size segments), which lets the C kernel run N_LANES rows in
+    lockstep with a branchless body. No byte is ever written outside a
+    row's region, so `out` needs NO slack bytes. Returns total decoded
+    bytes; raises if any row does not decode to exactly its region
+    (corrupt stream)."""
+    n_rows = len(offsets) - 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    if n_rows and int(offsets[0]) != 0:
+        codes = codes[int(offsets[0]) : int(offsets[-1])]
+        offsets = offsets - offsets[0]
+    out_offsets = np.ascontiguousarray(out_offsets, dtype=np.int64)
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+    lib = get_lib()
+    if lib is None:
+        from . import fsst as _fsst
+
+        dec = _fsst.Decompressor(np.asarray(symbols, dtype=np.uint64),
+                                 np.asarray(lengths, dtype=np.uint8))
+        raw = codes.tobytes()
+        for r in range(n_rows):
+            piece = dec.decompress(raw[int(offsets[r]) : int(offsets[r + 1])])
+            lo, hi = int(out_offsets[r]), int(out_offsets[r + 1])
+            if len(piece) != hi - lo:
+                raise ValueError(
+                    "fsst segment decoded to unexpected size (corrupt stream)"
+                )
+            out[lo:hi] = np.frombuffer(piece, dtype=np.uint8)
+        return int(out_offsets[-1] - out_offsets[0]) if n_rows else 0
+
+    symbols, lengths = _pad_tables(symbols, lengths)
+    written = lib.fsst_decompress_bulk_at(
+        _ptr(codes, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64),
+        n_rows,
+        _ptr(symbols, ctypes.c_uint64),
+        _ptr(lengths, ctypes.c_uint8),
+        _ptr(out, ctypes.c_uint8),
+        _ptr(out_offsets, ctypes.c_int64),
+    )
+    if written < 0:
+        raise ValueError(
+            "fsst segment decoded to unexpected size (corrupt stream)"
+        )
+    return int(written)
+
+
 def decompress_bulk(
     codes: np.ndarray, offsets: np.ndarray, symbols: np.ndarray, lengths: np.ndarray,
     decoded_size_hint: int | None = None, out: np.ndarray | None = None,
@@ -169,11 +244,7 @@ def decompress_bulk(
             return out[: len(decoded)], out_offsets
         return decoded, out_offsets
 
-    symbols = np.ascontiguousarray(symbols, dtype=np.uint64)
-    lengths = np.ascontiguousarray(lengths, dtype=np.uint8)
-    if len(symbols) < 256:  # C indexes blindly by code byte
-        symbols = np.concatenate([symbols, np.zeros(256 - len(symbols), dtype=np.uint64)])
-        lengths = np.concatenate([lengths, np.zeros(256 - len(lengths), dtype=np.uint8)])
+    symbols, lengths = _pad_tables(symbols, lengths)
     if out is not None:
         assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
         dest, cap = out, len(out) + 8  # +8: caller-guaranteed slack

@@ -78,3 +78,64 @@ def test_row_checksums_c_matches_numpy():
     nonempty = offsets[:-1] < offsets[1:]
     ref[nonempty] = np.add.reduceat(mixed, offsets[:-1][nonempty])
     assert np.array_equal(c_sums, ref)
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_decompress_bulk_at_matches_oracle(name):
+    """The known-output-offsets lockstep decoder must reproduce every
+    golden corpus row into its exact region, with no slack bytes."""
+    lines = CORPORA[name]()
+    comp = fsst.train(lines)
+    data, offsets = _pack_rows(lines)
+    codes, code_offsets = native.compress_bulk(data, offsets, comp)
+
+    out = np.full(int(offsets[-1]) + 4, 0xEE, dtype=np.uint8)  # canary tail
+    written = native.decompress_bulk_at(
+        codes, code_offsets, comp.symbols, comp.lengths, out, offsets
+    )
+    assert written == int(offsets[-1])
+    assert out[: written].tobytes() == b"".join(lines)
+    assert np.all(out[written:] == 0xEE), "wrote outside declared regions"
+
+
+@pytest.mark.parametrize("esc_heavy", [False, True])
+def test_decompress_bulk_at_both_loop_bodies(esc_heavy):
+    """Exercise the branchy and branchless lockstep bodies (picked by
+    the escape-rate pre-scan) against the single-cursor kernel."""
+    rng = np.random.default_rng(7)
+    if esc_heavy:
+        raw = rng.integers(0, 256, size=300_000, endpoint=False).astype(np.uint8)
+        train_lines = [b"xyzw" * 256] * 8  # table unrelated to data: many escapes
+    else:
+        raw = np.tile(np.frombuffer(b"the quick brown fox ", dtype=np.uint8), 15_000)
+        train_lines = [raw[:4096].tobytes()] * 8
+    comp = fsst.train(train_lines)
+    seg = 1 << 12
+    offsets = np.concatenate(
+        [np.arange(0, len(raw), seg, dtype=np.int64), [len(raw)]]
+    )
+    codes, code_offsets = native.compress_bulk(raw, offsets, comp)
+    single, _ = native.decompress_bulk(
+        codes, code_offsets, comp.symbols, comp.lengths, decoded_size_hint=len(raw)
+    )
+    out = np.empty(len(raw), dtype=np.uint8)
+    written = native.decompress_bulk_at(
+        codes, code_offsets, comp.symbols, comp.lengths, out, offsets
+    )
+    assert written == len(raw)
+    assert np.array_equal(out, single[: len(raw)])
+    assert out.tobytes() == raw.tobytes()
+
+
+def test_decompress_bulk_at_rejects_wrong_sizes():
+    lines = [b"abcabcabc" * 100] * 6
+    comp = fsst.train(lines)
+    data, offsets = _pack_rows(lines)
+    codes, code_offsets = native.compress_bulk(data, offsets, comp)
+    bad = offsets.copy()
+    bad[1:] -= 1  # every region one byte short
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        native.decompress_bulk_at(
+            codes, code_offsets, comp.symbols, comp.lengths, out, bad
+        )
