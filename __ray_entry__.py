@@ -365,6 +365,15 @@ def _q_curate(sf_dir: str):
     return curate(_read(sf_dir, "documents"), min_quality=60, langs=("en",))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: broadcast the eval set's shingle
+    union (ray.put), vectorized membership test per training batch —
+    a broadcast semi-join with zero corpus shuffle."""
+    from fsst_ray.functions.curate import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents"), eval_mod=97, min_hits=1)
+
+
 def _q_media_features(sf_dir: str):
     """Media decode plumbing over payloads derived from the documents
     table (header fields are pure functions of doc_id, body = UTF-8
@@ -494,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
+        "decontaminate": _q_decontaminate,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
@@ -687,6 +697,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a, s b WHERE a.doc_id < b.doc_id "
             "AND 5 * len(list_intersect(a.sh, b.sh)) >= "
             "4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [text] "
+            "ELSE list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh FROM w), "
+            "ev AS (SELECT list_distinct(flatten(list(sh))) AS esh FROM s "
+            "WHERE doc_id % 97 = 0) "
+            "SELECT s.doc_id, "
+            "CAST(len(list_intersect(s.sh, ev.esh)) AS BIGINT) AS n_hits, "
+            "len(list_intersect(s.sh, ev.esh)) < 1 AS keep "
+            "FROM s, ev WHERE s.doc_id % 97 <> 0"
         ),
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "

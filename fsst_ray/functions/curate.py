@@ -138,3 +138,71 @@ def curate(ds, min_quality: int = 60, langs: tuple[str, ...] = ("en",)):
         .groupby("dedup_key")
         .map_groups(keep_winner, batch_format="pyarrow")
     )
+
+
+def decontaminate(ds, eval_mod: int = 97, min_hits: int = 1):
+    """Benchmark decontamination: drop training documents that share
+    word-3-gram shingles with a held-out eval set (here the docs with
+    ``doc_id % eval_mod == 0`` stand in for the benchmark suite).
+
+    100-TB shape: the eval set is tiny by construction (benchmarks are
+    KBs-to-MBs, the corpus is TBs), so its distinct shingle-hash union
+    is collected once (bounded by eval-set size, NOT corpus size),
+    broadcast via ``ray.put``, and every training batch runs a
+    vectorized ``searchsorted`` membership test — a broadcast semi-join
+    with ZERO corpus shuffle. Returns (doc_id, n_hits, keep) for every
+    training doc; ``keep`` is ``n_hits < min_hits``.
+
+    Shingle semantics match `ngram_jaccard_pairs` (equal text => equal
+    shingle on both engines; docs under 3 words hash the whole text).
+    """
+    import ray
+
+    from .dedup import _batch_shingles
+
+    def eval_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.flatnonzero(ids % eval_mod == 0)
+        sub = batch.take(pa.array(idx))
+        sh, _ = _batch_shingles(sub) if len(idx) else (np.empty(0, np.uint64), None)
+        return pa.table({"shingle": pa.array(np.unique(sh).astype(np.int64))})
+
+    # driver collection is eval-set-sized (distinct shingles of the
+    # benchmark docs), never corpus-sized
+    parts = ds.map_batches(eval_rows, batch_format="pyarrow").take_all()
+    eval_sh = np.unique(
+        np.array([r["shingle"] for r in parts], dtype=np.int64).astype(np.uint64)
+    )
+    ref = ray.put(eval_sh)  # sorted by np.unique
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.flatnonzero(ids % eval_mod != 0)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_hits": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+            }
+        )
+        if len(idx) == 0:
+            return empty
+        sub = batch.take(pa.array(idx))
+        sh, off = _batch_shingles(sub)
+        esh = ray.get(ref)  # zero-copy view from the object store
+        pos = np.searchsorted(esh, sh)
+        hit = np.zeros(len(sh), dtype=np.int64)
+        if len(esh):
+            inb = pos < len(esh)
+            hit[inb] = (esh[pos[inb]] == sh[inb]).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        n_hits = csum[off[1:]] - csum[off[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], type=pa.int64()),
+                "n_hits": pa.array(n_hits, type=pa.int64()),
+                "keep": pa.array(n_hits < min_hits, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -364,3 +364,29 @@ def test_embedding_hot_bucket_20k_bounded_memory():
     # full matrix would be n*n*8 = 3.2 GB; budget covers the float64
     # copy of the bucket (2.5 MB) + one ~33 MB block + transients
     assert peak < 700 * 1024 * 1024, f"peak {peak} bytes"
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    """Eval doc (id 0, % 97 == 0) contaminates a training doc that
+    copies one of its 3-grams; disjoint training docs keep=True; eval
+    docs themselves are excluded from the output."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import decontaminate
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},  # eval set
+        {"doc_id": 1, "text": "zeta eta theta iota kappa"},  # clean
+        {"doc_id": 2, "text": "xx alpha beta gamma yy"},  # shares a 3-gram
+        {"doc_id": 97, "text": "unrelated eval doc here"},  # eval set
+        {"doc_id": 3, "text": "unrelated eval doc here"},  # exact copy of eval
+    ]
+    tbl = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    out = decontaminate(rd.from_arrow(tbl), eval_mod=97, min_hits=1).to_pandas()
+    got = {int(r.doc_id): (int(r.n_hits), bool(r.keep)) for r in out.itertuples()}
+    assert set(got) == {1, 2, 3}  # eval docs 0 and 97 excluded
+    assert got[1] == (0, True)
+    assert got[2][0] >= 1 and got[2][1] is False
+    assert got[3][0] >= 1 and got[3][1] is False

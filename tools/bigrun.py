@@ -1,0 +1,189 @@
+"""Bounded-memory streaming demonstration (VERDICT r2 item 4).
+
+Streams a logical corpus much larger than the Ray object store — and on
+the default configuration, comparable to the whole VM's RAM — through
+the bucketed encode + decode/verify pipeline, and records peak machine
+memory while it runs. The writer-budget and exchange designs claim
+O(bounded) memory independent of input size; this run demonstrates it
+end-to-end instead of arguing it.
+
+Shape: the cached scale-S synthetic corpus (disk parquet) is unioned
+N_LEGS times with disjoint doc_id ranges — the pipeline streams
+N_LEGS x the bytes without needing N_LEGS x the disk. Every leg is
+re-read from parquet, re-routed through the exchange and re-encoded
+(identical text content across legs cannot be exploited anywhere:
+nothing dedups), so the streamed work is genuine. Pass 1 runs the
+full-scan path (no pruned input_path shortcut), so the input bytes are
+streamed twice: once for training mass/samples, once for encode.
+
+Usage:  python tools/bigrun.py            # one JSON line
+Env:    FSST_BIGRUN_SCALE (default 2400, ~4.2B tokens/leg)
+        FSST_BIGRUN_LEGS (default 6 -> ~25B tokens, ~101 GB token bytes)
+        FSST_BIGRUN_STORE_GB (object store cap, default 20)
+        RAY_GRAFT_CPUS (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+class MemSampler(threading.Thread):
+    """Samples /proc/meminfo; peak_used_gb = MemTotal - min(MemAvailable)
+    over the run (covers heap of every Ray worker, the plasma store in
+    /dev/shm, and page cache the kernel cannot reclaim)."""
+
+    def __init__(self, interval: float = 0.5):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.min_avail = float("inf")
+        self.total = 0
+        self._stop = threading.Event()
+
+    @staticmethod
+    def _meminfo() -> dict[str, int]:
+        out = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":")
+                out[k] = int(v.split()[0]) * 1024
+        return out
+
+    def run(self):
+        self.total = self._meminfo()["MemTotal"]
+        while not self._stop.is_set():
+            self.min_avail = min(self.min_avail, self._meminfo()["MemAvailable"])
+            self._stop.wait(self.interval)
+
+    def stop(self) -> float:
+        self._stop.set()
+        self.join()
+        return (self.total - self.min_avail) / (1 << 30)
+
+
+def main() -> None:
+    scale = float(os.environ.get("FSST_BIGRUN_SCALE", "2400"))
+    legs = int(os.environ.get("FSST_BIGRUN_LEGS", "6"))
+    store_gb = int(os.environ.get("FSST_BIGRUN_STORE_GB", "20"))
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            object_store_memory=store_gb << 30,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow as pa
+
+    from fsst_ray import decode_dataset, encode_dataset
+    from fsst_ray.sources.tokens import ensure_tokens_parquet, read_parquet_bundled
+    from fsst_ray.stages.decoder import dataset_checksum
+
+    path = ensure_tokens_parquet(scale)
+    base = read_parquet_bundled(path)
+    leg_tokens = int(base.sum("n_tok"))
+    max_id = int(base.max("doc_id"))
+    stride = max_id + 1
+
+    def shift(off: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.set_column(
+                batch.column_names.index("doc_id"),
+                "doc_id",
+                pc.add(batch["doc_id"], off),
+            )
+
+        return fn
+
+    ds = read_parquet_bundled(path)
+    for leg in range(1, legs):
+        ds = ds.union(
+            read_parquet_bundled(path).map_batches(
+                shift(leg * stride), batch_format="pyarrow"
+            )
+        )
+    total_tokens = legs * leg_tokens
+    token_bytes = 4 * total_tokens
+
+    out_root = tempfile.mkdtemp(prefix="bigrun_", dir="/tmp")
+    sampler = MemSampler()
+    sampler.start()
+    result = {}
+    try:
+        t0 = time.perf_counter()
+        enc = encode_dataset(
+            ds,
+            f"{out_root}/encoded",
+            mode="bucketed",
+            chunk_tokens=1 << 19,
+            bucket_tokens=1 << 24,  # 16M tokens/bucket: ~1500 parts at 25B
+        )
+        t_encode = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        check = dataset_checksum(decode_dataset(f"{out_root}/encoded"))
+        t_decode = time.perf_counter() - t0
+        assert check["tokens"] == total_tokens, (check, total_tokens)
+
+        peak = sampler.stop()
+        from ray._private.internal_api import memory_summary
+
+        summary = memory_summary(stats_only=True)
+        spilled_mb = 0
+        for line in summary.splitlines():
+            if "Spilled" in line:
+                spilled_mb = int(float(line.split("Spilled")[1].split("MiB")[0]))
+                break
+        enc_bytes = sum(
+            f.stat().st_size for f in pathlib.Path(f"{out_root}/encoded").rglob("*")
+            if f.is_file()
+        )
+        result = {
+            "metric": "bounded-memory streaming encode+decode",
+            "value": round(t_encode + t_decode, 1),
+            "unit": "sec",
+            "tokens": total_tokens,
+            "token_bytes_gb": round(token_bytes / (1 << 30), 1),
+            "encoded_gb": round(enc_bytes / (1 << 30), 1),
+            "legs": legs,
+            "scale_per_leg": scale,
+            "object_store_cap_gb": store_gb,
+            "peak_machine_used_gb": round(peak, 1),
+            "mem_total_gb": round(sampler.total / (1 << 30), 1),
+            "spilled_mb": spilled_mb,
+            "encode_sec": round(t_encode, 1),
+            "decode_verify_sec": round(t_decode, 1),
+            "encode_tokens_per_sec": round(total_tokens / t_encode),
+            "decode_tokens_per_sec": round(total_tokens / t_decode),
+            "num_cpus": num_cpus,
+            "bytes_per_token": round(enc.metrics.get("bytes_per_token", 0.0), 4),
+        }
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+        ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
