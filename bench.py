@@ -182,6 +182,48 @@ def _ceiling_work(q, dur: float):
     q.put(n)
 
 
+def _memcpy_work(q, dur: float):
+    import numpy as np
+
+    a = np.ones(64 << 20, dtype=np.uint8)
+    b = np.empty_like(a)
+    b[:] = 1  # pre-touch: measure the bus, not the host fault path
+    t_end = time.perf_counter() + dur
+    n = 0
+    while time.perf_counter() < t_end:
+        np.copyto(b, a)
+        n += 1
+    q.put(n * len(a) * 2)
+
+
+def _window_probe(secs: float = 2.0) -> dict:
+    """Snapshot of the host window RIGHT NOW: aggregate 4-process
+    cache-resident matmul rate and 4-process pre-touched memcpy GB/s.
+    This VM's memory bus is host-shared and collapses episodically
+    (observed 67 -> 22 GB/s at 4 procs minutes apart); a leg's wall
+    time is only interpretable next to the window it ran in, so the
+    scaling protocol records one of these immediately before every
+    leg. Cache-resident matmul (the hw_ceiling probe) cannot see bus
+    collapse — that is exactly why both probes are kept."""
+    import multiprocessing as mp
+
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
+    ctx = mp.get_context("spawn")
+
+    def agg(target) -> float:
+        q = ctx.Queue()
+        ps = [ctx.Process(target=target, args=(q, secs)) for _ in range(4)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return sum(q.get() for _ in ps) / secs
+
+    return {
+        "matmul_agg": round(agg(_ceiling_work)),
+        "memcpy_gbps": round(agg(_memcpy_work) / 1e9, 1),
+    }
+
+
 def _hw_ceiling(lo: int, hi: int, secs: float = 6.0) -> float:
     """Measured pure-compute scaling ceiling of THIS machine: aggregate
     throughput of hi vs lo independent cache-resident matmul processes.
@@ -262,7 +304,10 @@ def run_scaling() -> dict:
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(reps):
         for ncpu in (lo, hi):
-            runs[ncpu].append(run_once(ncpu))
+            probe = _window_probe()
+            r = run_once(ncpu)
+            r["window"] = probe
+            runs[ncpu].append(r)
 
     def median_run(rs: list[dict]) -> dict:
         return sorted(rs, key=lambda r: r["value"])[len(rs) // 2]
@@ -292,6 +337,8 @@ def run_scaling() -> dict:
         "sec_hi": r_hi["value"],
         "sec_lo_all": [r["value"] for r in runs[lo]],
         "sec_hi_all": [r["value"] for r in runs[hi]],
+        "window_lo_all": [r["window"] for r in runs[lo]],
+        "window_hi_all": [r["window"] for r in runs[hi]],
         "cpus_lo": lo,
         "cpus_hi": hi,
         "tokens_per_sec_lo": round(thr_lo),

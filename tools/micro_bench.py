@@ -113,6 +113,11 @@ def main() -> None:
     # cf=2: mixed 1- and 3-byte symbols (micro.rs cf=2)
     comp = _build([(b"a", 1), (b"bab", 3)])
     results["cf2_compress"] = _time_compress(comp, _one_mb(b"ab", mb))
+    # same table/data on the engine's real shape (segmented rows -> the
+    # 4-lane interleave engages): evidence for the cf=2 root-cause note
+    results["cf2_compress_rows"] = _time_compress(
+        comp, _one_mb(b"ab", mb), row_bytes=1024
+    )
 
     # cf=4: one 4-byte symbol (hash-table path every step)
     comp = _build([(b"abcd", 4)])
