@@ -47,7 +47,7 @@ class MemSampler(threading.Thread):
         self.interval = interval
         self.min_avail = float("inf")
         self.total = 0
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     @staticmethod
     def _meminfo() -> dict[str, int]:
@@ -60,12 +60,12 @@ class MemSampler(threading.Thread):
 
     def run(self):
         self.total = self._meminfo()["MemTotal"]
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.min_avail = min(self.min_avail, self._meminfo()["MemAvailable"])
-            self._stop.wait(self.interval)
+            self._halt.wait(self.interval)
 
     def stop(self) -> float:
-        self._stop.set()
+        self._halt.set()
         self.join()
         return (self.total - self.min_avail) / (1 << 30)
 
@@ -99,19 +99,19 @@ def main() -> None:
     from fsst_ray.stages.decoder import dataset_checksum
 
     path = ensure_tokens_parquet(scale)
-    base = read_parquet_bundled(path)
-    leg_tokens = int(base.sum("n_tok"))
-    max_id = int(base.max("doc_id"))
-    stride = max_id + 1
+    leg_tokens = int(read_parquet_bundled(path).sum("n_tok"))
 
-    def shift(off: int):
+    def shift(leg: int):
+        # doc_id is a string key: disjoint legs get a distinct prefix
+        # (leg 0 keeps the original ids, which never start with "L")
         def fn(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            prefixed = pc.binary_join_element_wise(
+                pa.scalar(f"L{leg}:"), pc.cast(batch["doc_id"], pa.string()), ""
+            )
             return batch.set_column(
-                batch.column_names.index("doc_id"),
-                "doc_id",
-                pc.add(batch["doc_id"], off),
+                batch.column_names.index("doc_id"), "doc_id", prefixed
             )
 
         return fn
@@ -120,7 +120,7 @@ def main() -> None:
     for leg in range(1, legs):
         ds = ds.union(
             read_parquet_bundled(path).map_batches(
-                shift(leg * stride), batch_format="pyarrow"
+                shift(leg), batch_format="pyarrow"
             )
         )
     total_tokens = legs * leg_tokens
@@ -147,14 +147,13 @@ def main() -> None:
         assert check["tokens"] == total_tokens, (check, total_tokens)
 
         peak = sampler.stop()
-        from ray._private.internal_api import memory_summary
-
-        summary = memory_summary(stats_only=True)
+        # object-store spill evidence: sum the session's spill dir
+        # (ray's memory_summary needs grpc, absent in this sandbox)
         spilled_mb = 0
-        for line in summary.splitlines():
-            if "Spilled" in line:
-                spilled_mb = int(float(line.split("Spilled")[1].split("MiB")[0]))
-                break
+        for d in pathlib.Path("/tmp/ray/ray").glob("session_*/ray_spilled_objects"):
+            spilled_mb += sum(
+                f.stat().st_size for f in d.glob("*") if f.is_file()
+            ) >> 20
         enc_bytes = sum(
             f.stat().st_size for f in pathlib.Path(f"{out_root}/encoded").rglob("*")
             if f.is_file()
