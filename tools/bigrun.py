@@ -91,6 +91,15 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # bound READ-side in-flight bytes below the store cap so Ray Data's
+    # streaming backpressure throttles the union's read tasks instead
+    # of plasma spilling them to disk (this sandbox's spill path writes
+    # at ~12 MiB/s and would become the pipeline bottleneck; on a real
+    # cluster the same setting keeps the exchange, not the spill disk,
+    # as the pacing element)
+    ctx.execution_options.resource_limits.object_store_memory = (
+        store_gb << 30
+    ) * 2 // 5
 
     import pyarrow as pa
 
