@@ -97,9 +97,11 @@ def main() -> None:
     # at ~12 MiB/s and would become the pipeline bottleneck; on a real
     # cluster the same setting keeps the exchange, not the spill disk,
     # as the pacing element)
-    ctx.execution_options.resource_limits.object_store_memory = (
-        store_gb << 30
-    ) * 2 // 5
+    from ray.data._internal.execution.interfaces import ExecutionResources
+
+    ctx.execution_options.resource_limits = ExecutionResources.for_limits(
+        object_store_memory=(store_gb << 30) * 2 // 5
+    )
 
     import pyarrow as pa
 
