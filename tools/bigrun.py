@@ -110,7 +110,9 @@ def main() -> None:
     from fsst_ray.stages.decoder import dataset_checksum
 
     path = ensure_tokens_parquet(scale)
-    leg_tokens = int(read_parquet_bundled(path).sum("n_tok"))
+    # projected read: the token-count pre-scan must not stream the
+    # token bytes themselves (~50 MB instead of ~17 GB at scale 2400)
+    leg_tokens = int(read_parquet_bundled(path, columns=["n_tok"]).sum("n_tok"))
 
     def shift(leg: int):
         # doc_id is a string key: disjoint legs get a distinct prefix
