@@ -160,10 +160,14 @@ def main() -> None:
         assert check["tokens"] == total_tokens, (check, total_tokens)
 
         peak = sampler.stop()
-        # object-store spill evidence: sum the session's spill dir
-        # (ray's memory_summary needs grpc, absent in this sandbox)
+        # RESIDUAL object-store spill at pipeline end (ray deletes
+        # spill files as objects are restored/freed, and its
+        # memory_summary needs grpc, absent here — cumulative spill is
+        # visible in the raylet's "Spilled N MiB" stderr lines)
         spilled_mb = 0
-        for d in pathlib.Path("/tmp/ray/ray").glob("session_*/ray_spilled_objects"):
+        for d in pathlib.Path("/tmp/ray/ray").glob(
+            "session_*/ray_spilled_objects*"
+        ):
             spilled_mb += sum(
                 f.stat().st_size for f in d.glob("*") if f.is_file()
             ) >> 20
