@@ -196,6 +196,31 @@ def _memcpy_work(q, dur: float):
     q.put(n * len(a) * 2)
 
 
+def _tmpfs_work(q, dur: float):
+    # shared-memory FILE writes: the path plasma traffic actually takes.
+    # This is the probe that caught the 2026-08-18 window: tmpfs capped
+    # at ~6.4 GB/s aggregate at ANY process count while private memcpy
+    # scaled to 68-182 GB/s — pipeline legs saturate it at 4 CPUs and
+    # N-vs-4N stops measuring the engine.
+    import os
+
+    path = f"/dev/shm/fsst_probe_{os.getpid()}.bin"
+    buf = bytes(32 << 20)
+    t_end = time.perf_counter() + dur
+    n = 0
+    try:
+        while time.perf_counter() < t_end:
+            with open(path, "wb") as f:
+                f.write(buf)
+            n += 1
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    q.put(n * len(buf))
+
+
 def _window_probe(secs: float = 2.0) -> dict:
     """Snapshot of the host window RIGHT NOW: aggregate 4-process
     cache-resident matmul rate and 4-process pre-touched memcpy GB/s.
@@ -221,6 +246,7 @@ def _window_probe(secs: float = 2.0) -> dict:
     return {
         "matmul_agg": round(agg(_ceiling_work)),
         "memcpy_gbps": round(agg(_memcpy_work) / 1e9, 1),
+        "tmpfs_gbps": round(agg(_tmpfs_work) / 1e9, 1),
     }
 
 
