@@ -374,6 +374,19 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(_read(sf_dir, "documents"), eval_mod=97, min_hits=1)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-source deterministic sampling (corpus re-mixing): map-side
+    hash-threshold filter, zero shuffle, nested samples across rate
+    changes. src1 upsampled to 50%, src2 dropped, others 10%."""
+    from fsst_ray.functions.curate import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents"),
+        rates_bp={"src1": 5000, "src2": 0},
+        default_bp=1000,
+    )
+
+
 def _q_media_features(sf_dir: str):
     """Media decode plumbing over payloads derived from the documents
     table (header fields are pure functions of doc_id, body = UTF-8
@@ -504,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
@@ -697,6 +711,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a, s b WHERE a.doc_id < b.doc_id "
             "AND 5 * len(list_intersect(a.sh, b.sh)) >= "
             "4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE hash(doc_id) % 10000 < CASE source "
+            "WHEN 'src1' THEN 5000 WHEN 'src2' THEN 0 ELSE 1000 END"
         ),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "

@@ -57,6 +57,41 @@ def corpus_split(ds, val_pct: int = 10):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds, rates_bp: dict[str, int] | None = None, default_bp: int = 1000
+):
+    """Deterministic per-stratum (source) sampling: keep a doc iff
+    murmur64(doc_id) % 10000 < rate_bp(source). Rates are basis points
+    (1000 = 10%). The mix of a training corpus is tuned per source
+    ("2x books, 0.5x web"); this is the 100-TB shape for it — a pure
+    map-side filter, zero shuffle, stable under reordering /
+    repartition / rerun, and recomputable by the SQL oracle because
+    the hash is bit-exact DuckDB `hash(doc_id)`.
+
+    One shared hash stream across strata makes samples NESTED: raising
+    a source's rate only ADDS docs, never swaps the existing sample —
+    the property you want when re-mixing a corpus between training
+    runs (documented, intentional).
+    """
+    rates_bp = rates_bp or {}
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        bp = np.full(len(ids), default_bp, dtype=np.uint64)
+        for s, r in rates_bp.items():
+            bp[src == s] = r
+        keep = _murmur64(ids) % np.uint64(10000) < bp
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "source": pa.array(src[keep], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def top_quality_docs(ds, k: int = 100) -> pa.Table:
     """Global top-k documents by quality score WITHOUT a global sort:
     each batch emits its local top-k (quality desc, doc_id asc), the

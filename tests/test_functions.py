@@ -366,6 +366,41 @@ def test_embedding_hot_bucket_20k_bounded_memory():
     assert peak < 700 * 1024 * 1024, f"peak {peak} bytes"
 
 
+def test_stratified_sample_deterministic_and_nested(ray_session):
+    """Rates honored per stratum, rate=0 drops a source entirely, and
+    raising a rate only ADDS docs (nested samples, shared hash)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import stratified_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(400), type=pa.int64()),
+            "source": pa.array(
+                ["a", "b", "c", "d"] * 100, type=pa.string()
+            ),
+        }
+    )
+    out = stratified_sample(
+        rd.from_arrow(tbl), rates_bp={"a": 10000, "b": 0}, default_bp=2000
+    ).to_pandas()
+    by_src = out.groupby("source")["doc_id"].apply(set).to_dict()
+    assert len(by_src.get("a", set())) == 100  # 100% kept
+    assert "b" not in by_src  # 0% kept
+    # determinism: second run identical
+    out2 = stratified_sample(
+        rd.from_arrow(tbl), rates_bp={"a": 10000, "b": 0}, default_bp=2000
+    ).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    # nestedness: raising c's rate keeps every previously-sampled c doc
+    up = stratified_sample(
+        rd.from_arrow(tbl), rates_bp={"a": 10000, "b": 0, "c": 6000}, default_bp=2000
+    ).to_pandas()
+    up_c = set(up[up.source == "c"].doc_id)
+    assert by_src.get("c", set()) <= up_c
+    assert len(up_c) > len(by_src.get("c", set()))
+
+
 def test_decontaminate_flags_overlap(ray_session):
     """Eval doc (id 0, % 97 == 0) contaminates a training doc that
     copies one of its 3-grams; disjoint training docs keep=True; eval
