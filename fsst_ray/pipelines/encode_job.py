@@ -110,6 +110,58 @@ def _write_bucket_file(chunks: pa.Table, out_dir: str) -> dict:
     return entry
 
 
+def _narrow_tokens(sub: pa.Table) -> pa.Table:
+    """Exchange compression: re-type the routed `tokens` child from
+    int32 to uint16 when every value in this sub-table fits — HALVES
+    the bytes each token pays through the object store (and, on a real
+    cluster, the network exchange) for one vectorized min/max pass plus
+    one copy route-side. The list structure is untouched, so the
+    writer's zero-copy slicing/compaction machinery is oblivious; the
+    writer widens back to int32 at flush, so encoded output is
+    bit-identical. Disable with FSST_EXCHANGE_PACK=0."""
+    if os.environ.get("FSST_EXCHANGE_PACK", "1") != "1":
+        return sub
+    import pyarrow.compute as pc
+
+    idx = sub.schema.get_field_index("tokens")
+    col = sub["tokens"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # flatten(), not .values: it honors the slice offset, so each
+    # routed sub-table scans only its own values
+    child = col.flatten() if len(col) else None
+    if child is None or len(child) == 0:
+        return sub
+    mm = pc.min_max(child)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or lo < 0 or hi > 0xFFFF:
+        return sub
+    return sub.set_column(idx, "tokens", pc.cast(col, pa.list_(pa.uint16())))
+
+
+def _concat_bufs(bufs: list[pa.Table]) -> pa.Table:
+    """Concat a part's buffered sub-tables, widening first when sends
+    disagree on the (wire-only) tokens width — one narrowed send and
+    one int32 send can land in the same part."""
+    if len(bufs) == 1:
+        return bufs[0]
+    if len({b.schema.field("tokens").type for b in bufs}) > 1:
+        bufs = [_widen_tokens(b) for b in bufs]
+    return pa.concat_tables(bufs)
+
+
+def _widen_tokens(rows: pa.Table) -> pa.Table:
+    """Writer-side inverse of _narrow_tokens (no-op on int32 input)."""
+    idx = rows.schema.get_field_index("tokens")
+    if rows.schema.field(idx).type == pa.list_(pa.int32()):
+        return rows
+    import pyarrow.compute as pc
+
+    return rows.set_column(
+        idx, "tokens", pc.cast(rows["tokens"], pa.list_(pa.int32()))
+    )
+
+
 def _sort_validate_unique(rows: pa.Table, part_key: str) -> pa.Table:
     """Sort rows by doc_id (deterministic chunking regardless of arrival
     order) and enforce the input precondition that doc_id is unique —
@@ -275,9 +327,7 @@ class _BucketWriter:
         return table.num_rows
 
     def _compact(self, st: dict) -> None:
-        merged = (
-            pa.concat_tables(st["bufs"]) if len(st["bufs"]) > 1 else st["bufs"][0]
-        )
+        merged = _concat_bufs(st["bufs"])
         # take, not combine_chunks: combine keeps referencing the parent
         # add-table's child buffers (verified: a 5-row slice of a 1000-row
         # list table still holds the full 3000-value child after combine),
@@ -289,7 +339,7 @@ class _BucketWriter:
     def _flush(self, key: str, st: dict) -> None:
         if not st["bufs"]:
             return
-        rows = pa.concat_tables(st["bufs"]) if len(st["bufs"]) > 1 else st["bufs"][0]
+        rows = _widen_tokens(_concat_bufs(st["bufs"]))  # narrowing is wire-only
         st["bufs"] = []
         self.pinned_tokens -= st["pinned"]
         st["pinned"] = 0
@@ -629,7 +679,7 @@ def encode_dataset(
             refs = []
             for g in range(len(wb) - 1):
                 lo, hi = int(wb[g]), int(wb[g + 1])
-                sub = sorted_batch.slice(lo, hi - lo)
+                sub = _narrow_tokens(sorted_batch.slice(lo, hi - lo))
                 send_id = (int(shash[lo:hi].sum(dtype=np.uint64)), hi - lo)
                 refs.append(writer_pool[int(swid[lo])].add.remote(sub, send_id))
             # fault injection (tests only): after the sends are in

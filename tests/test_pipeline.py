@@ -183,6 +183,71 @@ def test_duplicate_doc_id_across_flushes_rejected(ray_session, tmp_path):
         )
 
 
+def test_exchange_narrowing_mixed_widths_roundtrip(ray_session, tmp_path):
+    """Exchange compression (wire-only uint16 narrowing) must be
+    transparent: blocks whose values fit uint16 travel narrowed,
+    blocks with values > 0xFFFF travel int32, BOTH land in the same
+    buckets (same sources), and the decode matches exactly. Tiny flush
+    threshold forces mixed-width buffers through _concat_bufs in both
+    the flush and compact paths."""
+    import ray.data as rd
+
+    from fsst_ray.pipelines.encode_job import _narrow_tokens, _widen_tokens
+
+    small = pa.table(
+        {
+            "doc_id": pa.array([f"s{i}" for i in range(40)], type=pa.string()),
+            "tokens": pa.array(
+                [[i % 7, 65535, 0, i] * 50 for i in range(40)],
+                type=pa.list_(pa.int32()),
+            ),
+            "source": pa.array(["mix"] * 40, type=pa.string()),
+        }
+    )
+    big = pa.table(
+        {
+            "doc_id": pa.array([f"b{i}" for i in range(40)], type=pa.string()),
+            "tokens": pa.array(
+                [[65536 + i, 2**30, 1, i] * 50 for i in range(40)],
+                type=pa.list_(pa.int32()),
+            ),
+            "source": pa.array(["mix"] * 40, type=pa.string()),
+        }
+    )
+    # unit: narrowing decision + inverse
+    ns = _narrow_tokens(small)
+    assert ns.schema.field("tokens").type == pa.list_(pa.uint16())
+    assert _widen_tokens(ns)["tokens"].to_pylist() == small["tokens"].to_pylist()
+    nb = _narrow_tokens(big)
+    assert nb.schema.field("tokens").type == pa.list_(pa.int32())
+
+    def with_ntok(t):
+        return t.append_column(
+            "n_tok",
+            pa.array([len(x) for x in t["tokens"].to_pylist()], type=pa.int32()),
+        )
+
+    ds = rd.from_arrow(with_ntok(small)).union(rd.from_arrow(with_ntok(big)))
+    out = str(tmp_path / "enc_narrow")
+    encode_dataset(
+        ds,
+        out,
+        chunk_tokens=1 << 10,
+        bucket_tokens=1 << 12,
+        writer_flush_tokens=256,  # flush nearly every add: mixed bufs
+    )
+    decoded = pa.Table.from_pylist(decode_dataset(out).take_all())
+    got = {
+        r["doc_id"]: r["tokens"] for r in decoded.to_pylist()
+    }
+    want = {
+        r["doc_id"]: r["tokens"]
+        for t in (with_ntok(small), with_ntok(big))
+        for r in t.to_pylist()
+    }
+    assert got == want
+
+
 def test_pruned_pass1_matches_full_scan(tokens_ds, ray_session):
     """train_states_pruned (projected mass scan + doc_id-filtered sample
     read) must produce bit-identical states and mass to the full scan."""
