@@ -298,7 +298,12 @@ def _sig_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    # Offsets width follows the Arrow type: large_binary carries int64
+    # offsets, binary carries int32. Reading large_binary offsets as
+    # int32 interleaves lo/hi words, widths never look constant, and
+    # the vectorized path silently never engages (ADVICE r3).
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + n + 1
     ].astype(np.int64)
     widths = np.diff(off)
@@ -430,6 +435,98 @@ def minhash_dedup(ds, jaccard_threshold: float = 0.7):
     """
     remap = _components(minhash_pairs(ds, jaccard_threshold))
     return ds.map_batches(_remap_assign(remap), batch_format="pyarrow")
+
+
+def plant_dup_docs(ds, mod: int = 7, offset: int = 1_000_000):
+    """Append an exact copy (doc_id + offset) of every doc with
+    doc_id % mod == 0 — deterministic, SQL-reproducible (UNION ALL +
+    WHERE doc_id % mod = 0). Used to make the minhash recall check
+    non-vacuous: the natural corpus' near-dups shuffle word ORDER, so
+    word sets collide but word-3-shingle sets don't — without planting
+    there are zero identical-shingle-set pairs to recall."""
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.flatnonzero(ids % mod == 0)
+        if len(idx) == 0:
+            return batch
+        sub = batch.take(pa.array(idx))
+        sub = sub.set_column(
+            sub.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(ids[idx] + offset, type=pa.int64()),
+        )
+        return pa.concat_tables([batch, sub])
+
+    return ds.map_batches(dup, batch_format="pyarrow")
+
+
+def pair_recall_summary(exact_pairs, approx_pairs) -> pa.Table:
+    """Recall of an approximate near-dup pair set against its exact
+    sibling, computed distributed: tag both (doc_a, doc_b) pair sets,
+    union, groupby-pair aggregate, per-batch partial counts, global
+    sum — one row (n_exact, n_found, n_missed) reaches the driver.
+
+    This is the oracle-checkable form of the approximate queries
+    (VERDICT r3 item 5): every exact-sibling pair is found by the
+    approximate machinery BY CONSTRUCTION (identical shingle sets =>
+    identical signatures => same band-0 bucket, agreement 1.0 >= any
+    threshold; identical word sets => simhash hamming 0 <= any cap),
+    so n_missed is deterministically 0 and SQL can recompute the whole
+    row from the exact side alone. A regression anywhere in the
+    approximate path (shingling, banding, bucket routing, pair
+    verification, lowest-band dedup) drops exact pairs and turns the
+    row red."""
+    from ray.data.aggregate import Sum
+
+    def tag(ex: int, ap: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "doc_a": t["doc_a"],
+                    "doc_b": t["doc_b"],
+                    "ex": pa.array(np.full(n, ex, dtype=np.int64)),
+                    "ap": pa.array(np.full(n, ap, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    u = exact_pairs.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        approx_pairs.map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    agg = u.groupby(["doc_a", "doc_b"]).aggregate(Sum("ex"), Sum("ap"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "sum(ex)" not in t.column_names:  # empty aggregate block
+            return pa.table(
+                {
+                    "n_exact": pa.array([0], type=pa.int64()),
+                    "n_found": pa.array([0], type=pa.int64()),
+                }
+            )
+        ex = t["sum(ex)"].to_numpy(zero_copy_only=False) > 0
+        ap = t["sum(ap)"].to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "n_exact": pa.array([int(ex.sum())], type=pa.int64()),
+                "n_found": pa.array([int((ex & ap).sum())], type=pa.int64()),
+            }
+        )
+
+    tot = agg.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_exact", "n_found"]
+    )
+    n_exact = int(tot["sum(n_exact)"]) if tot else 0
+    n_found = int(tot["sum(n_found)"]) if tot else 0
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], type=pa.int64()),
+            "n_found": pa.array([n_found], type=pa.int64()),
+            "n_missed": pa.array([n_exact - n_found], type=pa.int64()),
+        }
+    )
 
 
 # ---------------- SimHash ----------------
@@ -609,37 +706,85 @@ def _shingle_group_pairs(df_cap: int):
     df_cap-capped) output is O(max_pairs), never an O(n^2) index
     matrix materialized at once."""
 
+    chunks_fn = _shingle_group_pair_chunks(df_cap)
+
     def fn(group: pa.Table) -> pa.Table:
+        chunks = list(chunks_fn(group))
+        return pa.concat_tables(chunks) if chunks else _PAIR_EMPTY
+
+    return fn
+
+
+_PAIR_EMPTY = pa.table(
+    {
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "n_a": pa.array([], type=pa.int64()),
+        "n_b": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _shingle_group_pair_chunks(df_cap: int, max_pairs: int = 1 << 22):
+    """Streaming form of the posting-list pair emission (VERDICT r3
+    item 6): YIELDS one table per `_pair_blocks` chunk instead of
+    preallocating all n(n-1)/2 rows, so a hot shingle at df_cap costs
+    O(max_pairs) working memory — never O(df_cap^2) at once. Consumed
+    by `_sorted_group_map_streaming`, which hands each chunk straight
+    to Ray's output buffer."""
+
+    def gen(group: pa.Table):
         n = group.num_rows
         if n < 2 or n > df_cap:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "n_a": pa.array([], type=pa.int64()),
-                    "n_b": pa.array([], type=pa.int64()),
-                }
-            )
+            return
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sizes = group["n_shingles"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids, sizes = ids[order], sizes[order]
-        total = n * (n - 1) // 2
-        out = {
-            k: np.empty(total, dtype=np.int64) for k in ("doc_a", "doc_b", "n_a", "n_b")
-        }
-        pos = 0
-        for ia, ib in _pair_blocks(n):
-            m = len(ia)
-            out["doc_a"][pos : pos + m] = ids[ia]
-            out["doc_b"][pos : pos + m] = ids[ib]
-            out["n_a"][pos : pos + m] = sizes[ia]
-            out["n_b"][pos : pos + m] = sizes[ib]
-            pos += m
-        assert pos == total
-        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+        for ia, ib in _pair_blocks(n, max_pairs=max_pairs):
+            yield pa.table(
+                {
+                    "doc_a": pa.array(ids[ia], type=pa.int64()),
+                    "doc_b": pa.array(ids[ib], type=pa.int64()),
+                    "n_a": pa.array(sizes[ia], type=pa.int64()),
+                    "n_b": pa.array(sizes[ib], type=pa.int64()),
+                }
+            )
 
-    return fn
+    return gen
+
+
+def _sorted_group_map_streaming(ds, key: str, gen_fn, empty: pa.Table):
+    """`groupby(key).map_groups(...)` with a STREAMING per-group UDF.
+
+    map_groups requires each group's output to be ONE batch, so a hot
+    group must materialize its whole result. This helper performs the
+    same shuffle map_groups uses (a sort on the key — equal keys never
+    straddle a block boundary), then a generator map_batches UDF slices
+    each sorted block into its key groups and yields the group UDF's
+    chunk tables as they are produced: per-group output streams through
+    Ray's output buffer (split into target-size blocks) instead of
+    accumulating. `empty` fixes the output schema for blocks whose
+    groups all yield nothing."""
+
+    def wrapper(block: pa.Table):
+        keys = block[key].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(keys)) + 1, [len(keys)]]
+        )
+        yielded = False
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e <= s:
+                continue
+            for chunk in gen_fn(block.slice(s, e - s)):
+                yielded = True
+                yield chunk
+        if not yielded:
+            yield empty
+
+    return ds.sort(key).map_batches(
+        wrapper, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 12):
@@ -660,8 +805,10 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 12):
     num, den = frac.numerator, frac.denominator
 
     postings = ds.map_batches(_jaccard_shingle_rows, batch_format="pyarrow")
-    cooc = postings.groupby("shingle").map_groups(
-        _shingle_group_pairs(df_cap), batch_format="pyarrow"
+    # streaming group map: a hot shingle's pairs are yielded in
+    # O(max_pairs) chunks, never materialized per-group (r3 item 6)
+    cooc = _sorted_group_map_streaming(
+        postings, "shingle", _shingle_group_pair_chunks(df_cap), _PAIR_EMPTY
     )
     # n_a/n_b are constant per doc, so Min() is just "carry the value"
     agg = cooc.groupby(["doc_a", "doc_b"]).aggregate(Count(), Min("n_a"), Min("n_b"))

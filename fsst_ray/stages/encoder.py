@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..codecs import encode_chunk
 from .serialize import tokens_views
@@ -79,7 +80,7 @@ def encode_rows_to_chunks(
     # Python call per row (VERDICT r2 minor item 4)
     _doc_col = batch["doc_id"]
     if not pa.types.is_string(_doc_col.type):
-        _doc_col = pa.compute.cast(_doc_col, pa.string())
+        _doc_col = pc.cast(_doc_col, pa.string())
     doc_ids = _doc_col.to_numpy(zero_copy_only=False)
     n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
     group_keys = (
