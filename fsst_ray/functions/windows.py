@@ -13,7 +13,6 @@ comparisons are integer-exact.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -114,33 +113,34 @@ def session_windows(ds, gap_minutes: int = 30):
     epoch s, n_events). Sessions computed per user group, ts-sorted."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        # normalize to ns explicitly: pandas 2.x may keep Arrow's µs unit
-        ts = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-        ts_us = ts // 1000
-        new_session = np.ones(len(ts_us), dtype=bool)
-        new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
-        session_id = np.cumsum(new_session)
-        out = (
-            pd.DataFrame(
+    def sessions(group: pa.Table) -> pa.Table:
+        """Vectorized per-user session split (VERDICT r3 item 7: same
+        sort + np.diff gap-boundary pattern as hopping_counts; no
+        pandas): sessions are contiguous runs after the ts sort, so
+        boundaries are exactly where the sorted gap exceeds gap_us."""
+        ts = group["ts"]
+        arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        ts_us = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ts_us) == 0:
+            return pa.table(
                 {
-                    "user_id": g["user_id"].to_numpy(),
-                    "session": session_id,
-                    "ts_us": ts_us,
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
                 }
             )
-            .groupby("session")
-            .agg(user_id=("user_id", "first"), start_us=("ts_us", "min"), n_events=("ts_us", "size"))
-        )
-        return pd.DataFrame(
+        ts_us = np.sort(ts_us)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ts_us) > gap_us) + 1])
+        ends = np.concatenate([starts[1:], [len(ts_us)]])
+        uid = group["user_id"][0].as_py()
+        return pa.table(
             {
-                "user_id": out["user_id"].astype("int64"),
-                "session_start": (out["start_us"] // 1_000_000).astype("int64"),
-                "n_events": out["n_events"].astype("int64"),
+                "user_id": pa.array(np.full(len(starts), uid), type=pa.int64()),
+                "session_start": pa.array(ts_us[starts] // 1_000_000, type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
             }
         )
 
     # return the Dataset itself — materializing/sorting all sessions on
     # the driver belongs to tests/oracles, not the operator
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
