@@ -96,10 +96,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--with-ref", action="store_true")
+    # VERDICT r3 item 8: the raw sf0.1 text is ~1.5 MB — cache-resident,
+    # so throughput reads hot. Tile the corpus to >= min-mb so the
+    # kernels stream out-of-cache. FSST is a stateless per-byte symbol
+    # substitution (no cross-window matching), so tiling leaves the
+    # ratio EXACTLY unchanged while making the MB/s columns honest.
+    ap.add_argument("--min-mb", type=int, default=100)
     args = ap.parse_args()
-    data = corpus_bytes(args.sf_dir)
+    base = corpus_bytes(args.sf_dir)
+    reps = max(1, -(-(args.min_mb << 20) // len(base))) if base else 1
+    data = base * reps
     result = {
         "corpus": f"{args.sf_dir}/documents.parquet text",
+        "base_bytes": len(base),
+        "tiled_reps": reps,
         "bytes": len(data),
         "ours": ours(data),
     }
