@@ -198,7 +198,9 @@ def _write_chunk_job(args) -> None:
     )
 
 
-def read_parquet_bundled(path: str, columns: list[str] | None = None):
+def read_parquet_bundled(
+    path: str | list[str], columns: list[str] | None = None, **read_kwargs
+):
     """read_parquet with small files bundled into ~CPU-sized blocks.
 
     Ray's default is one block per file; a corpus of many small files
@@ -206,12 +208,19 @@ def read_parquet_bundled(path: str, columns: list[str] | None = None):
     (measured: 2.1 GB in 177 files reads in 2.8 s default vs 0.6 s
     bundled at 32 CPUs). Blocks = max(2x CPUs for pipelining,
     bytes/256 MB so a block stays object-store friendly).
+
+    `path` may be a list of files/directories (sized together as one
+    read); extra kwargs (e.g. include_paths=True) pass through to
+    ray.data.read_parquet.
     """
     import ray
     import ray.data as rd
 
-    p = pathlib.Path(path)
-    files = [p] if p.is_file() else sorted(p.glob("**/*.parquet"))
+    paths = path if isinstance(path, list) else [path]
+    files: list[pathlib.Path] = []
+    for one in paths:
+        p = pathlib.Path(one)
+        files += [p] if p.is_file() else sorted(p.glob("**/*.parquet"))
     nbytes = sum(f.stat().st_size for f in files)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     per_block = int(os.environ.get("FSST_READ_BLOCK_MB", "256")) << 20
@@ -221,6 +230,7 @@ def read_parquet_bundled(path: str, columns: list[str] | None = None):
         file_extensions=["parquet"],
         columns=columns,
         override_num_blocks=blocks,
+        **read_kwargs,
     )
 
 

@@ -7,9 +7,11 @@ memory while it runs. The writer-budget and exchange designs claim
 O(bounded) memory independent of input size; this run demonstrates it
 end-to-end instead of arguing it.
 
-Shape: the cached scale-S synthetic corpus (disk parquet) is unioned
-N_LEGS times with disjoint doc_id ranges — the pipeline streams
-N_LEGS x the bytes without needing N_LEGS x the disk. Every leg is
+Shape: the cached scale-S synthetic corpus (disk parquet) is read
+N_LEGS times through ONE ReadParquet operator (a symlinked legs x
+files tree; the leg is decoded from each row's file path) with
+disjoint doc_id ranges per leg — the pipeline streams N_LEGS x the
+bytes without needing N_LEGS x the disk. Every leg is
 re-read from parquet, re-routed through the exchange and re-encoded
 (identical text content across legs cannot be exploited anywhere:
 nothing dedups), so the streamed work is genuine. Pass 1 runs the
@@ -114,28 +116,50 @@ def main() -> None:
     # token bytes themselves (~50 MB instead of ~17 GB at scale 2400)
     leg_tokens = int(read_parquet_bundled(path, columns=["n_tok"]).sum("n_tok"))
 
-    def shift(leg: int):
+    # ONE ReadParquet operator over a symlinked legs x files tree, with
+    # the leg decoded from each row's source path. The previous shape —
+    # union of `legs` separate read branches — defeated streaming
+    # backpressure: Ray Data's UnionOperator runs every input branch
+    # concurrently and does not pace them against the downstream
+    # consumer, so at 6 legs the route stage was fed ~6x faster than
+    # the exchange drained and plasma spilled ~44 GB to a ~150 MiB/s
+    # disk in the first 10 minutes (r4 run, killed). A single read op
+    # is throttled as a unit by the executor's resource limits — the
+    # same reason a real 100 TB input should arrive as one file list,
+    # not as a union of per-shard datasets.
+    stage_dir = pathlib.Path(tempfile.mkdtemp(prefix="bigrun_legs_", dir="/tmp"))
+    src_files = sorted(pathlib.Path(path).glob("**/*.parquet"))
+    leg_dirs = []
+    for leg in range(legs):
+        d = stage_dir / f"leg{leg}"
+        d.mkdir()
+        for f in src_files:
+            (d / f.name).symlink_to(f)
+        leg_dirs.append(str(d))
+
+    def relabel(batch: pa.Table) -> pa.Table:
         # doc_id is a string key: disjoint legs get a distinct prefix
         # (leg 0 keeps the original ids, which never start with "L")
-        def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        import pyarrow.compute as pc
 
-            prefixed = pc.binary_join_element_wise(
-                pa.scalar(f"L{leg}:"), pc.cast(batch["doc_id"], pa.string()), ""
-            )
-            return batch.set_column(
-                batch.column_names.index("doc_id"), "doc_id", prefixed
-            )
-
-        return fn
-
-    ds = read_parquet_bundled(path)
-    for leg in range(1, legs):
-        ds = ds.union(
-            read_parquet_bundled(path).map_batches(
-                shift(leg), batch_format="pyarrow"
-            )
+        m = pc.extract_regex(batch["path"], r"/leg(?P<leg>\d+)/")
+        legcol = pc.struct_field(m, "leg")
+        prefix = pc.if_else(
+            pc.equal(legcol, "0"),
+            pa.scalar(""),
+            pc.binary_join_element_wise("L", legcol, ":", ""),
         )
+        doc = pc.binary_join_element_wise(
+            prefix, pc.cast(batch["doc_id"], pa.string()), ""
+        )
+        batch = batch.set_column(
+            batch.column_names.index("doc_id"), "doc_id", doc
+        )
+        return batch.drop_columns(["path"])
+
+    ds = read_parquet_bundled(leg_dirs, include_paths=True).map_batches(
+        relabel, batch_format="pyarrow"
+    )
     total_tokens = legs * leg_tokens
     token_bytes = 4 * total_tokens
 
@@ -197,6 +221,7 @@ def main() -> None:
         }
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
         ray.shutdown()
     print(json.dumps(result))
 
