@@ -415,3 +415,47 @@ def test_route_worker_death_retry_dedup(tokens_ds, tmp_path, monkeypatch):
     monkeypatch.delenv("FSST_FAULT_ROUTE_ONCE_DIR")
     v = verify_roundtrip(tokens_ds, out)
     assert v["match"], v
+
+
+def test_read_parquet_bundled_path_list_include_paths(ray_session, tmp_path):
+    """The multi-leg streaming shape (tools/bigrun.py): a path LIST read
+    as ONE ReadParquet operator, with include_paths exposing each row's
+    source file so a leg prefix can be derived — the replacement for
+    union-of-reads, which defeats streaming backpressure (UnionOperator
+    does not pace input branches against the consumer)."""
+    import pyarrow.compute as pc
+
+    from fsst_ray.sources.tokens import read_parquet_bundled
+
+    src = ensure_tokens_parquet(SCALE)
+    files = sorted(__import__("pathlib").Path(src).glob("**/*.parquet"))
+    legs = []
+    for leg in range(3):
+        d = tmp_path / f"leg{leg}"
+        d.mkdir()
+        for f in files:
+            (d / f.name).symlink_to(f)
+        legs.append(str(d))
+
+    ds = read_parquet_bundled(legs, columns=["doc_id"], include_paths=True)
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    one_leg = read_parquet_bundled(src, columns=["doc_id"]).count()
+    assert t.num_rows == 3 * one_leg
+    m = pc.extract_regex(t["path"], r"/leg(?P<leg>\d+)/")
+    legcol = pc.struct_field(m, "leg")
+    counts = pc.value_counts(legcol).to_pylist()
+    assert sorted(c["values"] for c in counts) == ["0", "1", "2"]
+    assert all(c["counts"] == one_leg for c in counts)
+    # prefixed doc_ids are globally unique across legs (the bigrun
+    # invariant: leg 0 unprefixed, legs >0 get "L<leg>:")
+    prefix = pc.if_else(
+        pc.equal(legcol, "0"),
+        pa.scalar(""),
+        pc.binary_join_element_wise("L", legcol, ":", ""),
+    )
+    doc = pc.binary_join_element_wise(
+        prefix, pc.cast(t["doc_id"], pa.string()), ""
+    )
+    assert len(pc.unique(doc)) == t.num_rows
