@@ -47,37 +47,78 @@ def ours(data: bytes) -> dict:
     # first 32 KiB (reference make_sample semantics on one big buffer)
     lines = [data[i : i + 512] for i in range(0, 1 << 15, 512) if i + 512 <= len(data)]
     comp = fsst.train(lines)
+
+    # best-of-3 per case, matching ref_bench's time_compress protocol.
+    # One UNTIMED warm-up first: ref_bench reuses its output Vec across
+    # reps while our bulk kernels allocate fresh output per call, and
+    # this host's fresh-page first-touch path is pathologically slow
+    # (measured 150 MB/s on the first 105 MB allocation vs 2.8 GB/s
+    # once the allocator arena is warm — same pathology BASELINE.md
+    # documents for plasma) — without the warm-up the comparison times
+    # the host's page-zeroing, not the kernel.
+    def best3(fn):
+        fn()
+        best, result = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn()
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, result = dt, r
+        return best, result
+
+    # 1-row shape (ratio parity case; single lane — the 4-lane
+    # interleave needs multiple rows, see BASELINE.md cf=2 note)
     offsets = np.array([0, len(arr)], dtype=np.int64)
-    t0 = time.perf_counter()
-    codes, _ = native.compress_bulk(arr, offsets, comp)
-    dt_c = time.perf_counter() - t0
+    dt_c, (codes, _) = best3(lambda: native.compress_bulk(arr, offsets, comp))
     dec = comp.decompressor()
     symbols, lengths = dec.symbols, dec.lengths
-    t0 = time.perf_counter()
-    out, _ = native.decompress_bulk(
-        codes,
-        np.array([0, len(codes)], dtype=np.int64),
-        symbols,
-        lengths,
-        decoded_size_hint=len(arr),
+    dt_d, (out, _) = best3(
+        lambda: native.decompress_bulk(
+            codes,
+            np.array([0, len(codes)], dtype=np.int64),
+            symbols,
+            lengths,
+            decoded_size_hint=len(arr),
+        )
     )
-    dt_d = time.perf_counter() - t0
     assert bytes(out) == data, "roundtrip mismatch"
+
+    # rows shape: independent 1 KiB rows — the engine's production
+    # shape (per-row/chunk compression), engages the 4-lane kernel
+    row_offsets = np.arange(0, len(arr) + 1023, 1024, dtype=np.int64)
+    row_offsets[-1] = len(arr)
+    dt_rows, _ = best3(lambda: native.compress_bulk(arr, row_offsets, comp))
     return {
         "ratio": round(len(data) / len(codes), 4),
         "compress_mb_s": round(len(data) / dt_c / (1 << 20), 1),
+        "compress_rows_mb_s": round(len(data) / dt_rows / (1 << 20), 1),
         "decompress_mb_s": round(len(data) / dt_d / (1 << 20), 1),
     }
 
 
 def reference(data: bytes) -> dict | None:
-    exe = REF_BENCH / "target" / "release" / "ref_bench"
+    # build per tools/ref_bench/README.md: the reference crate needs
+    # --cap-lints allow on this toolchain, and the shared target dir
+    # keeps rebuilds out of the repo tree
+    exe = pathlib.Path("/tmp/ref_bench_target/release/ref_bench")
     if not exe.exists():
+        exe_in_tree = REF_BENCH / "target" / "release" / "ref_bench"
+        if exe_in_tree.exists():
+            exe = exe_in_tree
+    if not exe.exists():
+        import os
+
         r = subprocess.run(
             ["cargo", "build", "--release", "--offline"],
             cwd=REF_BENCH,
             capture_output=True,
             text=True,
+            env=dict(
+                os.environ,
+                RUSTFLAGS="--cap-lints allow",
+                CARGO_TARGET_DIR="/tmp/ref_bench_target",
+            ),
         )
         if r.returncode != 0 or not exe.exists():
             return None
@@ -88,6 +129,7 @@ def reference(data: bytes) -> dict | None:
     return {
         "ratio": round(j.get("stdin_ratio", 0.0), 4),
         "compress_mb_s": j.get("tokens_compress_1row"),
+        "compress_rows_mb_s": j.get("tokens_compress_rows"),
         "decompress_mb_s": j.get("tokens_decompress"),
     }
 
