@@ -478,6 +478,70 @@ def _q_tokens_roundtrip(sf_dir: str):
     return tokens_summary(decode_dataset(out))
 
 
+def _q_decode_point_lookup(sf_dir: str):
+    """Selective decode (point lookup): encode the corpus, then decode
+    ONLY the docs whose id ends in '00' through the two-phase pruned
+    read (`decode_select`: phase A scans just the chunk-index columns,
+    phase B re-reads and decodes only the hit bucket files/chunks).
+    Returns per-doc (doc_id, n_tok, checksum) with the same
+    order-sensitive checksum the flagship roundtrip uses, so the
+    oracle recomputes it from the original parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fsst_ray import decode_select, encode_dataset, read_tokens_dataset
+    from fsst_ray.sources.tokens import ensure_tokens_parquet, read_parquet_bundled
+    from fsst_ray.stages.serialize import tokens_views
+
+    scale = _scale_for(sf_dir)
+    path = ensure_tokens_parquet(scale)
+    ds = read_tokens_dataset(scale=scale)
+    out = _tmp_out("sel")
+    encode_dataset(
+        ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19, input_path=path
+    )
+
+    # the wanted set from a projected doc_id-only read (never the
+    # token bytes); bounded: 1% of ids end in "00"
+    wanted: list[str] = []
+    for b in read_parquet_bundled(path, columns=["doc_id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        wanted += t.filter(pc.ends_with(t["doc_id"], pattern="00"))[
+            "doc_id"
+        ].to_pylist()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        values, offsets = tokens_views(batch)
+        lens = offsets[1:] - offsets[:-1]
+        pos = (
+            np.arange(len(values), dtype=np.int64)
+            - np.repeat(offsets[:-1], lens)
+            + 1
+        )
+        weighted = (values.astype(np.int64) + 1) * pos
+        row_sums = np.zeros(len(lens), dtype=np.int64)
+        nonempty = lens > 0
+        if len(values) and nonempty.any():
+            row_sums[nonempty] = np.add.reduceat(weighted, offsets[:-1][nonempty])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": batch["n_tok"],
+                "checksum": pa.array(row_sums, type=pa.int64()),
+            }
+        )
+
+    sel = decode_select(out, wanted).map_batches(
+        summarize, batch_format="pyarrow"
+    )
+    parts = [pa.table(b) for b in sel.iter_batches(batch_format="pyarrow")]
+    assert parts, "decode_select returned no rows"
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
 _METRICS_BUCKET_TOKENS = 1 << 19
 
 
@@ -555,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": _q_token_histogram,
         "tokens_roundtrip": _q_tokens_roundtrip,
         "encode_metrics": _q_encode_metrics,
+        "decode_point_lookup": _q_decode_point_lookup,
     }
 
 
@@ -802,6 +867,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS fingerprint FROM documents"
         ),
         "tokens_roundtrip": tokens_summary_sql,
+        "decode_point_lookup": (
+            "SELECT doc_id, n_tok, "
+            "CAST(COALESCE(list_sum(list_transform(tokens, "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
+            f"FROM {corpus} WHERE doc_id LIKE '%00'"
+        ),
         "encode_metrics": (
             "SELECT source, GREATEST(1, (CAST(SUM(n_tok) AS BIGINT) + "
             f"{_METRICS_BUCKET_TOKENS - 1}) // {_METRICS_BUCKET_TOKENS}) AS n_parts, "

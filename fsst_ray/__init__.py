@@ -12,6 +12,7 @@ decode pass.
 from .pipelines import (
     EncodeResult,
     decode_dataset,
+    decode_select,
     encode_dataset,
     read_encoded,
     verify_roundtrip,
@@ -22,6 +23,7 @@ __all__ = [
     "EncodeResult",
     "encode_dataset",
     "decode_dataset",
+    "decode_select",
     "read_encoded",
     "verify_roundtrip",
     "tokens_table",

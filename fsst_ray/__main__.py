@@ -3,6 +3,8 @@
     python -m fsst_ray encode  --input DIR --output DIR [--mode bucketed]
                                [--chunk-tokens N] [--bucket-tokens N] [--resume]
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
+    python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
+                               [--output DIR]
     python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
     python -m fsst_ray stats   --encoded ENCODED_DIR
 
@@ -35,7 +37,12 @@ def _init_ray(num_cpus: int | None):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="fsst_ray")
-    parser.add_argument("command", choices=["encode", "decode", "verify", "stats"])
+    parser.add_argument(
+        "command", choices=["encode", "decode", "select", "verify", "stats"]
+    )
+    parser.add_argument(
+        "--doc-ids", help="comma-separated doc ids (select): pruned point lookup"
+    )
     parser.add_argument("--input", help="input parquet dir (tokens schema) / encoded dir")
     parser.add_argument("--output", help="output dir")
     parser.add_argument("--encoded", help="encoded dir (verify/stats)")
@@ -79,6 +86,35 @@ def main(argv=None):
 
             decode_dataset(args.input).write_parquet(args.output)
             print(json.dumps({"decoded_to": args.output}))
+        elif args.command == "select":
+            from fsst_ray import decode_select
+
+            stats: dict = {}
+            sel = decode_select(
+                args.encoded or args.input,
+                [d for d in (args.doc_ids or "").split(",") if d],
+                stats=stats,
+            )
+            if args.output:
+                sel.write_parquet(args.output)
+                print(json.dumps({"selected_to": args.output, **stats}))
+            else:
+                rows = sel.take_all()
+                print(
+                    json.dumps(
+                        {
+                            "rows": [
+                                {
+                                    "doc_id": r["doc_id"],
+                                    "n_tok": int(r["n_tok"]),
+                                    "source": r["source"],
+                                }
+                                for r in rows
+                            ],
+                            **stats,
+                        }
+                    )
+                )
         elif args.command == "verify":
             from fsst_ray import verify_roundtrip
 

@@ -1,10 +1,11 @@
 from .encode_job import encode_dataset, EncodeResult
-from .decode_job import read_encoded, decode_dataset, verify_roundtrip
+from .decode_job import read_encoded, decode_dataset, decode_select, verify_roundtrip
 
 __all__ = [
     "encode_dataset",
     "EncodeResult",
     "read_encoded",
     "decode_dataset",
+    "decode_select",
     "verify_roundtrip",
 ]

@@ -52,3 +52,125 @@ def verify_roundtrip(original_ds, encoded_or_dir) -> dict:
         "original": left,
         "decoded": right,
     }
+
+
+def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
+    """Selective decode: the original rows for exactly `doc_ids`.
+
+    The point-lookup path over an encoded corpus — decodes only the
+    chunks that contain requested docs instead of scanning everything.
+    Two-phase pruned read:
+
+    - **Phase A** scans ONLY the chunk-index columns (`part_key`,
+      `chunk_seq`, `doc_id`) — parquet column projection never touches
+      the `payload` column, which is ~99% of the encoded bytes — and
+      collects the hit chunk keys (driver-bounded: at most one key per
+      requested doc per chunk, i.e. <= len(doc_ids)).
+    - **Phase B** re-reads just the HIT bucket files (file-level
+      pruning from the manifest's part->file map), filters to the hit
+      chunk_seqs, decodes only those chunks, and trims the decoded
+      rows to the requested ids.
+
+    At cluster scale the same shape holds: phase A is a cheap
+    projected scan over index columns, phase B reads O(hits) files.
+    If `stats` is passed, records files_total / files_read /
+    chunks_decoded for pruning assertions.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    wanted = pa.array(sorted({str(d) for d in doc_ids}), type=pa.string())
+    wanted_ref = ray.put(wanted)
+    path = mf.chunks_dir(out_dir)
+
+    def find_hits(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        col = batch["doc_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isin = pc.is_in(pc.list_flatten(col), value_set=w)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        hit_rows = np.unique(parents[isin.to_numpy(zero_copy_only=False)])
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        mask[hit_rows] = True
+        return batch.select(["part_key", "chunk_seq"]).filter(pa.array(mask))
+
+    index = rd.read_parquet(
+        str(path),
+        file_extensions=["parquet"],
+        columns=["part_key", "chunk_seq", "doc_id"],
+    ).map_batches(find_hits, batch_format="pyarrow")
+    batches = [pa.table(b) for b in index.iter_batches(batch_format="pyarrow")]
+    hits = (
+        pa.concat_tables(batches)
+        if batches
+        # iter_batches yields nothing when every block filtered empty
+        else pa.table(
+            {
+                "part_key": pa.array([], type=pa.string()),
+                "chunk_seq": pa.array([], type=pa.int32()),
+            }
+        )
+    )
+
+    entries = mf.load_manifest(out_dir)
+    hit_parts = set(hits["part_key"].to_pylist())
+    hit_files = [
+        str(path / e["file"]) for k, e in entries.items() if k in hit_parts
+    ]
+    if stats is not None:
+        stats["files_total"] = len(entries)
+        stats["files_read"] = len(hit_files)
+        stats["chunks_total"] = sum(e["chunks"] for e in entries.values())
+        stats["chunks_decoded"] = hits.num_rows
+    if not hit_files:
+        import pyarrow as _pa
+
+        return rd.from_arrow(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([], type=_pa.string()),
+                    "tokens": _pa.array([], type=_pa.list_(_pa.int32())),
+                    "n_tok": _pa.array([], type=_pa.int32()),
+                    "source": _pa.array([], type=_pa.string()),
+                }
+            )
+        )
+
+    # composite key (part_key, chunk_seq) membership, vectorized
+    hit_keys = pa.array(
+        [
+            f"{k}#{s}"
+            for k, s in zip(
+                hits["part_key"].to_pylist(), hits["chunk_seq"].to_pylist()
+            )
+        ],
+        type=pa.string(),
+    )
+    hit_keys_ref = ray.put(hit_keys)
+
+    def decode_hit_chunks(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            batch["part_key"],
+            pc.cast(batch["chunk_seq"], pa.string()),
+            "#",
+        )
+        batch = batch.filter(pc.is_in(keys, value_set=ray.get(hit_keys_ref)))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "tokens": pa.array([], type=pa.list_(pa.int32())),
+                    "n_tok": pa.array([], type=pa.int32()),
+                    "source": pa.array([], type=pa.string()),
+                }
+            )
+        rows = decode_chunks_batch(batch)
+        return rows.filter(pc.is_in(rows["doc_id"], value_set=ray.get(wanted_ref)))
+
+    return rd.read_parquet(
+        hit_files, file_extensions=["parquet"]
+    ).map_batches(decode_hit_chunks, batch_format="pyarrow", batch_size=None)

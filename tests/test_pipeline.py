@@ -459,3 +459,47 @@ def test_read_parquet_bundled_path_list_include_paths(ray_session, tmp_path):
         prefix, pc.cast(t["doc_id"], pa.string()), ""
     )
     assert len(pc.unique(doc)) == t.num_rows
+
+
+def test_decode_select_point_lookup(tokens_ds, tmp_path):
+    """Selective decode returns exactly the requested rows bit-identical
+    to the source, and PRUNES: only the bucket files containing hits are
+    re-read for payload, and only the hit chunks are decoded."""
+    import pyarrow.compute as pc
+
+    from fsst_ray import decode_select
+
+    out = str(tmp_path / "enc_sel")
+    encode_dataset(tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15)
+
+    src = tokens_ds.take_all()
+    by_id = {r["doc_id"]: r for r in src}
+    # ids concentrated in one source so the file-level pruning is visible
+    wanted = sorted(d for d in by_id if d.startswith("english"))[:3]
+    assert len(wanted) == 3
+
+    stats: dict = {}
+    got = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in decode_select(out, wanted, stats=stats).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    got = got.sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == wanted
+    for i, d in enumerate(wanted):
+        row = by_id[d]
+        assert got["tokens"][i].as_py() == list(row["tokens"]), d
+        assert got["n_tok"][i].as_py() == row["n_tok"]
+        assert got["source"][i].as_py() == row["source"]
+
+    assert stats["files_read"] < stats["files_total"], stats
+    assert stats["chunks_decoded"] < stats["chunks_total"], stats
+
+    # empty selection: empty result, zero payload files read
+    stats2: dict = {}
+    empty = decode_select(out, ["no-such-doc"], stats=stats2)
+    assert empty.count() == 0
+    assert stats2["files_read"] == 0
