@@ -82,9 +82,49 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
     import ray
     import ray.data as rd
 
-    wanted = pa.array(sorted({str(d) for d in doc_ids}), type=pa.string())
+    wanted_sorted = sorted({str(d) for d in doc_ids})
+    wanted = pa.array(wanted_sorted, type=pa.string())
     wanted_ref = ray.put(wanted)
     path = mf.chunks_dir(out_dir)
+
+    # zone-map pruning BEFORE phase A: skip files whose lexicographic
+    # [doc_min, doc_max] range (recorded in the manifest at encode
+    # time) cannot contain any requested id. Entries from older
+    # manifests without zone fields are always scanned.
+    entries = mf.load_manifest(out_dir)
+    wanted_np = np.array(wanted_sorted)
+
+    def _zone_may_hit(e: dict) -> bool:
+        dmin, dmax = e.get("doc_min"), e.get("doc_max")
+        if dmin is None or dmax is None or not len(wanted_np):
+            return True
+        i = int(np.searchsorted(wanted_np, dmin, side="left"))
+        return i < len(wanted_np) and wanted_np[i] <= dmax
+
+    scan_entries = {k: e for k, e in entries.items() if _zone_may_hit(e)}
+    scan_files = [str(path / e["file"]) for e in scan_entries.values()]
+    if stats is not None:
+        stats["files_zone_scanned"] = len(scan_files)
+
+    def _empty_rows():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "tokens": pa.array([], type=pa.list_(pa.int32())),
+                    "n_tok": pa.array([], type=pa.int32()),
+                    "source": pa.array([], type=pa.string()),
+                }
+            )
+        )
+
+    if not scan_files:
+        if stats is not None:
+            stats["files_total"] = len(entries)
+            stats["files_read"] = 0
+            stats["chunks_total"] = sum(e["chunks"] for e in entries.values())
+            stats["chunks_decoded"] = 0
+        return _empty_rows()
 
     def find_hits(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
@@ -99,7 +139,7 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
         return batch.select(["part_key", "chunk_seq"]).filter(pa.array(mask))
 
     index = rd.read_parquet(
-        str(path),
+        scan_files,
         file_extensions=["parquet"],
         columns=["part_key", "chunk_seq", "doc_id"],
     ).map_batches(find_hits, batch_format="pyarrow")
@@ -116,7 +156,6 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
         )
     )
 
-    entries = mf.load_manifest(out_dir)
     hit_parts = set(hits["part_key"].to_pylist())
     hit_files = [
         str(path / e["file"]) for k, e in entries.items() if k in hit_parts
@@ -127,18 +166,7 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
         stats["chunks_total"] = sum(e["chunks"] for e in entries.values())
         stats["chunks_decoded"] = hits.num_rows
     if not hit_files:
-        import pyarrow as _pa
-
-        return rd.from_arrow(
-            _pa.table(
-                {
-                    "doc_id": _pa.array([], type=_pa.string()),
-                    "tokens": _pa.array([], type=_pa.list_(_pa.int32())),
-                    "n_tok": _pa.array([], type=_pa.int32()),
-                    "source": _pa.array([], type=_pa.string()),
-                }
-            )
-        )
+        return _empty_rows()
 
     # composite key (part_key, chunk_seq) membership, vectorized
     hit_keys = pa.array(

@@ -106,6 +106,8 @@ def _write_bucket_file(chunks: pa.Table, out_dir: str) -> dict:
         "codecs": codec_hist,
         "file": fname.name,
     }
+    mm = pa.compute.min_max(pa.compute.list_flatten(chunks["doc_id"]))
+    entry["doc_min"], entry["doc_max"] = mm["min"].as_py(), mm["max"].as_py()
     mf.write_part_entry(out_dir, entry)
     return entry
 
@@ -281,6 +283,11 @@ class _BucketWriter:
                 # duplicate guard must also catch dups split across
                 # flushes of the same bucket (8 B/doc, bucket-bounded)
                 "doc_digests": np.empty(0, dtype=np.uint64),
+                # zone map for selective decode: lexicographic doc_id
+                # range of this part (decode_select prunes files whose
+                # range cannot contain any requested id)
+                "doc_min": None,
+                "doc_max": None,
             }
         return st
 
@@ -303,6 +310,12 @@ class _BucketWriter:
             key = keys[lo]
             st = self._part(key)
             st["bufs"].append(table.slice(lo, hi - lo))
+            mm = pa.compute.min_max(table["doc_id"].slice(lo, hi - lo))
+            dmin, dmax = mm["min"].as_py(), mm["max"].as_py()
+            if dmin is not None and (st["doc_min"] is None or dmin < st["doc_min"]):
+                st["doc_min"] = dmin
+            if dmax is not None and (st["doc_max"] is None or dmax > st["doc_max"]):
+                st["doc_max"] = dmax
             toks = int(n_tok[lo:hi].sum())
             st["buf_tokens"] += toks
             st["pinned"] += toks
@@ -442,6 +455,8 @@ class _BucketWriter:
                 "bytes_out": st["bytes_out"],
                 "codecs": st["codecs"],
                 "file": st["final"].name,
+                "doc_min": st["doc_min"],
+                "doc_max": st["doc_max"],
             }
             mf.write_part_entry(self.out_dir, entry)
             entries.append(entry)

@@ -497,9 +497,35 @@ def test_decode_select_point_lookup(tokens_ds, tmp_path):
 
     assert stats["files_read"] < stats["files_total"], stats
     assert stats["chunks_decoded"] < stats["chunks_total"], stats
+    # zone maps prune phase A itself: buckets whose [doc_min, doc_max]
+    # range can't contain an "english*" id are never index-scanned
+    assert stats["files_zone_scanned"] < stats["files_total"], stats
+    assert stats["files_zone_scanned"] >= stats["files_read"], stats
 
     # empty selection: empty result, zero payload files read
     stats2: dict = {}
     empty = decode_select(out, ["no-such-doc"], stats=stats2)
     assert empty.count() == 0
     assert stats2["files_read"] == 0
+
+    # legacy manifests (no zone fields) still scan everything, correctly
+    import json
+
+    from fsst_ray.state import manifest as mf
+
+    for p in mf.manifest_dir(out).glob("*.json"):
+        e = json.loads(p.read_text())
+        e.pop("doc_min", None)
+        e.pop("doc_max", None)
+        p.write_text(json.dumps(e))
+    stats3: dict = {}
+    got3 = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in decode_select(out, wanted, stats=stats3).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    ).sort_by("doc_id")
+    assert got3["doc_id"].to_pylist() == wanted
+    assert stats3["files_zone_scanned"] == stats3["files_total"], stats3
