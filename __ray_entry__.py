@@ -116,6 +116,33 @@ def _q_fingerprint(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII redaction over documents with deterministically planted
+    emails/IPs (the synthetic corpus is PII-free, so 1/13 of docs get a
+    doc_id-derived suffix — SQL-reproducible — to make the counts and
+    replacements non-vacuous)."""
+    from fsst_ray.functions.textstats import plant_pii_batch, redact_pii_batch
+
+    def run(batch):
+        return redact_pii_batch(plant_pii_batch(batch))
+
+    return _read(sf_dir, "documents").map_batches(run, batch_format="pyarrow")
+
+
+def _q_repetition_stats(sf_dir: str):
+    from fsst_ray.functions.textstats import repetition_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def _q_shuffle_order(sf_dir: str):
+    from fsst_ray.functions.curate import shuffle_order
+
+    return shuffle_order(_read(sf_dir, "documents"))
+
+
 def _q_events_window(sf_dir: str):
     from fsst_ray.functions.windows import tumbling_counts
 
@@ -590,6 +617,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "shuffle_order": _q_shuffle_order,
         "events_window": _q_events_window,
         "hopping_window": _q_hopping_window,
         "session_windows": _q_session_windows,
@@ -685,6 +715,40 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN c_es = {greatest} THEN 'es' "
             f"WHEN c_fr = {greatest} THEN 'fr' "
             "ELSE 'zh' END AS pred_lang, c_de, c_en, c_es, c_fr, c_zh FROM c"
+        ),
+        "redact_pii": (
+            # planting + regexes verbatim from textstats.plant_pii_batch /
+            # EMAIL_RE / IPV4_RE; both engines run RE2 so replacement and
+            # count semantics are identical, and the oracle nests its
+            # regexp_replace in the engine's order (emails first)
+            "WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 "
+            "THEN ' contact user' || doc_id || '@example.com at 10.0.' || "
+            "(doc_id % 256) || '.' || (doc_id % 100) ELSE '' END AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_email, "
+            "CAST(len(regexp_extract_all(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
+            "regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS clean_text FROM p"
+        ),
+        "repetition_stats": (
+            "WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents), "
+            "s AS (SELECT doc_id, CAST(GREATEST(len(ws)-1,0) AS BIGINT) AS n_bigrams, "
+            "CAST(len(list_distinct(list_transform(range(1, GREATEST(len(ws),1)), "
+            "i -> ws[i] || ' ' || ws[i+1]))) AS BIGINT) AS n_distinct_bigrams FROM w) "
+            "SELECT doc_id, n_bigrams, n_distinct_bigrams, "
+            "(100*(n_bigrams - n_distinct_bigrams))//GREATEST(n_bigrams,1) AS dup_pct "
+            "FROM s"
+        ),
+        "shuffle_order": (
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY hash(doc_id), doc_id) "
+            "- 1 AS BIGINT) AS pos FROM documents"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "

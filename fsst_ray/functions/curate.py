@@ -92,6 +92,86 @@ def stratified_sample(
     return ds.map_batches(sample, batch_format="pyarrow")
 
 
+def shuffle_order(ds):
+    """(doc_id, pos): a deterministic global training-shuffle order —
+    every doc's position in the corpus permuted by murmur64(doc_id)
+    (ties broken by doc_id). Stable under reordering / repartition /
+    rerun, and SQL-recomputable (`ROW_NUMBER() OVER (ORDER BY
+    hash(doc_id), doc_id)`), unlike `ds.random_shuffle`.
+
+    100-TB shape (same as pack_sequences): the payload never moves —
+    the sort and the two-pass exclusive prefix scan run over the
+    (doc_id, h) projection only (~16 B/row). Consumers read payloads
+    in `pos` order via the returned map (or join it back by doc_id).
+    """
+    import ray
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "h": pa.array(_murmur64(ids), type=pa.uint64()),
+            }
+        )
+
+    proj = (
+        ds.select_columns(["doc_id"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .sort(["h", "doc_id"])
+        .materialize()
+    )
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        first = batch["doc_id"][0].as_py() if n else 0
+        return pa.table(
+            {
+                "first_id": pa.array([first], type=pa.int64()),
+                "first_h": pa.array(
+                    [batch["h"][0].as_py() if n else 0], type=pa.uint64()
+                ),
+                "rows": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    # one row per block; blocks hold disjoint (h, doc_id) ranges after
+    # the range sort, so block order = summaries sorted by (h, first_id)
+    summaries = proj.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    summaries = summaries[summaries["rows"] > 0].sort_values(
+        ["first_h", "first_id"]
+    )
+    bases = {}
+    run = 0
+    for first_id, rows in zip(summaries["first_id"], summaries["rows"]):
+        bases[int(first_id)] = run
+        run += int(rows)
+    bases_ref = ray.put(bases)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        base = ray.get(bases_ref)[batch["doc_id"][0].as_py()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pos": pa.array(
+                    base + np.arange(batch.num_rows, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return proj.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
 def _topk_table(ids: np.ndarray, quality: np.ndarray, k: int) -> pa.Table:
     order = np.lexsort((ids, -quality))[:k]
     return pa.table(

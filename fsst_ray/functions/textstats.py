@@ -109,6 +109,99 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+# PII patterns shared verbatim with the DuckDB oracle (both engines
+# run RE2, so counts and replacements are bit-identical by construction)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def plant_pii_batch(batch: pa.Table, mod: int = 13) -> pa.Table:
+    """Deterministically inject synthetic PII into 1/mod of the docs so
+    the redaction operator is non-vacuous on the PII-free synthetic
+    corpus (same planting idea as similarity.plant_twins). The suffix is
+    a pure function of doc_id, reproducible in SQL with string concat."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch["text"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = ids.astype(str)
+    suffix = np.where(
+        ids % mod == 0,
+        np.char.add(
+            np.char.add(
+                np.char.add(" contact user", d),
+                np.char.add("@example.com at 10.0.", (ids % 256).astype(str)),
+            ),
+            np.char.add(".", (ids % 100).astype(str)),
+        ),
+        "",
+    )
+    planted = pc.binary_join_element_wise(arr, pa.array(suffix, type=pa.string()), "")
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", planted
+    )
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_email, n_ip, clean_text): count and redact emails and
+    IPv4 addresses. Fully vectorized RE2 kernels
+    (pc.count_substring_regex / pc.replace_substring_regex); emails are
+    replaced first, then IPs counted/replaced on the email-redacted
+    text, and the oracle nests its regexp_replace in the same order so
+    overlap handling is identical."""
+    ids = batch["doc_id"]
+    col = batch["text"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_email = pc.cast(pc.count_substring_regex(arr, EMAIL_RE), pa.int64())
+    clean = pc.replace_substring_regex(arr, EMAIL_RE, "<EMAIL>")
+    n_ip = pc.cast(pc.count_substring_regex(clean, IPV4_RE), pa.int64())
+    clean = pc.replace_substring_regex(clean, IPV4_RE, "<IP>")
+    return pa.table(
+        {"doc_id": ids, "n_email": n_email, "n_ip": n_ip, "clean_text": clean}
+    )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bigrams, n_distinct_bigrams, dup_pct): word-bigram
+    repetition — the Gopher-style "fraction of duplicated n-grams"
+    quality signal, as integers for hash-exact oracle comparison.
+    Vectorized: bigram (a, b) pairs are materialized as two gathered
+    views of the flattened word array and reduced with one polars
+    struct n_unique group-by (no per-row Python)."""
+    import polars as pl
+
+    words = _word_lists(batch)
+    flat = words.flatten()
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    lens = offsets[1:] - offsets[:-1]
+    n_bigrams = np.maximum(lens - 1, 0)
+    total = int(n_bigrams.sum())
+    nd = np.zeros(len(lens), dtype=np.int64)
+    if total:
+        starts = np.repeat(offsets[:-1], n_bigrams)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(np.concatenate(([0], n_bigrams[:-1]))), n_bigrams
+        )
+        j = starts + within
+        parent = np.repeat(np.arange(len(lens)), n_bigrams)
+        fw = flat.to_numpy(zero_copy_only=False)
+        agg = (
+            pl.DataFrame({"r": parent, "a": fw[j], "b": fw[j + 1]})
+            .group_by("r")
+            .agg(pl.struct("a", "b").n_unique().alias("nd"))
+        )
+        nd[agg["r"].to_numpy()] = agg["nd"].to_numpy()
+    dup_pct = (100 * (n_bigrams - nd)) // np.maximum(n_bigrams, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+            "n_distinct_bigrams": pa.array(nd, type=pa.int64()),
+            "dup_pct": pa.array(dup_pct.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 _FP_CON = None
 
 

@@ -572,3 +572,99 @@ def test_streaming_group_map_matches_map_groups(ray_session):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert got.equals(want), (len(got), len(want))
+
+
+def test_redact_pii_edge_cases():
+    """Counts and replacements on hand-built texts, including adjacent
+    matches, empty strings, and an email whose domain is not an IP."""
+    from fsst_ray.functions.textstats import redact_pii_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b-c%d@sub.example.org now",
+                    "ips 1.2.3.4 10.20.30.40 done",
+                    "",
+                    "user@10.0.0.1",  # not an email (numeric TLD) -> IP redacted
+                    "plain text only",
+                ]
+            ),
+        }
+    )
+    out = redact_pii_batch(batch)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 2, 0, 1, 0]
+    assert out["clean_text"].to_pylist() == [
+        "mail <EMAIL> now",
+        "ips <IP> <IP> done",
+        "",
+        "user@<IP>",
+        "plain text only",
+    ]
+
+
+def test_plant_pii_then_redact_roundtrip():
+    """Planted docs (doc_id % 13 == 0) gain exactly one email and one
+    IP; unplanted docs are untouched."""
+    from fsst_ray.functions.textstats import plant_pii_batch, redact_pii_batch
+
+    ids = list(range(30))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([f"doc body {i}" for i in ids]),
+        }
+    )
+    out = redact_pii_batch(plant_pii_batch(batch))
+    for i, ne, ni, ct in zip(
+        ids,
+        out["n_email"].to_pylist(),
+        out["n_ip"].to_pylist(),
+        out["clean_text"].to_pylist(),
+    ):
+        if i % 13 == 0:
+            assert (ne, ni) == (1, 1), i
+            assert ct == f"doc body {i} contact <EMAIL> at <IP>", ct
+        else:
+            assert (ne, ni) == (0, 0), i
+            assert ct == f"doc body {i}"
+
+
+def test_repetition_stats_edge_cases():
+    """Bigram repetition on empty / single-word / fully-repeated docs."""
+    from fsst_ray.functions.textstats import repetition_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                ["a b a b c", "x", "", "a a a a", "q w e r t y"]
+            ),
+        }
+    )
+    out = repetition_batch(batch)
+    assert out["n_bigrams"].to_pylist() == [4, 0, 0, 3, 5]
+    assert out["n_distinct_bigrams"].to_pylist() == [3, 0, 0, 1, 5]
+    assert out["dup_pct"].to_pylist() == [25, 0, 0, 66, 0]
+
+
+def test_shuffle_order_is_permutation_and_stable(ray_session):
+    """pos is exactly 0..n-1, deterministic across runs, and invariant
+    to input block layout (repartition before the call)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import shuffle_order
+
+    tbl = pa.table({"doc_id": pa.array(range(500), type=pa.int64())})
+    a = shuffle_order(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert sorted(a["pos"]) == list(range(500))
+    # not the identity order (it's a shuffle)
+    assert list(a["pos"]) != list(range(500))
+    b = (
+        shuffle_order(rd.from_arrow(tbl).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(a["pos"]) == list(b["pos"])
