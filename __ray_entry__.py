@@ -384,6 +384,44 @@ def _q_lineitem_pricing(sf_dir: str):
     )
 
 
+def _q_supplier_nation_rollup(sf_dir: str):
+    """Broadcast dimension join: the supplier->nation->region chain is
+    composed driver-side and ray.put once; the lineitem fact table
+    streams through a searchsorted lookup with map-side partials — no
+    fact shuffle. Read pruned to the two needed columns."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import dim_lookup_rollup
+
+    fact = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_quantity"]
+    )
+    return dim_lookup_rollup(
+        fact,
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        pq.read_table(f"{sf_dir}/region.parquet"),
+    )
+
+
+def _q_order_priority_rollup(sf_dir: str):
+    """Big-x-big distributed hash join (lineitem x orders on orderkey):
+    both sides pruned to key+payload projections at the read, one hash
+    exchange, within-group cross product, map-side partials after."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import order_priority_rollup
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    return order_priority_rollup(li, od)
+
+
 def _q_top_quality(sf_dir: str):
     from fsst_ray.functions.curate import top_quality_docs
 
@@ -637,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
         "lineitem_pricing": _q_lineitem_pricing,
+        "supplier_nation_rollup": _q_supplier_nation_rollup,
+        "order_priority_rollup": _q_order_priority_rollup,
         "top_quality_docs": _q_top_quality,
         "ntok_percentiles": _q_ntok_percentiles,
         "pack_sequences": _q_pack_sequences,
@@ -754,6 +794,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
+        ),
+        "supplier_nation_rollup": (
+            "SELECT n_name, r_name, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "COUNT(*) AS n FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY n_name, r_name"
+        ),
+        "order_priority_rollup": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "COUNT(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "top_quality_docs": (
             "WITH s AS (SELECT doc_id, "

@@ -1,0 +1,201 @@
+"""Relational join operators, in the two shapes that matter at 100 TB.
+
+**Broadcast join** (`dim_lookup_rollup`): when one side is a genuine
+dimension table (nation/region/supplier — KBs to MBs), shuffling the
+fact table to co-locate keys is wasted movement. The dimension chain is
+composed driver-side into flat sorted-key arrays, `ray.put` once, and
+every fact batch resolves keys with a vectorized `searchsorted` — the
+fact table streams through untouched, with map-side partial aggregation
+so the final groupby is dimension-sized.
+
+**Distributed hash join** (`hash_join`): for big-x-big equi-joins
+neither side fits a broadcast, so each side's PROJECTION (join key +
+needed columns only — prune at the read) is tagged and hash-exchanged
+once on the key; each key group then emits its within-group cross
+product. This is the one-all-to-all-shuffle shape; group size is
+bounded by key multiplicity (TPC-H: <= 7 lineitems per order), which is
+the documented partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _sorted_lookup(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Positions of `keys` in `sorted_keys` (every key must be present —
+    foreign-key integrity; asserted)."""
+    pos = np.searchsorted(sorted_keys, keys)
+    assert (pos < len(sorted_keys)).all() and (
+        sorted_keys[pos] == keys
+    ).all(), "fact key missing from dimension"
+    return pos
+
+
+def dim_lookup_rollup(fact_ds, supplier: pa.Table, nation: pa.Table, region: pa.Table):
+    """lineitem x supplier x nation x region -> (n_name, r_name,
+    sum_qty, n): quantity shipped per supplier nation (TPC-H-Q5-style
+    dimension enrichment without the orders branch).
+
+    The supplier->nation->region chain is composed ONCE driver-side
+    (25/5-row tables; supplier is SF-scaled but stays MBs at 100 TB)
+    into aligned arrays, broadcast via ray.put, and each fact batch
+    resolves l_suppkey with one searchsorted + gather. Partials are
+    pre-aggregated per batch so the shuffle carries at most
+    |nation| rows per block.
+    """
+    import ray
+
+    # compose the dimension chain driver-side: s_suppkey -> (n_name, r_name)
+    s_key = supplier["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_nat = supplier["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(s_key)
+    s_key, s_nat = s_key[order], s_nat[order]
+    n_key = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_name = nation["n_name"].to_numpy(zero_copy_only=False)
+    n_reg = nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    norder = np.argsort(n_key)
+    n_key, n_name, n_reg = n_key[norder], n_name[norder], n_reg[norder]
+    r_key = region["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_name = region["r_name"].to_numpy(zero_copy_only=False)
+    rorder = np.argsort(r_key)
+    r_key, r_name = r_key[rorder], r_name[rorder]
+
+    nat_of_supp = _sorted_lookup(s_nat, n_key)  # supplier row -> nation row
+    reg_of_nat = _sorted_lookup(n_reg, r_key)  # nation row -> region row
+    dims_ref = ray.put(
+        {
+            "s_key": s_key,
+            "nat_of_supp": nat_of_supp,
+            "n_name": n_name,
+            "r_name": r_name[reg_of_nat],  # aligned to nation rows
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = ray.get(dims_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = d["nat_of_supp"][_sorted_lookup(sk, d["s_key"])]
+        uniq, inv = np.unique(nat, return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array(d["n_name"][uniq], type=pa.string()),
+                "r_name": pa.array(d["r_name"][uniq], type=pa.string()),
+                "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        fact_ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["n_name", "r_name"])
+        .sum(["sum_qty", "n"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["n_name", "r_name", "sum_qty", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def hash_join(left_ds, right_ds, left_on: str, right_on: str):
+    """Distributed inner equi-join: one hash exchange of the two tagged
+    projections, then a within-group cross product per key.
+
+    Output columns: the join key (named `left_on`) + every non-key
+    column of both inputs (callers prune with select_columns /
+    read-time projection first — only the columns you keep move).
+    Partitioning assumption (documented): all rows of ONE key fit one
+    worker's group — bounded by key multiplicity, not corpus size.
+    """
+
+    def _tag(side: int, key_name: str, other_schema: pa.Schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {
+                "_join_key": batch[key_name],
+                "_side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8), type=pa.int8()
+                ),
+            }
+            for name in batch.schema.names:
+                if name != key_name:
+                    cols[name] = batch[name]
+            # null-fill the other side's columns so the union schema is
+            # uniform (ray.data union requires matching schemas)
+            for field in other_schema:
+                if field.name != (right_on if side == 0 else left_on):
+                    cols[field.name] = pa.nulls(batch.num_rows, field.type)
+            return pa.table(cols)
+
+        return fn
+
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    left_cols = [n for n in lschema.names if n != left_on]
+    right_cols = [n for n in rschema.names if n != right_on]
+    overlap = set(left_cols) & set(right_cols)
+    assert not overlap, f"column name collision across sides: {overlap}"
+
+    tagged = left_ds.map_batches(
+        _tag(0, left_on, rschema), batch_format="pyarrow"
+    ).union(right_ds.map_batches(_tag(1, right_on, lschema), batch_format="pyarrow"))
+
+    out_names = [left_on] + left_cols + right_cols
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        l = group.filter(pa.array(side == 0))
+        r = group.filter(pa.array(side == 1))
+        nl, nr = l.num_rows, r.num_rows
+        if nl == 0 or nr == 0:
+            return pa.table(
+                {
+                    left_on: pa.array([], type=group.schema.field("_join_key").type),
+                    **{
+                        c: pa.array([], type=group.schema.field(c).type)
+                        for c in left_cols + right_cols
+                    },
+                }
+            )
+        li = np.repeat(np.arange(nl), nr)
+        ri = np.tile(np.arange(nr), nl)
+        cols = {left_on: l["_join_key"].take(pa.array(li))}
+        for c in left_cols:
+            cols[c] = l[c].take(pa.array(li))
+        for c in right_cols:
+            cols[c] = r[c].take(pa.array(ri))
+        return pa.table(cols).select(out_names)
+
+    return tagged.groupby("_join_key").map_groups(join_group, batch_format="pyarrow")
+
+
+def order_priority_rollup(lineitem_ds, orders_ds):
+    """lineitem JOIN orders ON orderkey -> (o_orderpriority, sum_qty, n):
+    the big-x-big join demonstration. Both inputs should arrive as
+    key+payload projections (the query wrapper prunes at the read);
+    after the join, per-priority partials pre-aggregate map-side so the
+    final groupby is priority-cardinality-sized."""
+    joined = hash_join(lineitem_ds, orders_ds, "l_orderkey", "o_orderkey")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(pri, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq, type=pa.string()),
+                "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .sum(["sum_qty", "n"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "sum_qty", "n"]),
+        batch_format="pyarrow",
+    )

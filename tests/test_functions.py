@@ -668,3 +668,88 @@ def test_shuffle_order_is_permutation_and_stable(ray_session):
         .sort_values("doc_id")
     )
     assert list(a["pos"]) == list(b["pos"])
+
+
+def test_hash_join_multiplicities_and_antijoin_drops(ray_session):
+    """Inner-join semantics: m x n cross product per key, keys present
+    on only one side produce no rows."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 2, 4], type=pa.int64()),
+            "rv": pa.array([10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    out = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # key 1: 2x2 rows, key 2: 1x1, keys 3 and 4: dropped
+    assert list(out["k"]) == [1, 1, 1, 1, 2]
+    assert list(out["lv"]) == ["a", "a", "b", "b", "c"]
+    assert list(out["rv"]) == [10, 20, 10, 20, 30]
+
+
+def test_hash_join_rejects_column_collision(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()), "v": pa.array([1], type=pa.int64())})
+    with pytest.raises(AssertionError, match="collision"):
+        hash_join(rd.from_arrow(t), rd.from_arrow(t.rename_columns(["k2", "v"])), "k", "k2")
+
+
+def test_dim_lookup_rollup_asserts_fk_integrity(ray_session):
+    """A fact key missing from the dimension fails loudly, not silently."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import dim_lookup_rollup
+
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2], type=pa.int64()),
+            "s_nationkey": pa.array([0, 1], type=pa.int32()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1], type=pa.int32()),
+            "n_name": pa.array(["AAA", "BBB"]),
+            "n_regionkey": pa.array([0, 0], type=pa.int32()),
+        }
+    )
+    region = pa.table(
+        {"r_regionkey": pa.array([0], type=pa.int32()), "r_name": pa.array(["R0"])}
+    )
+    fact = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2, 2, 9], type=pa.int64()),  # 9 missing
+            "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    ds = dim_lookup_rollup(rd.from_arrow(fact), supplier, nation, region)
+    with pytest.raises(Exception, match="missing from dimension"):
+        ds.to_pandas()
+
+    good = fact.filter(pa.array([True, True, True, False]))
+    out = (
+        dim_lookup_rollup(rd.from_arrow(good), supplier, nation, region)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_name"]) == ["AAA", "BBB"]
+    assert list(out["sum_qty"]) == [1, 5]
+    assert list(out["n"]) == [1, 2]
