@@ -422,6 +422,21 @@ def _q_order_priority_rollup(sf_dir: str):
     return order_priority_rollup(li, od)
 
 
+_RATE_BANDS = [(0, 0.0, 10.0), (1, 5.0, 25.0), (2, 20.0, 60.0), (3, 50.0, 1000.0)]
+
+
+def _q_asof_join(sf_dir: str):
+    from fsst_ray.functions.relational import asof_join_events
+
+    return asof_join_events(_read(sf_dir, "events"))
+
+
+def _q_range_join(sf_dir: str):
+    from fsst_ray.functions.relational import range_join_bands
+
+    return range_join_bands(_read(sf_dir, "events"), _RATE_BANDS)
+
+
 def _q_top_quality(sf_dir: str):
     from fsst_ray.functions.curate import top_quality_docs
 
@@ -677,6 +692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "order_priority_rollup": _q_order_priority_rollup,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "top_quality_docs": _q_top_quality,
         "ntok_percentiles": _q_ntok_percentiles,
         "pack_sequences": _q_pack_sequences,
@@ -810,6 +827,24 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "asof_join": (
+            # DuckDB's native ASOF JOIN is the oracle for the per-user
+            # latest-prior-event match (ties impossible: (user_id, ts)
+            # is unique in the testdata, asserted by the engine test)
+            "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT * FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, c.event_id AS match_event_id, "
+            "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
+            "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "range_join": (
+            "WITH bands(band_id, lo, hi) AS (VALUES "
+            + ", ".join(
+                f"(CAST({b} AS BIGINT), {lo}, {hi})" for b, lo, hi in _RATE_BANDS
+            )
+            + ") SELECT e.event_id, b.band_id FROM events e "
+            "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
         ),
         "top_quality_docs": (
             "WITH s AS (SELECT doc_id, "

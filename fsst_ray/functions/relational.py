@@ -170,6 +170,101 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str):
     return tagged.groupby("_join_key").map_groups(join_group, batch_format="pyarrow")
 
 
+def asof_join_events(events_ds, left_type: str = "purchase", right_type: str = "click"):
+    """Per-user as-of join within an event stream: each `left_type`
+    event matched to the LATEST `right_type` event of the same user at
+    or before it (inner semantics — unmatched left events drop).
+    Returns (event_id, match_event_id, gap_us).
+
+    Shape: one map-side projection+filter (4 small columns of the two
+    relevant types — everything else never moves), then a groupby on
+    user_id; within each group both sides sort by ts and match with a
+    single vectorized searchsorted. Partitioning assumption (same as
+    session_windows, documented): one user's events fit one worker —
+    bounded by per-user activity, not corpus size. Oracle: DuckDB's
+    native ASOF JOIN.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == left_type) | (et == right_type)
+        sub = batch.filter(pa.array(keep))
+        return sub.select(["event_id", "ts", "user_id", "event_type"])
+
+    def match_group(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lmask = et == left_type
+        lts, lid = ts[lmask], eid[lmask]
+        rts, rid = ts[~lmask], eid[~lmask]
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "match_event_id": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if not len(lts) or not len(rts):
+            return empty
+        rorder = np.argsort(rts)
+        rts, rid = rts[rorder], rid[rorder]
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        hit = pos >= 0
+        return pa.table(
+            {
+                "event_id": pa.array(lid[hit], type=pa.int64()),
+                "match_event_id": pa.array(rid[pos[hit]], type=pa.int64()),
+                "gap_us": pa.array(lts[hit] - rts[pos[hit]], type=pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(match_group, batch_format="pyarrow")
+    )
+
+
+def range_join_bands(ds, bands: list[tuple[int, float, float]], value_col: str = "value"):
+    """Point-in-interval range join against a broadcast bands table
+    (band_id, lo, hi); bands MAY OVERLAP, so a row can emit multiple
+    matches — general inner range-join semantics, `lo <= v < hi`.
+    Returns (event_id, band_id).
+
+    Shape: the bands side is tiny by definition (a rate card, SLA
+    tiers, bucket boundaries), so this is a broadcast join: one
+    vectorized mask per band per batch — O(|bands|) fully-vectorized
+    passes, zero shuffle. For non-overlapping sorted bands a single
+    searchsorted would do; the per-band mask keeps general overlap
+    semantics at the same asymptotic cost for small band counts.
+    """
+    import ray
+
+    bands_ref = ray.put(
+        [(int(b), float(lo), float(hi)) for b, lo, hi in bands]
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_e, out_b = [], []
+        for band_id, lo, hi in ray.get(bands_ref):
+            m = (v >= lo) & (v < hi)
+            out_e.append(eid[m])
+            out_b.append(np.full(int(m.sum()), band_id, dtype=np.int64))
+        e = np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(e, type=pa.int64()),
+                "band_id": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 def order_priority_rollup(lineitem_ds, orders_ds):
     """lineitem JOIN orders ON orderkey -> (o_orderpriority, sum_qty, n):
     the big-x-big join demonstration. Both inputs should arrive as

@@ -753,3 +753,74 @@ def test_dim_lookup_rollup_asserts_fk_integrity(ray_session):
     assert list(out["n_name"]) == ["AAA", "BBB"]
     assert list(out["sum_qty"]) == [1, 5]
     assert list(out["n"]) == [1, 2]
+
+
+def test_asof_join_semantics(ray_session):
+    """Latest-at-or-before match per user: inclusive ties, unmatched
+    left events drop, matches never cross users."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import asof_join_events
+
+    us = np.array([0, 0, 0, 0, 1, 1, 2], dtype=np.int64)
+    ts = np.array([100, 200, 200, 300, 100, 50, 10], dtype="datetime64[us]")
+    et = ["click", "purchase", "click", "purchase", "purchase", "click", "purchase"]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(7), type=pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array(us, type=pa.int64()),
+            "event_type": pa.array(et, type=pa.string()),
+        }
+    )
+    out = (
+        asof_join_events(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 0: purchase@200 matches click@200 (inclusive tie, event 2);
+    #         purchase@300 matches click@200 (latest prior)
+    # user 1: purchase@100 matches click@50 (gap 50)
+    # user 2: purchase with no click -> dropped
+    assert list(out["event_id"]) == [1, 3, 4]
+    assert list(out["match_event_id"]) == [2, 2, 5]
+    assert list(out["gap_us"]) == [0, 100, 50]
+
+
+def test_asof_oracle_precondition_no_ts_ties():
+    """The ASOF oracle comparison relies on (user_id, ts) uniqueness in
+    the testdata (ties would make engine/oracle pick arbitrary rows)."""
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT COUNT(*) FROM (SELECT user_id, ts, COUNT(*) c FROM "
+        "'/root/testdata/sf0.01/events.parquet' GROUP BY 1,2 HAVING c>1)"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_range_join_overlap_and_boundaries(ray_session):
+    """Overlapping bands multi-emit; lo inclusive, hi exclusive."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import range_join_bands
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "value": pa.array([0.0, 7.5, 10.0, 25.0, 99.9]),
+        }
+    )
+    bands = [(0, 0.0, 10.0), (1, 5.0, 25.0), (2, 20.0, 60.0)]
+    out = (
+        range_join_bands(rd.from_arrow(tbl), bands)
+        .to_pandas()
+        .sort_values(["event_id", "band_id"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["event_id"], out["band_id"]))
+    # 0.0 -> band 0 only; 7.5 -> bands 0+1 (overlap); 10.0 -> band 1
+    # (hi-exclusive of band 0); 25.0 -> band 2 (hi-exclusive of band 1);
+    # 99.9 -> none
+    assert got == [(0, 0), (1, 0), (1, 1), (2, 1), (3, 2)]
