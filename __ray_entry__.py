@@ -437,6 +437,38 @@ def _q_range_join(sf_dir: str):
     return range_join_bands(_read(sf_dir, "events"), _RATE_BANDS)
 
 
+def _q_kmv_distinct(sf_dir: str):
+    from fsst_ray.functions.sketch import kmv_distinct
+
+    return kmv_distinct(_read(sf_dir, "events"), "user_id", "event_type", k=16)
+
+
+def _q_kmv_distinct_exact(sf_dir: str):
+    """Exact-mode sibling: k above the true cardinality makes the
+    merged sketch hold every distinct hash, so est_distinct == the
+    exact distinct count (and the oracle's COUNT(DISTINCT) CASE)."""
+    from fsst_ray.functions.sketch import kmv_distinct
+
+    return kmv_distinct(_read(sf_dir, "events"), "user_id", "event_type", k=1 << 16)
+
+
+def _kmv_oracle(k: int) -> str:
+    return (
+        "WITH h AS (SELECT DISTINCT event_type, "
+        "CAST(hash(user_id) >> 1 AS BIGINT) AS hv FROM events), "
+        "r AS (SELECT event_type, hv, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h) "
+        f"SELECT event_type, CAST(LEAST(nd, {k}) AS BIGINT) AS n_hashes, "
+        "hv AS kth_min, "
+        f"CAST(CASE WHEN nd < {k} THEN nd "
+        f"ELSE (CAST({k - 1} AS HUGEINT) * "
+        "CAST('9223372036854775808' AS HUGEINT)) // CAST(hv AS HUGEINT) "
+        "END AS BIGINT) AS est_distinct "
+        f"FROM r WHERE rn = LEAST(nd, {k})"
+    )
+
+
 def _q_top_quality(sf_dir: str):
     from fsst_ray.functions.curate import top_quality_docs
 
@@ -694,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_rollup": _q_order_priority_rollup,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "kmv_distinct": _q_kmv_distinct,
+        "kmv_distinct_exact": _q_kmv_distinct_exact,
         "top_quality_docs": _q_top_quality,
         "ntok_percentiles": _q_ntok_percentiles,
         "pack_sequences": _q_pack_sequences,
@@ -846,6 +880,8 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT e.event_id, b.band_id FROM events e "
             "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
         ),
+        "kmv_distinct": _kmv_oracle(16),
+        "kmv_distinct_exact": _kmv_oracle(1 << 16),
         "top_quality_docs": (
             "WITH s AS (SELECT doc_id, "
             "CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "

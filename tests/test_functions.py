@@ -824,3 +824,43 @@ def test_range_join_overlap_and_boundaries(ray_session):
     # (hi-exclusive of band 0); 25.0 -> band 2 (hi-exclusive of band 1);
     # 99.9 -> none
     assert got == [(0, 0), (1, 0), (1, 1), (2, 1), (3, 2)]
+
+
+def test_kmv_sketch_merge_invariance_and_exact_below_k(ray_session):
+    """Bottom-k sketches merge associatively: the result is invariant
+    to input block layout; below-k groups report the exact count; the
+    above-k estimate lands within 50% of truth at k=32."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import kmv_distinct
+
+    rng = np.random.default_rng(5)
+    # group "big": 1000 distinct keys, repeated; group "small": 7 keys
+    big = rng.integers(0, 1000, size=5000)
+    small = rng.integers(5000, 5007, size=200)
+    tbl = pa.table(
+        {
+            "k": pa.array(np.concatenate([big, small]), type=pa.int64()),
+            "g": pa.array(["big"] * 5000 + ["small"] * 200, type=pa.string()),
+        }
+    )
+    a = (
+        kmv_distinct(rd.from_arrow(tbl), "k", "g", k=32)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    b = (
+        kmv_distinct(rd.from_arrow(tbl).repartition(13), "k", "g", k=32)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    small_row = a[a.g == "small"].iloc[0]
+    assert small_row["est_distinct"] == len(np.unique(small))  # exact below k
+    assert small_row["n_hashes"] == len(np.unique(small))
+    big_row = a[a.g == "big"].iloc[0]
+    true_big = len(np.unique(big))
+    assert big_row["n_hashes"] == 32
+    assert 0.5 * true_big < big_row["est_distinct"] < 1.5 * true_big
