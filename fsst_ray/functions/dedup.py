@@ -476,50 +476,56 @@ def pair_recall_summary(exact_pairs, approx_pairs) -> pa.Table:
     row from the exact side alone. A regression anywhere in the
     approximate path (shingling, banding, bucket routing, pair
     verification, lowest-band dedup) drops exact pairs and turns the
-    row red."""
-    from ray.data.aggregate import Sum
+    row red.
 
-    def tag(ex: int, ap: int):
-        def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "doc_a": t["doc_a"],
-                    "doc_b": t["doc_b"],
-                    "ex": pa.array(np.full(n, ex, dtype=np.int64)),
-                    "ap": pa.array(np.full(n, ap, dtype=np.int64)),
-                }
-            )
+    Shape: a broadcast semi-join, NOT a pair groupby. Both sides emit
+    each pair at most once (lowest-matching-band dedup, pytest-pinned),
+    so no distributed dedup is needed; the exact side — true-duplicate
+    pairs, the same edge-list-sized small side the minhash union-find
+    already collects — is gathered as a sorted key array, ray.put once,
+    and the approximate side streams through a vectorized searchsorted
+    membership count. (The previous union + groupby(doc_a, doc_b)
+    aggregate built millions of single-row groups and dominated the
+    query 10:1.) Pair keys pack (doc_a, doc_b) into one uint64; ids
+    must fit 32 bits (asserted) — at larger id spaces swap in a 128-bit
+    pair digest."""
+    import ray
 
-        return fn
+    def _pair_keys(t: pa.Table) -> np.ndarray:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        assert (a < (1 << 32)).all() and (b < (1 << 32)).all(), "pair ids exceed 32 bits"
+        return (a << np.uint64(32)) | b
 
-    u = exact_pairs.map_batches(tag(1, 0), batch_format="pyarrow").union(
-        approx_pairs.map_batches(tag(0, 1), batch_format="pyarrow")
-    )
-    agg = u.groupby(["doc_a", "doc_b"]).aggregate(Sum("ex"), Sum("ap"))
+    def key_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(_pair_keys(t).astype(np.int64))})
 
-    def partial(t: pa.Table) -> pa.Table:
-        if "sum(ex)" not in t.column_names:  # empty aggregate block
-            return pa.table(
-                {
-                    "n_exact": pa.array([0], type=pa.int64()),
-                    "n_found": pa.array([0], type=pa.int64()),
-                }
-            )
-        ex = t["sum(ex)"].to_numpy(zero_copy_only=False) > 0
-        ap = t["sum(ap)"].to_numpy(zero_copy_only=False) > 0
-        return pa.table(
-            {
-                "n_exact": pa.array([int(ex.sum())], type=pa.int64()),
-                "n_found": pa.array([int((ex & ap).sum())], type=pa.int64()),
-            }
+    parts = [
+        pa.table(b)
+        for b in exact_pairs.map_batches(key_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
         )
-
-    tot = agg.map_batches(partial, batch_format="pyarrow").sum(
-        ["n_exact", "n_found"]
+    ]
+    exact_keys = (
+        np.unique(pa.concat_tables(parts)["k"].to_numpy(zero_copy_only=False))
+        if parts
+        else np.empty(0, np.int64)
     )
-    n_exact = int(tot["sum(n_exact)"]) if tot else 0
-    n_found = int(tot["sum(n_found)"]) if tot else 0
+    n_exact = len(exact_keys)
+    keys_ref = ray.put(exact_keys)  # sorted by np.unique
+
+    def hits(t: pa.Table) -> pa.Table:
+        ks = _pair_keys(t).astype(np.int64)
+        ek = ray.get(keys_ref)  # zero-copy view
+        pos = np.searchsorted(ek, ks)
+        found = 0
+        if len(ek) and len(ks):
+            inb = pos < len(ek)
+            found = int((ek[pos[inb]] == ks[inb]).sum())
+        return pa.table({"n_found": pa.array([found], type=pa.int64())})
+
+    tot = approx_pairs.map_batches(hits, batch_format="pyarrow").sum("n_found")
+    n_found = int(tot) if tot else 0
     return pa.table(
         {
             "n_exact": pa.array([n_exact], type=pa.int64()),

@@ -88,23 +88,50 @@ def ntok_percentiles(ds, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> pa.Table:
     )
 
 
-def token_histogram(ds, k: int = 100) -> pa.Table:
-    """Top-k most frequent token ids: (token, n), ties broken by token
-    ascending. Partial per-batch histograms -> vocabulary-sized groupby
-    -> driver top-k."""
-    agg = (
-        ds.map_batches(_partial_counts, batch_format="pyarrow", batch_size=None)
-        .groupby("token")
-        .sum("n")
-    )
-    rows = agg.take_all()
-    tokens = np.array([r["token"] for r in rows], dtype=np.int64)
-    counts = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
-    # top-k by (count desc, token asc)
+def _topk_by_count(tokens: np.ndarray, counts: np.ndarray, k: int) -> pa.Table:
     order = np.lexsort((tokens, -counts))[:k]
     return pa.table(
         {
-            "token": pa.array(tokens[order], type=pa.int64()),
-            "n": pa.array(counts[order], type=pa.int64()),
+            "token": pa.array(tokens[order].astype(np.int64), type=pa.int64()),
+            "n": pa.array(counts[order].astype(np.int64), type=pa.int64()),
         }
     )
+
+
+def token_histogram(ds, k: int = 100, merge_partitions: int = 32) -> pa.Table:
+    """Top-k most frequent token ids: (token, n), ties broken by token
+    ascending.
+
+    Shape: per-batch partial histograms (vocab-sized rows), then a
+    HASH-BUCKETED merge — each token's partials are co-located by
+    `token % merge_partitions`, so the groupby has a constant number of
+    groups instead of one group per distinct token (the previous
+    per-token groupby built ~431k single-row groups and took ~30x the
+    partials' time); each bucket combines with one np.unique + bincount
+    and emits its local top-k, and the driver merges
+    <= k x merge_partitions candidate rows. A token's global count
+    lives wholly in one bucket, so the top-k is exact."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((tok % merge_partitions).astype(np.int64))
+        )
+
+    def combine_topk(group: pa.Table) -> pa.Table:
+        tok = group["token"].to_numpy(zero_copy_only=False)
+        cnt = group["n"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(tok, return_inverse=True)
+        sums = np.bincount(inv, weights=cnt).astype(np.int64)
+        return _topk_by_count(u, sums, k)
+
+    cand = (
+        ds.map_batches(_partial_counts, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    tokens = np.array([r["token"] for r in cand], dtype=np.int64)
+    counts = np.array([r["n"] for r in cand], dtype=np.int64)
+    return _topk_by_count(tokens, counts, k)

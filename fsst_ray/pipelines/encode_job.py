@@ -567,6 +567,7 @@ def encode_dataset(
         entries = _entries_from_chunks(str(cdir))
         for entry in entries.values():
             mf.write_part_entry(out_dir, entry)
+        mf.compact_manifest(out_dir)
         metrics = mf.summarize(entries)
         metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}
         return EncodeResult(out_dir, metrics, bucket_plan, mode)
@@ -757,6 +758,10 @@ def encode_dataset(
 
     timings["pass2_encode"] = time.perf_counter() - t0 - timings["pass1_train"]
 
+    # job complete: fold per-part entry files into one compacted
+    # manifest so later resume/decode/stats calls do one read, not
+    # O(parts) driver-side file opens
+    mf.compact_manifest(out_dir)
     entries = mf.load_manifest(out_dir)
     metrics = mf.summarize(entries)
     metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}

@@ -75,12 +75,48 @@ def write_part_entry(out_dir: str, entry: dict) -> None:
     )
 
 
+_COMPACT_NAME = "_compact.json"
+
+
+def compact_path(out_dir: str) -> pathlib.Path:
+    return manifest_dir(out_dir) / _COMPACT_NAME
+
+
+def compact_manifest(out_dir: str) -> int:
+    """Fold the per-part entry files into ONE compacted manifest file
+    and remove them. Per-part JSONs are the write-side unit (each encode
+    task commits its entry independently, atomic rename, no coordination)
+    — but the read side (`load_manifest`) globs the directory, which at
+    100-TB scale means ~10^6 driver-side file opens per resume / decode
+    / stats call. Compaction runs once at job completion; entries
+    written AFTER a compaction (e.g. a resume repairing a lost bucket)
+    overlay the compacted map on load, newest wins, so the two layers
+    stay consistent without locking. Returns the entry count."""
+    mdir = manifest_dir(out_dir)
+    if not mdir.exists():
+        return 0
+    entries = load_manifest(out_dir)
+    if not entries:
+        return 0
+    write_json_atomic(compact_path(out_dir), entries)
+    for p in mdir.glob("*.json"):
+        if p.name != _COMPACT_NAME:
+            p.unlink()
+    return len(entries)
+
+
 def load_manifest(out_dir: str) -> dict[str, dict]:
     mdir = manifest_dir(out_dir)
     if not mdir.exists():
         return {}
-    entries = {}
+    entries: dict[str, dict] = {}
+    cp = mdir / _COMPACT_NAME
+    if cp.exists():
+        entries.update(json.loads(cp.read_text()))
+    # per-part entries written after the last compaction win
     for p in sorted(mdir.glob("*.json")):
+        if p.name == _COMPACT_NAME:
+            continue
         entry = json.loads(p.read_text())
         entries[entry["part_key"]] = entry
     return entries

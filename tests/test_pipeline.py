@@ -76,11 +76,20 @@ def test_resume_skips_done_parts(tokens_ds, tmp_path):
     all_parts = set(mf.load_manifest(out))
     assert len(all_parts) == sum(result.bucket_plan.values())
 
-    # simulate a partial failure: delete some outputs + manifests
+    # the completed job compacted per-part entries into one file
+    assert mf.compact_path(out).exists()
+    assert not [
+        p
+        for p in mf.manifest_dir(out).glob("*.json")
+        if p.name != mf._COMPACT_NAME
+    ]
+
+    # simulate a partial failure: delete some bucket files (the
+    # compacted manifest entry persists — completed_parts requires the
+    # chunk file, so the lost buckets are re-encoded regardless)
     victims = sorted(all_parts)[::3]
     for part in victims:
         (mf.chunks_dir(out) / f"{mf.sanitize_part(part)}.parquet").unlink()
-        (mf.manifest_dir(out) / f"{mf.sanitize_part(part)}.json").unlink()
 
     result2 = encode_dataset(
         tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15, resume=True
@@ -513,11 +522,12 @@ def test_decode_select_point_lookup(tokens_ds, tmp_path):
 
     from fsst_ray.state import manifest as mf
 
-    for p in mf.manifest_dir(out).glob("*.json"):
-        e = json.loads(p.read_text())
+    cp = mf.compact_path(out)
+    entries_json = json.loads(cp.read_text())
+    for e in entries_json.values():
         e.pop("doc_min", None)
         e.pop("doc_max", None)
-        p.write_text(json.dumps(e))
+    cp.write_text(json.dumps(entries_json))
     stats3: dict = {}
     got3 = pa.concat_tables(
         [
@@ -529,3 +539,26 @@ def test_decode_select_point_lookup(tokens_ds, tmp_path):
     ).sort_by("doc_id")
     assert got3["doc_id"].to_pylist() == wanted
     assert stats3["files_zone_scanned"] == stats3["files_total"], stats3
+
+
+def test_manifest_compaction_overlay_semantics(tmp_path):
+    """compact folds per-part files into one; entries written AFTER a
+    compaction overlay the compacted map (newest wins); a second
+    compaction folds the overlay in."""
+    out = str(tmp_path / "m")
+    for i in range(5):
+        mf.write_part_entry(out, {"part_key": f"p{i}", "status": "done", "v": i})
+    assert mf.compact_manifest(out) == 5
+    files = list(mf.manifest_dir(out).glob("*.json"))
+    assert [p.name for p in files] == [mf._COMPACT_NAME]
+    assert {e["v"] for e in mf.load_manifest(out).values()} == set(range(5))
+
+    # post-compaction write overlays (a resume repairing p2)
+    mf.write_part_entry(out, {"part_key": "p2", "status": "done", "v": 99})
+    loaded = mf.load_manifest(out)
+    assert len(loaded) == 5
+    assert loaded["p2"]["v"] == 99
+
+    assert mf.compact_manifest(out) == 5
+    assert mf.load_manifest(out)["p2"]["v"] == 99
+    assert len(list(mf.manifest_dir(out).glob("*.json"))) == 1
