@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .textstats import langid_batch, quality_batch
 
@@ -268,14 +267,14 @@ def curate(ds, min_quality: int = 60, langs: tuple[str, ...] = ("en",)):
             }
         )
 
-    def keep_winner(group: pa.Table) -> pa.Table:
-        i = pc.index(group["doc_id"], pc.min(group["doc_id"]).as_py()).as_py()
-        return group.select(["doc_id", "quality", "pred_lang"]).slice(i, 1)
+    from .dedup import min_per_key
 
-    return (
-        ds.map_batches(score_and_key, batch_format="pyarrow")
-        .groupby("dedup_key")
-        .map_groups(keep_winner, batch_format="pyarrow")
+    keyed = ds.map_batches(score_and_key, batch_format="pyarrow")
+    # min-doc_id winner per content key, vectorized per sorted block
+    # (dedup-key count scales with the corpus — no per-group Python)
+    return min_per_key(keyed, "dedup_key", "doc_id").map_batches(
+        lambda t: t.select(["doc_id", "quality", "pred_lang"]),
+        batch_format="pyarrow",
     )
 
 

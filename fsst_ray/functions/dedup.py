@@ -111,6 +111,43 @@ def _distinct_per_doc(
 # ---------------- exact / prefix dedup ----------------
 
 
+def min_per_key(ds, key: str, order_col: str, counts_col: str | None = None):
+    """Vectorized `groupby(key) -> min-order_col row per key`: range-sort
+    on the key (equal keys never straddle a block boundary — the same
+    property `_sorted_group_map_streaming` relies on), then ONE lexsort
+    + first-per-boundary pass per sorted block. Group count scales with
+    the corpus for dedup keys, so per-group Python dispatch
+    (`map_groups`) is the thing to avoid — this does zero per-group
+    calls. With `counts_col`, appends the per-key row count (the full
+    group is co-located, so the count is global)."""
+
+    def first_rows(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            out = block.take(pa.array([], type=pa.int64()))
+            if counts_col:
+                out = out.append_column(counts_col, pa.array([], type=pa.int64()))
+            return out
+        keys = block[key].to_numpy(zero_copy_only=False)
+        ids = block[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        k = keys[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        out = block.take(pa.array(order[first]))
+        if counts_col:
+            bounds = np.flatnonzero(first)
+            cnt = np.diff(np.concatenate([bounds, [n]]))
+            out = out.append_column(
+                counts_col, pa.array(cnt.astype(np.int64), type=pa.int64())
+            )
+        return out
+
+    return ds.sort(key).map_batches(
+        first_rows, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def exact_dedup(ds, key_expr: str = "text"):
     """Keep the min-doc_id row per exact content key.
 
@@ -137,14 +174,9 @@ def exact_dedup(ds, key_expr: str = "text"):
             pa.array(np.sort(keep))
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        i = pc.index(group["doc_id"], pc.min(group["doc_id"]).as_py()).as_py()
-        return group.select(["doc_id", "text"]).slice(i, 1)
-
-    return (
-        ds.map_batches(add_key_combine, batch_format="pyarrow")
-        .groupby("dedup_key")
-        .map_groups(keep_first, batch_format="pyarrow")
+    keyed = ds.map_batches(add_key_combine, batch_format="pyarrow")
+    return min_per_key(keyed, "dedup_key", "doc_id").map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     )
 
 
@@ -158,20 +190,8 @@ def prefix_dedup(ds, prefix_chars: int = 40):
         key = pc.utf8_slice_codeunits(arr, 0, prefix_chars)
         return pa.table({"prefix_key": key, "doc_id": batch["doc_id"]})
 
-    def reduce_group(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "prefix_key": group["prefix_key"].slice(0, 1),
-                "doc_id": pa.array([pc.min(group["doc_id"]).as_py()], type=pa.int64()),
-                "n_dups": pa.array([group.num_rows], type=pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("prefix_key")
-        .map_groups(reduce_group, batch_format="pyarrow")
-    )
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return min_per_key(keyed, "prefix_key", "doc_id", counts_col="n_dups")
 
 
 # ---------------- MinHash + LSH ----------------

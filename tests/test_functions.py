@@ -892,3 +892,29 @@ def test_hash_join_hot_key_chunked_emission(ray_session):
     assert set(out["k"]) == {7}
     assert out["lv"].value_counts().eq(400).all()
     assert out["rv"].value_counts().eq(600).all()
+
+
+def test_min_per_key_vectorized_reducer(ray_session):
+    """min_per_key returns the min-order row per key with exact counts,
+    invariant to block layout."""
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import min_per_key
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["b", "a", "b", "c", "a", "b"], type=pa.string()),
+            "doc_id": pa.array([5, 2, 3, 9, 1, 4], type=pa.int64()),
+            "v": pa.array([50, 20, 30, 90, 10, 40], type=pa.int64()),
+        }
+    )
+    out = (
+        min_per_key(rd.from_arrow(tbl).repartition(3), "k", "doc_id", counts_col="n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert list(out["doc_id"]) == [1, 3, 9]
+    assert list(out["v"]) == [10, 30, 90]
+    assert list(out["n"]) == [2, 3, 1]
