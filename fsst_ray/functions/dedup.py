@@ -813,17 +813,24 @@ def _sorted_group_map_streaming(ds, key: str, gen_fn, empty: pa.Table):
     )
 
 
-def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 12):
+def ngram_jaccard_pairs(
+    ds, threshold: float = 0.8, df_cap: int = 1 << 12, merge_partitions: int = 64
+):
     """Exact word-3-gram Jaccard near-duplicate pairs via a distributed
-    inverted index: shingle groupby emits co-occurrences, a built-in
-    hash aggregate counts shared shingles per (doc_a, doc_b) — no
-    Python call per pair — and a vectorized map applies the integer
-    threshold: Jaccard = shared/(|A|+|B|-shared).
-    Returns (doc_a, doc_b, n_shared, n_union) rows for pairs with
-    Jaccard >= threshold."""
-    from fractions import Fraction
+    inverted index: shingle groupby emits co-occurrences, a
+    HASH-BUCKETED merge counts shared shingles per (doc_a, doc_b), and
+    the integer threshold Jaccard = shared/(|A|+|B|-shared) is applied
+    inside the combine. Returns (doc_a, doc_b, n_shared, n_union) rows
+    for pairs with Jaccard >= threshold.
 
-    from ray.data.aggregate import Count, Min
+    Merge shape: the co-occurrence rows' (doc_a, doc_b) keys pack into
+    one uint64 and bucket by key % merge_partitions, so every pair's
+    rows co-locate in one of a CONSTANT number of groups, each combined
+    with one np.unique + bincount (the previous built-in aggregate
+    keyed directly on the pair built ~1.1M single-row groups at sf0.1
+    and dominated the query 2:1). Ids must fit 32 bits (asserted, same
+    convention as pair_recall_summary)."""
+    from fractions import Fraction
 
     # integer cross-multiply (num/den) so the threshold compare is
     # bit-exact with the SQL oracle's integer form (no 0.8*union float)
@@ -836,32 +843,42 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, df_cap: int = 1 << 12):
     cooc = _sorted_group_map_streaming(
         postings, "shingle", _shingle_group_pair_chunks(df_cap), _PAIR_EMPTY
     )
-    # n_a/n_b are constant per doc, so Min() is just "carry the value"
-    agg = cooc.groupby(["doc_a", "doc_b"]).aggregate(Count(), Min("n_a"), Min("n_b"))
 
-    def threshold_filter(batch: pa.Table) -> pa.Table:
-        if "count()" not in batch.column_names:  # empty aggregate
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "n_shared": pa.array([], type=pa.int64()),
-                    "n_union": pa.array([], type=pa.int64()),
-                }
-            )
-        shared = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_a = batch["min(n_a)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_b = batch["min(n_b)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        union = n_a + n_b - shared
-        keep = np.flatnonzero((union > 0) & (den * shared >= num * union))
-        take = pa.array(keep)
+    def pack(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        assert (a < (1 << 32)).all() and (b < (1 << 32)).all(), "pair ids exceed 32 bits"
+        key = (a << np.uint64(32)) | b
         return pa.table(
             {
-                "doc_a": batch["doc_a"].take(take),
-                "doc_b": batch["doc_b"].take(take),
+                "key": pa.array(key.astype(np.int64)),
+                "part": pa.array((key % np.uint64(merge_partitions)).astype(np.int64)),
+                "n_a": t["n_a"],
+                "n_b": t["n_b"],
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        u, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+        shared = np.bincount(inv).astype(np.int64)
+        # n_a/n_b are constant per doc, so any occurrence carries them
+        n_a = group["n_a"].to_numpy(zero_copy_only=False)[first].astype(np.int64)
+        n_b = group["n_b"].to_numpy(zero_copy_only=False)[first].astype(np.int64)
+        union = n_a + n_b - shared
+        keep = (union > 0) & (den * shared >= num * union)
+        uk = u[keep].astype(np.uint64)
+        return pa.table(
+            {
+                "doc_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
                 "n_shared": pa.array(shared[keep], type=pa.int64()),
                 "n_union": pa.array(union[keep], type=pa.int64()),
             }
         )
 
-    return agg.map_batches(threshold_filter, batch_format="pyarrow")
+    return (
+        cooc.map_batches(pack, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pyarrow")
+    )
