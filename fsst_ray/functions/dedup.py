@@ -751,6 +751,7 @@ _PAIR_EMPTY = pa.table(
 )
 
 
+
 def _shingle_group_pair_chunks(df_cap: int, max_pairs: int = 1 << 22):
     """Streaming form of the posting-list pair emission (VERDICT r3
     item 6): YIELDS one table per `_pair_blocks` chunk instead of
@@ -795,8 +796,10 @@ def _sorted_group_map_streaming(ds, key: str, gen_fn, empty: pa.Table):
 
     def wrapper(block: pa.Table):
         keys = block[key].to_numpy(zero_copy_only=False)
+        # boundary test via != so string keys work too (np.diff is
+        # numeric-only)
         bounds = np.concatenate(
-            [[0], np.flatnonzero(np.diff(keys)) + 1, [len(keys)]]
+            [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)]]
         )
         yielded = False
         for s, e in zip(bounds[:-1], bounds[1:]):
