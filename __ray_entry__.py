@@ -437,6 +437,28 @@ def _q_range_join(sf_dir: str):
     return range_join_bands(_read(sf_dir, "events"), _RATE_BANDS)
 
 
+def _q_running_totals(sf_dir: str):
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import running_totals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return running_totals(ev)
+
+
+def _q_top_n_per_group(sf_dir: str):
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import top_n_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "n_chars"]
+    )
+    return top_n_per_group(docs, n=3)
+
+
 def _q_kmv_distinct(sf_dir: str):
     from fsst_ray.functions.sketch import kmv_distinct
 
@@ -726,6 +748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_rollup": _q_order_priority_rollup,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "running_totals": _q_running_totals,
+        "top_n_per_group": _q_top_n_per_group,
         "kmv_distinct": _q_kmv_distinct,
         "kmv_distinct_exact": _q_kmv_distinct_exact,
         "top_quality_docs": _q_top_quality,
@@ -936,6 +960,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.doc_id, f.quality, f.pred_lang FROM f "
             "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM f GROUP BY text) w "
             "ON f.doc_id = w.doc_id"
+        ),
+        "running_totals": (
+            # integer-cents running sum so the cumulative aggregate is
+            # associative-exact (bit-equal under DuckDB's segment-tree
+            # window association and our sequential np.cumsum)
+            "SELECT event_id, user_id, "
+            "ROW_NUMBER() OVER w AS rn, "
+            "SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS cum_cents "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
+        ),
+        "top_n_per_group": (
+            "SELECT source, doc_id, n_chars, rnk FROM ("
+            "SELECT source, doc_id, n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) "
+            "WHERE rnk <= 3"
         ),
         "events_window": (
             "SELECT event_type, "

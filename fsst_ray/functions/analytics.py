@@ -1,0 +1,135 @@
+"""Analytic (window / ranking) functions over distributed tables.
+
+Two operator classes Ray Data has no built-in for, expressed with the
+partitioning shapes that survive 100 TB:
+
+- ``running_totals``: SQL `SUM(...) OVER (PARTITION BY k ORDER BY ...)`
+  / `ROW_NUMBER()`. One hash exchange on the partition key, then a
+  fully vectorized per-group sort + cumulative scan. The partitioning
+  assumption (documented, same as ``session_windows``): one partition
+  key's rows fit in a worker's heap — true for per-user event streams,
+  not for a global ORDER BY (that is ``shuffle_order``'s prefix-scan
+  job).
+- ``top_n_per_group``: SQL `ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+  ...) <= n`. Map-side per-batch candidate pruning (each block keeps at
+  most n rows per group, vectorized) bounds the shuffle to
+  n x groups x blocks rows; the per-group finalist step then ranks at
+  most n x blocks rows per group. Nothing corpus-sized is shuffled or
+  collected.
+
+The running sum is computed over integer cents (floor(value * 100) as
+int64) so the cumulative aggregate is associative-exact and the DuckDB
+windowed-SUM oracle (segment-tree association) matches bit-for-bit —
+a float running sum would differ in the last ulp between scan orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_RUNNING_EMPTY = pa.table(
+    {
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "rn": pa.array([], type=pa.int64()),
+        "cum_cents": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def running_totals(ds):
+    """Per-user running event rank and cumulative value-cents over the
+    events stream, ordered by (ts, event_id): the distributed form of
+
+        ROW_NUMBER() / SUM(cents) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+
+    Returns a Dataset with (event_id, user_id, rn, cum_cents).
+    """
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _RUNNING_EMPTY
+        ts = group["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        ts_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_us))
+        cents = np.floor(val[order] * 100.0).astype(np.int64)
+        n = group.num_rows
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": group["user_id"],
+                "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "cum_cents": pa.array(np.cumsum(cents)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(scan, batch_format="pyarrow")
+
+
+def _prune_topn(sources: np.ndarray, order_rank: np.ndarray, n: int) -> np.ndarray:
+    """Row indices of the first n rows per source under the given sort.
+
+    ``order_rank`` is a lexsort permutation whose FIRST key groups by
+    source; within a source the remaining keys give the ranking order.
+    Vectorized: group boundaries via !=, per-row rank via arange minus
+    its group start.
+    """
+    s = sources[order_rank]
+    starts = np.concatenate([[0], np.flatnonzero(s[1:] != s[:-1]) + 1])
+    group_start = np.repeat(starts, np.diff(np.concatenate([starts, [len(s)]])))
+    rank = np.arange(len(s)) - group_start
+    return order_rank[rank < n]
+
+
+def top_n_per_group(ds, n: int = 3):
+    """Top n documents per source by (n_chars DESC, doc_id ASC), with a
+    1-based rank column: (source, doc_id, n_chars, rnk).
+
+    Stage 1 prunes each block to <= n rows per source map-side (no
+    shuffle yet); stage 2 groups the surviving n x groups x blocks
+    candidates by source and ranks the finalists. Exact: a global top-n
+    row is a top-n row of its own block.
+    """
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["source", "doc_id", "n_chars"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        codes = np.unique(src, return_inverse=True)[1]
+        order = np.lexsort((doc, -nch, codes))
+        keep = np.sort(_prune_topn(codes, order, n))
+        return pa.table(
+            {
+                "source": pa.array(src[keep], type=pa.string()),
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "n_chars": pa.array(nch[keep], type=pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -nch))[:n]
+        k = len(order)
+        return pa.table(
+            {
+                "source": group["source"].take(pa.array(order)),
+                "doc_id": pa.array(doc[order], type=pa.int64()),
+                "n_chars": pa.array(nch[order], type=pa.int64()),
+                "rnk": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

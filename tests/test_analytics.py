@@ -1,0 +1,97 @@
+"""Analytic window / ranking operators (fsst_ray.functions.analytics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fsst_ray.functions.analytics import (
+    _prune_topn,
+    running_totals,
+    top_n_per_group,
+)
+
+
+def test_running_totals_order_and_ties(ray_session):
+    """Running rank/sum follow (ts, event_id) order, including ts ties,
+    and the cents cast is floor-exact."""
+    import ray.data as rd
+
+    t0 = 1_700_000_000_000_000  # µs
+    tbl = pa.table(
+        {
+            "event_id": pa.array([5, 1, 2, 9, 7], type=pa.int64()),
+            # user 1: two events share a ts -> event_id breaks the tie
+            "ts": pa.array([t0 + 10, t0 + 10, t0, t0 + 5, t0 + 1]).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "value": pa.array([1.5, 2.999, 10.0, 0.01, 7.2], type=pa.float64()),
+        }
+    )
+    out = (
+        running_totals(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "rn"])
+        .reset_index(drop=True)
+    )
+    # user 1 order: eid 2 (ts+0), then ts+10 tie -> eid 1 before eid 5
+    assert out["event_id"].tolist() == [2, 1, 5, 7, 9]
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+    cents = [int(np.floor(v * 100.0)) for v in (10.0, 2.999, 1.5, 7.2, 0.01)]
+    assert out["cum_cents"].tolist() == [
+        cents[0],
+        cents[0] + cents[1],
+        cents[0] + cents[1] + cents[2],
+        cents[3],
+        cents[3] + cents[4],
+    ]
+
+
+def test_prune_topn_keeps_at_most_n_per_group():
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, size=1000)
+    score = rng.integers(0, 100, size=1000)
+    order = np.lexsort((-score, codes))
+    keep = _prune_topn(codes, order, 4)
+    # bound: <= 4 rows per group survive
+    _, counts = np.unique(codes[keep], return_counts=True)
+    assert counts.max() <= 4
+    # the survivors per group are exactly that group's 4 best scores
+    for g in range(5):
+        got = np.sort(score[keep][codes[keep] == g])[::-1]
+        want = np.sort(score[codes == g])[::-1][:4]
+        assert (got == want).all()
+
+
+def test_top_n_per_group_exact_across_blocks(ray_session):
+    """Global top-n per group is exact regardless of how rows are split
+    into blocks, with (n_chars DESC, doc_id ASC) tie-breaks."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    src = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, size=n)]
+    # few distinct lengths -> many exact ties exercise the doc_id break
+    nch = rng.integers(90, 100, size=n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "source": pa.array(src, type=pa.string()),
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "n_chars": pa.array(nch, type=pa.int64()),
+        }
+    )
+    got = (
+        top_n_per_group(rd.from_arrow(tbl).repartition(16), n=5)
+        .to_pandas()
+        .sort_values(["source", "rnk"])
+        .reset_index(drop=True)
+    )
+    # reference: plain lexsort per source
+    for g in "abcd":
+        m = src == g
+        order = np.lexsort((np.arange(n)[m], -nch[m]))[:5]
+        sub = got[got["source"] == g]
+        assert sub["doc_id"].tolist() == np.arange(n)[m][order].tolist()
+        assert sub["n_chars"].tolist() == nch[m][order].tolist()
+        assert sub["rnk"].tolist() == [1, 2, 3, 4, 5]
