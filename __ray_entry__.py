@@ -459,6 +459,17 @@ def _q_top_n_per_group(sf_dir: str):
     return top_n_per_group(docs, n=3)
 
 
+def _q_distinctive_terms(sf_dir: str):
+    import ray.data as rd
+
+    from fsst_ray.functions.textstats import distinctive_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return distinctive_terms(docs, k=10)
+
+
 def _q_kmv_distinct(sf_dir: str):
     from fsst_ray.functions.sketch import kmv_distinct
 
@@ -750,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
         "top_n_per_group": _q_top_n_per_group,
+        "distinctive_terms": _q_distinctive_terms,
         "kmv_distinct": _q_kmv_distinct,
         "kmv_distinct_exact": _q_kmv_distinct_exact,
         "top_quality_docs": _q_top_quality,
@@ -978,6 +990,21 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY source "
             "ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) "
             "WHERE rnk <= 3"
+        ),
+        "distinctive_terms": (
+            # integer-exact tf-idf surrogate: rank by (tf DESC, df ASC,
+            # word) — identical order to log-idf scoring for fixed tf,
+            # with no float in the compare
+            "WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS word "
+            "FROM documents), "
+            "tf AS (SELECT source, word, COUNT(*) AS tf FROM w "
+            "GROUP BY source, word), "
+            "d AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word) "
+            "SELECT source, word, tf, df, rnk FROM ("
+            "SELECT tf.source, tf.word, tf.tf, d.df, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.source "
+            "ORDER BY tf.tf DESC, d.df, tf.word) AS rnk "
+            "FROM tf JOIN d USING (word)) WHERE rnk <= 10"
         ),
         "events_window": (
             "SELECT event_type, "

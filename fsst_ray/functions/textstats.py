@@ -238,3 +238,104 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": out["fingerprint"],
         }
     )
+
+
+def distinctive_terms(ds, k: int = 10):
+    """Top-k distinctive terms per source: per-source term frequency
+    ranked by (tf DESC, document-frequency-across-sources ASC, word) —
+    the integer-exact form of tf-idf keyword extraction (log-idf would
+    differ in the last ulp between engines; the (tf, -df) lexicographic
+    rank orders identically and stays oracle-checkable).
+
+    Distributed shape — every shuffle is VOCABULARY-sized, never
+    corpus-sized:
+      1. map-side (source, word) partial counts (np.unique over the
+         flattened split-word array, codes not string concat);
+      2. one groupby(source, word) sum -> the tf table;
+      3. groupby(word) attaches df = rows in the word's group (tf rows
+         are distinct (source, word) pairs, so group size IS the
+         distinct-source count; groups are <= n_sources rows);
+      4. the same map-side-prune + per-group finalize used by
+         top_n_per_group emits k rows per source.
+
+    Word semantics match SQL string_split(text, ' ') exactly
+    (pc.split_pattern, empty tokens kept), the convention word_stats
+    already pins against the oracle.
+    """
+    from .analytics import _prune_topn
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words = _word_lists(batch)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "word": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        row_src = np.repeat(src, np.diff(offsets))
+        usrc, scode = np.unique(row_src, return_inverse=True)
+        uword, wcode = np.unique(flat, return_inverse=True)
+        combo = scode.astype(np.int64) * len(uword) + wcode
+        uc, cnt = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(usrc[uc // len(uword)], type=pa.string()),
+                "word": pa.array(uword[uc % len(uword)], type=pa.string()),
+                "tf": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        tf = group["sum(tf)"]
+        tf = tf.combine_chunks() if isinstance(tf, pa.ChunkedArray) else tf
+        return pa.table(
+            {
+                "source": group["source"],
+                "word": group["word"],
+                "tf": pc.cast(tf, pa.int64()),
+                "df": pa.array(
+                    np.full(group.num_rows, group.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    def _rank_keys(group: pa.Table):
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        df = group["df"].to_numpy(zero_copy_only=False)
+        word = group["word"].to_numpy(zero_copy_only=False)
+        wcode = np.unique(word, return_inverse=True)[1]
+        return tf, df, wcode
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tf, df, wcode = _rank_keys(batch)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        scode = np.unique(src, return_inverse=True)[1]
+        order = np.lexsort((wcode, df, -tf, scode))
+        keep = np.sort(_prune_topn(scode, order, k))
+        return batch.take(pa.array(keep))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        tf, df, wcode = _rank_keys(group)
+        order = np.lexsort((wcode, df, -tf))[:k]
+        return group.take(pa.array(order)).append_column(
+            "rnk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .sum("tf")
+        .groupby("word")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

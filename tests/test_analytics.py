@@ -95,3 +95,45 @@ def test_top_n_per_group_exact_across_blocks(ray_session):
         assert sub["doc_id"].tolist() == np.arange(n)[m][order].tolist()
         assert sub["n_chars"].tolist() == nch[m][order].tolist()
         assert sub["rnk"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_distinctive_terms_df_and_rank(ray_session):
+    """df counts sources containing the word; rank = (tf DESC, df ASC,
+    word) and survives block splits."""
+    import ray.data as rd
+
+    from fsst_ray.functions.textstats import distinctive_terms
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "b"], type=pa.string()),
+            "text": pa.array(
+                [
+                    "x x y shared",   # a: x=2, y=1, shared=1
+                    "y shared",       # a totals: x=2, y=2, shared=2
+                    "z z z shared",
+                    "shared",
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    got = (
+        distinctive_terms(rd.from_arrow(tbl).repartition(4), k=2)
+        .to_pandas()
+        .sort_values(["source", "rnk"])
+        .reset_index(drop=True)
+    )
+    # source a: x(tf2,df1) ties y(tf2,df1)? y appears only in a (df 1),
+    # shared in both (df 2). tf=2 for x,y,shared -> order: x, y (word
+    # tie-break after df: x df1, y df1, shared df2)
+    a = got[got["source"] == "a"]
+    assert list(zip(a["word"], a["tf"], a["df"], a["rnk"])) == [
+        ("x", 2, 1, 1),
+        ("y", 2, 1, 2),
+    ]
+    b = got[got["source"] == "b"]
+    assert list(zip(b["word"], b["tf"], b["df"], b["rnk"])) == [
+        ("z", 3, 1, 1),
+        ("shared", 2, 2, 2),
+    ]
