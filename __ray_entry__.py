@@ -658,32 +658,72 @@ def _q_decode_point_lookup(sf_dir: str):
             "doc_id"
         ].to_pylist()
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        values, offsets = tokens_views(batch)
-        lens = offsets[1:] - offsets[:-1]
-        pos = (
-            np.arange(len(values), dtype=np.int64)
-            - np.repeat(offsets[:-1], lens)
-            + 1
-        )
-        weighted = (values.astype(np.int64) + 1) * pos
-        row_sums = np.zeros(len(lens), dtype=np.int64)
-        nonempty = lens > 0
-        if len(values) and nonempty.any():
-            row_sums[nonempty] = np.add.reduceat(weighted, offsets[:-1][nonempty])
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tok": batch["n_tok"],
-                "checksum": pa.array(row_sums, type=pa.int64()),
-            }
-        )
-
     sel = decode_select(out, wanted).map_batches(
-        summarize, batch_format="pyarrow"
+        _doc_checksum_table, batch_format="pyarrow"
     )
     parts = [pa.table(b) for b in sel.iter_batches(batch_format="pyarrow")]
     assert parts, "decode_select returned no rows"
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
+def _doc_checksum_table(batch):
+    """(doc_id, n_tok, checksum) with the order-sensitive per-row token
+    checksum the flagship roundtrip uses (oracle-recomputable via
+    list_transform)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fsst_ray.stages.serialize import tokens_views
+
+    values, offsets = tokens_views(batch)
+    lens = offsets[1:] - offsets[:-1]
+    pos = (
+        np.arange(len(values), dtype=np.int64)
+        - np.repeat(offsets[:-1], lens)
+        + 1
+    )
+    weighted = (values.astype(np.int64) + 1) * pos
+    row_sums = np.zeros(len(lens), dtype=np.int64)
+    nonempty = lens > 0
+    if len(values) and nonempty.any():
+        row_sums[nonempty] = np.add.reduceat(weighted, offsets[:-1][nonempty])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tok": batch["n_tok"],
+            "checksum": pa.array(row_sums, type=pa.int64()),
+        }
+    )
+
+
+_NTOK_RANGE_LO, _NTOK_RANGE_HI = 2000, 1 << 30
+
+
+def _q_decode_ntok_range(sf_dir: str):
+    """Selective decode (length range): encode the corpus, then decode
+    ONLY the rows with n_tok in [2000, 2^30] — the curriculum
+    "long sequences only" read — through the two-phase pruned
+    `decode_ntok_range` (phase A scans just (part_key, chunk_seq,
+    n_tok), phase B decodes only hit chunks). The range sits above the
+    corpus p99, so most chunks/files are skipped (pruning asserted in
+    pytest)."""
+    import pyarrow as pa
+
+    from fsst_ray import decode_ntok_range, encode_dataset, read_tokens_dataset
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
+
+    scale = _scale_for(sf_dir)
+    path = ensure_tokens_parquet(scale)
+    ds = read_tokens_dataset(scale=scale)
+    out = _tmp_out("selr")
+    encode_dataset(
+        ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19, input_path=path
+    )
+    sel = decode_ntok_range(out, _NTOK_RANGE_LO, _NTOK_RANGE_HI).map_batches(
+        _doc_checksum_table, batch_format="pyarrow"
+    )
+    parts = [pa.table(b) for b in sel.iter_batches(batch_format="pyarrow")]
+    assert parts, "decode_ntok_range returned no rows"
     return pa.concat_tables(parts).sort_by("doc_id")
 
 
@@ -777,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_roundtrip": _q_tokens_roundtrip,
         "encode_metrics": _q_encode_metrics,
         "decode_point_lookup": _q_decode_point_lookup,
+        "decode_ntok_range": _q_decode_ntok_range,
     }
 
 
@@ -1132,6 +1173,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(list_sum(list_transform(tokens, "
             "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
             f"FROM {corpus} WHERE doc_id LIKE '%00'"
+        ),
+        "decode_ntok_range": (
+            "SELECT doc_id, n_tok, "
+            "CAST(COALESCE(list_sum(list_transform(tokens, "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
+            f"FROM {corpus} WHERE n_tok BETWEEN {_NTOK_RANGE_LO} AND {_NTOK_RANGE_HI}"
         ),
         "encode_metrics": (
             "SELECT source, GREATEST(1, (CAST(SUM(n_tok) AS BIGINT) + "

@@ -12,6 +12,7 @@ decode pass.
 from .pipelines import (
     EncodeResult,
     decode_dataset,
+    decode_ntok_range,
     decode_select,
     encode_dataset,
     read_encoded,
@@ -24,6 +25,7 @@ __all__ = [
     "encode_dataset",
     "decode_dataset",
     "decode_select",
+    "decode_ntok_range",
     "read_encoded",
     "verify_roundtrip",
     "tokens_table",

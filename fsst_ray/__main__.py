@@ -4,7 +4,7 @@
                                [--chunk-tokens N] [--bucket-tokens N] [--resume]
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
     python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
-                               [--output DIR]
+                               [--ntok-range LO:HI] [--output DIR]
     python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
     python -m fsst_ray stats   --encoded ENCODED_DIR
 
@@ -42,6 +42,10 @@ def main(argv=None):
     )
     parser.add_argument(
         "--doc-ids", help="comma-separated doc ids (select): pruned point lookup"
+    )
+    parser.add_argument(
+        "--ntok-range",
+        help="LO:HI inclusive n_tok range (select): pruned length-range decode",
     )
     parser.add_argument("--input", help="input parquet dir (tokens schema) / encoded dir")
     parser.add_argument("--output", help="output dir")
@@ -87,14 +91,20 @@ def main(argv=None):
             decode_dataset(args.input).write_parquet(args.output)
             print(json.dumps({"decoded_to": args.output}))
         elif args.command == "select":
-            from fsst_ray import decode_select
+            from fsst_ray import decode_ntok_range, decode_select
 
             stats: dict = {}
-            sel = decode_select(
-                args.encoded or args.input,
-                [d for d in (args.doc_ids or "").split(",") if d],
-                stats=stats,
-            )
+            if args.ntok_range:
+                lo, hi = (int(v) for v in args.ntok_range.split(":"))
+                sel = decode_ntok_range(
+                    args.encoded or args.input, lo, hi, stats=stats
+                )
+            else:
+                sel = decode_select(
+                    args.encoded or args.input,
+                    [d for d in (args.doc_ids or "").split(",") if d],
+                    stats=stats,
+                )
             if args.output:
                 sel.write_parquet(args.output)
                 print(json.dumps({"selected_to": args.output, **stats}))

@@ -1,5 +1,5 @@
 from .encode_job import encode_dataset, EncodeResult
-from .decode_job import read_encoded, decode_dataset, decode_select, verify_roundtrip
+from .decode_job import read_encoded, decode_dataset, decode_ntok_range, decode_select, verify_roundtrip
 
 __all__ = [
     "encode_dataset",
@@ -7,5 +7,6 @@ __all__ = [
     "read_encoded",
     "decode_dataset",
     "decode_select",
+    "decode_ntok_range",
     "verify_roundtrip",
 ]

@@ -54,6 +54,88 @@ def verify_roundtrip(original_ds, encoded_or_dir) -> dict:
     }
 
 
+def _empty_rows_table():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "tokens": pa.array([], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([], type=pa.int32()),
+            "source": pa.array([], type=pa.string()),
+        }
+    )
+
+
+def _collect_hits(scan_files, columns, find_hits):
+    """Phase A of a selective decode: projected scan of chunk-index
+    columns (the payload column — ~99% of encoded bytes — is never
+    read), returning the small (part_key, chunk_seq) hits table on the
+    driver (bounded: at most one row per hit chunk)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    index = rd.read_parquet(
+        scan_files, file_extensions=["parquet"], columns=columns
+    ).map_batches(find_hits, batch_format="pyarrow")
+    batches = [pa.table(b) for b in index.iter_batches(batch_format="pyarrow")]
+    if batches:
+        return pa.concat_tables(batches)
+    # iter_batches yields nothing when every block filtered empty
+    return pa.table(
+        {
+            "part_key": pa.array([], type=pa.string()),
+            "chunk_seq": pa.array([], type=pa.int32()),
+        }
+    )
+
+
+def _phase_b_decode(path, entries, hits, stats, trim_fn):
+    """Phase B of a selective decode: re-read just the HIT bucket files
+    (file-level pruning from the manifest's part->file map), decode only
+    the hit (part_key, chunk_seq) chunks, and trim decoded rows with
+    `trim_fn`. Shared by decode_select and decode_ntok_range."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    hit_parts = set(hits["part_key"].to_pylist())
+    hit_files = [str(path / e["file"]) for k, e in entries.items() if k in hit_parts]
+    if stats is not None:
+        stats["files_total"] = len(entries)
+        stats["files_read"] = len(hit_files)
+        stats["chunks_total"] = sum(e["chunks"] for e in entries.values())
+        stats["chunks_decoded"] = hits.num_rows
+    if not hit_files:
+        return rd.from_arrow(_empty_rows_table())
+
+    # composite key (part_key, chunk_seq) membership, vectorized
+    hit_keys = pa.array(
+        [
+            f"{k}#{s}"
+            for k, s in zip(hits["part_key"].to_pylist(), hits["chunk_seq"].to_pylist())
+        ],
+        type=pa.string(),
+    )
+    hit_keys_ref = ray.put(hit_keys)
+
+    def decode_hit_chunks(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            batch["part_key"],
+            pc.cast(batch["chunk_seq"], pa.string()),
+            "#",
+        )
+        batch = batch.filter(pc.is_in(keys, value_set=ray.get(hit_keys_ref)))
+        if batch.num_rows == 0:
+            return _empty_rows_table()
+        return trim_fn(decode_chunks_batch(batch))
+
+    return rd.read_parquet(
+        hit_files, file_extensions=["parquet"]
+    ).map_batches(decode_hit_chunks, batch_format="pyarrow", batch_size=None)
+
+
 def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
     """Selective decode: the original rows for exactly `doc_ids`.
 
@@ -106,25 +188,13 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
     if stats is not None:
         stats["files_zone_scanned"] = len(scan_files)
 
-    def _empty_rows():
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.string()),
-                    "tokens": pa.array([], type=pa.list_(pa.int32())),
-                    "n_tok": pa.array([], type=pa.int32()),
-                    "source": pa.array([], type=pa.string()),
-                }
-            )
-        )
-
     if not scan_files:
         if stats is not None:
             stats["files_total"] = len(entries)
             stats["files_read"] = 0
             stats["chunks_total"] = sum(e["chunks"] for e in entries.values())
             stats["chunks_decoded"] = 0
-        return _empty_rows()
+        return rd.from_arrow(_empty_rows_table())
 
     def find_hits(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
@@ -138,67 +208,72 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
         mask[hit_rows] = True
         return batch.select(["part_key", "chunk_seq"]).filter(pa.array(mask))
 
-    index = rd.read_parquet(
-        scan_files,
-        file_extensions=["parquet"],
-        columns=["part_key", "chunk_seq", "doc_id"],
-    ).map_batches(find_hits, batch_format="pyarrow")
-    batches = [pa.table(b) for b in index.iter_batches(batch_format="pyarrow")]
-    hits = (
-        pa.concat_tables(batches)
-        if batches
-        # iter_batches yields nothing when every block filtered empty
-        else pa.table(
-            {
-                "part_key": pa.array([], type=pa.string()),
-                "chunk_seq": pa.array([], type=pa.int32()),
-            }
-        )
-    )
+    hits = _collect_hits(scan_files, ["part_key", "chunk_seq", "doc_id"], find_hits)
 
-    hit_parts = set(hits["part_key"].to_pylist())
-    hit_files = [
-        str(path / e["file"]) for k, e in entries.items() if k in hit_parts
-    ]
-    if stats is not None:
-        stats["files_total"] = len(entries)
-        stats["files_read"] = len(hit_files)
-        stats["chunks_total"] = sum(e["chunks"] for e in entries.values())
-        stats["chunks_decoded"] = hits.num_rows
-    if not hit_files:
-        return _empty_rows()
-
-    # composite key (part_key, chunk_seq) membership, vectorized
-    hit_keys = pa.array(
-        [
-            f"{k}#{s}"
-            for k, s in zip(
-                hits["part_key"].to_pylist(), hits["chunk_seq"].to_pylist()
-            )
-        ],
-        type=pa.string(),
-    )
-    hit_keys_ref = ray.put(hit_keys)
-
-    def decode_hit_chunks(batch: pa.Table) -> pa.Table:
-        keys = pc.binary_join_element_wise(
-            batch["part_key"],
-            pc.cast(batch["chunk_seq"], pa.string()),
-            "#",
-        )
-        batch = batch.filter(pc.is_in(keys, value_set=ray.get(hit_keys_ref)))
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.string()),
-                    "tokens": pa.array([], type=pa.list_(pa.int32())),
-                    "n_tok": pa.array([], type=pa.int32()),
-                    "source": pa.array([], type=pa.string()),
-                }
-            )
-        rows = decode_chunks_batch(batch)
+    def trim(rows: pa.Table) -> pa.Table:
         return rows.filter(pc.is_in(rows["doc_id"], value_set=ray.get(wanted_ref)))
 
-    return rd.read_parquet(
-        hit_files, file_extensions=["parquet"]
-    ).map_batches(decode_hit_chunks, batch_format="pyarrow", batch_size=None)
+    return _phase_b_decode(path, entries, hits, stats, trim)
+
+
+def decode_ntok_range(out_dir: str, lo: int, hi: int, stats: dict | None = None):
+    """Selective decode by sequence length: rows with lo <= n_tok <= hi.
+
+    The length-predicate sibling of `decode_select` — the read pattern
+    of a curriculum / length-bucketed training selection ("decode only
+    the long documents"). Same two-phase pruned shape:
+
+    - **Phase A** scans ONLY (part_key, chunk_seq, n_tok) — parquet
+      projection never touches the payload column. A chunk is hit iff
+      it contains at least one row in range (exact test over the
+      flattened per-row n_tok index, not a min/max approximation).
+    - **Phase B** re-reads just the hit bucket files, decodes only hit
+      chunks, and trims decoded rows to the range.
+
+    File-level doc-id zone maps cannot help here by design (buckets are
+    doc-hash assigned for write balance, so every bucket spans most of
+    the length distribution) — but whole files are still skipped when
+    none of their chunks hit, which is exactly the selective-tail case
+    (n_tok above p99) where this read matters at 100 TB.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    path = mf.chunks_dir(out_dir)
+    entries = mf.load_manifest(out_dir)
+    scan_files = [str(path / e["file"]) for e in entries.values()]
+    if not scan_files:
+        if stats is not None:
+            stats["files_total"] = 0
+            stats["files_read"] = 0
+            stats["chunks_total"] = 0
+            stats["chunks_decoded"] = 0
+        return rd.from_arrow(_empty_rows_table())
+
+    def find_hits(batch: pa.Table) -> pa.Table:
+        col = batch["n_tok"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        in_range = (flat >= lo) & (flat <= hi)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        hit_rows = np.unique(parents[in_range])
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        mask[hit_rows] = True
+        return batch.select(["part_key", "chunk_seq"]).filter(pa.array(mask))
+
+    hits = _collect_hits(scan_files, ["part_key", "chunk_seq", "n_tok"], find_hits)
+
+    def trim(rows: pa.Table) -> pa.Table:
+        n = rows["n_tok"]
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        keep = pc.and_(
+            pc.greater_equal(n, pa.scalar(lo, type=n.type)),
+            pc.less_equal(n, pa.scalar(hi, type=n.type)),
+        )
+        return rows.filter(keep)
+
+    return _phase_b_decode(path, entries, hits, stats, trim)

@@ -562,3 +562,46 @@ def test_manifest_compaction_overlay_semantics(tmp_path):
     assert mf.compact_manifest(out) == 5
     assert mf.load_manifest(out)["p2"]["v"] == 99
     assert len(list(mf.manifest_dir(out).glob("*.json"))) == 1
+
+
+def test_decode_ntok_range_prunes_and_matches(tokens_ds, tmp_path):
+    """Length-range selective decode returns exactly the in-range rows
+    bit-identical to the source, decodes only hit chunks, and skips
+    whole files with no hit chunk for tail selections."""
+    from fsst_ray import decode_ntok_range
+
+    out = str(tmp_path / "enc_range")
+    encode_dataset(tokens_ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15)
+
+    src = sorted(tokens_ds.take_all(), key=lambda r: r["doc_id"])
+    ntoks = sorted(int(r["n_tok"]) for r in src)
+    lo = ntoks[int(len(ntoks) * 0.98)]  # ~p98 tail: selective
+    hi = 1 << 30
+    want = [r for r in src if lo <= r["n_tok"] <= hi]
+    assert 0 < len(want) < len(src)
+
+    stats: dict = {}
+    got = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in decode_ntok_range(out, lo, hi, stats=stats).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    ).sort_by("doc_id")
+    assert got.num_rows == len(want)
+    for i, row in enumerate(want):
+        assert got["doc_id"][i].as_py() == row["doc_id"]
+        assert got["tokens"][i].as_py() == list(row["tokens"])
+        assert got["n_tok"][i].as_py() == row["n_tok"]
+    # chunk-level pruning engages (chunks are small here, so the tail
+    # range must skip most of them); file-level skip when a bucket has
+    # no hit chunk at all
+    assert stats["chunks_decoded"] < stats["chunks_total"], stats
+    assert stats["files_read"] <= stats["files_total"], stats
+
+    # empty range: empty result, zero payload files read
+    stats2: dict = {}
+    empty = decode_ntok_range(out, 1 << 29, 1 << 30, stats=stats2)
+    assert empty.count() == 0
+    assert stats2["files_read"] == 0
