@@ -11,6 +11,7 @@ decode pass.
 
 from .pipelines import (
     EncodeResult,
+    append_dataset,
     decode_dataset,
     decode_ntok_range,
     decode_select,
@@ -23,6 +24,7 @@ from .sources import ensure_tokens_parquet, read_tokens_dataset, tokens_table
 __all__ = [
     "EncodeResult",
     "encode_dataset",
+    "append_dataset",
     "decode_dataset",
     "decode_select",
     "decode_ntok_range",

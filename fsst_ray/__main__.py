@@ -2,6 +2,7 @@
 
     python -m fsst_ray encode  --input DIR --output DIR [--mode bucketed]
                                [--chunk-tokens N] [--bucket-tokens N] [--resume]
+                               [--append]   # incremental ingest into --output
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
     python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
                                [--ntok-range LO:HI] [--output DIR]
@@ -55,6 +56,12 @@ def main(argv=None):
     parser.add_argument("--chunk-tokens", type=int, default=1 << 19)
     parser.add_argument("--bucket-tokens", type=int, default=16 << 20)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--append",
+        action="store_true",
+        help="encode: incremental ingest into an EXISTING encoded corpus "
+        "(reuses trained states; generation-tagged buckets)",
+    )
     parser.add_argument("--num-cpus", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -75,15 +82,22 @@ def main(argv=None):
             from fsst_ray.sources.tokens import read_parquet_bundled
 
             ds = read_parquet_bundled(args.input)
-            result = encode_dataset(
-                ds,
-                args.output,
-                mode=args.mode,
-                chunk_tokens=args.chunk_tokens,
-                bucket_tokens=args.bucket_tokens,
-                resume=args.resume,
-                input_path=args.input,
-            )
+            if args.append:
+                from fsst_ray import append_dataset
+
+                result = append_dataset(
+                    ds, args.output, resume=args.resume, input_path=args.input
+                )
+            else:
+                result = encode_dataset(
+                    ds,
+                    args.output,
+                    mode=args.mode,
+                    chunk_tokens=args.chunk_tokens,
+                    bucket_tokens=args.bucket_tokens,
+                    resume=args.resume,
+                    input_path=args.input,
+                )
             print(json.dumps(result.metrics, indent=2, default=str))
         elif args.command == "decode":
             from fsst_ray import decode_dataset

@@ -136,7 +136,12 @@ class FsstCodec(Codec):
         segmented = bool(state_len & cls._SEG_FLAG)
         state_len &= cls._SEG_FLAG - 1
         state = body[4 : 4 + state_len]
-        n = state[1] | (state[2] << 8)
+        # unpack_from, NOT state[1] | state[2] << 8: `state` is a
+        # memoryview of a pyarrow Buffer whose format is signed 'b',
+        # so byte indexing returns NEGATIVE values for bytes >= 0x80 —
+        # a 255-symbol table parsed as n = -1 (count=-1 then makes
+        # np.frombuffer demand multiple-of-8 buffer size and throw)
+        (n,) = struct.unpack_from("<H", state, 1)
         symbols = np.frombuffer(state, dtype="<u8", count=n, offset=4).astype(np.uint64)
         lengths = np.frombuffer(state, dtype="u1", count=n, offset=4 + 8 * n).astype(np.uint8)
         if not segmented:

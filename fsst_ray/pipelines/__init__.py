@@ -1,8 +1,9 @@
-from .encode_job import encode_dataset, EncodeResult
+from .encode_job import append_dataset, encode_dataset, EncodeResult
 from .decode_job import read_encoded, decode_dataset, decode_ntok_range, decode_select, verify_roundtrip
 
 __all__ = [
     "encode_dataset",
+    "append_dataset",
     "EncodeResult",
     "read_encoded",
     "decode_dataset",

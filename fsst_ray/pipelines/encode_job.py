@@ -501,6 +501,8 @@ def encode_dataset(
     writer_flush_tokens: int | None = None,
     writer_budget_tokens: int | None = None,
     input_path: str | None = None,
+    _plan: tuple | None = None,
+    _key_tag: str = "",
 ) -> EncodeResult:
     """Run the two-pass encode job over a tokens dataset.
 
@@ -526,7 +528,12 @@ def encode_dataset(
 
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
-    if resume and mf.plan_path(out_dir).exists():
+    if _plan is not None:
+        # caller-managed plan (append_dataset): states/buckets decided
+        # and persisted by the caller; keys namespaced by _key_tag
+        assert mode in ("bucketed", "bucketed_groupby"), "plan override needs buckets"
+        states, bucket_plan, mass = _plan
+    elif resume and mf.plan_path(out_dir).exists():
         states, bucket_plan, mass, saved_config = mf.load_plan(out_dir)
         assert saved_config == config, (
             f"resume config mismatch: {saved_config} != {config}"
@@ -579,7 +586,9 @@ def encode_dataset(
             stale.unlink()  # partial flushes from an interrupted run
 
     keyed = ds.map_batches(
-        lambda b: assign_partitions(b, bucket_plan), batch_format="pyarrow", batch_size=None
+        lambda b: assign_partitions(b, bucket_plan, _key_tag),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     if done:
         done_list = sorted(done)
@@ -766,6 +775,118 @@ def encode_dataset(
     metrics = mf.summarize(entries)
     metrics["timings"] = {k: round(v, 3) for k, v in timings.items()}
     return EncodeResult(out_dir, metrics, bucket_plan, mode)
+
+
+def _append_plan_path(out_dir: str, gen: int):
+    import pathlib
+
+    return pathlib.Path(out_dir) / f"append_plan_g{gen}.json"
+
+
+def _append_generations(out_dir: str) -> list[int]:
+    import pathlib
+    import re
+
+    gens = []
+    for p in pathlib.Path(out_dir).glob("append_plan_g*.json"):
+        m = re.fullmatch(r"append_plan_g(\d+)\.json", p.name)
+        if m:
+            gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def append_dataset(
+    ds,
+    out_dir: str,
+    *,
+    resume: bool = False,
+    input_path: str | None = None,
+) -> EncodeResult:
+    """Incremental ingest: encode NEW rows into an existing encoded
+    corpus without re-reading or re-writing any old data.
+
+    - Codec states for sources already in the corpus are REUSED from
+      the saved plan — no retraining pass over old bytes, so the
+      append costs O(appended bytes) regardless of corpus size.
+    - Sources first seen in the appended data get states trained on
+      the appended data alone.
+    - Appended buckets carry generation-tagged part keys
+      ('{source}:g{N}-{bucket:05d}'), so existing bucket files are
+      never touched and the manifest overlay makes decode / verify /
+      select / stats see the union corpus with no extra step.
+
+    Preconditions: the base encode completed (plan.json exists) in a
+    bucketed mode, and doc_id stays unique across the WHOLE corpus
+    (old + appended) — it is the retry/resume identity. A crashed
+    append resumes with resume=True (the same skip-completed-parts
+    machinery as encode, scoped to this generation's tagged keys);
+    starting a NEW append while the previous one is incomplete raises.
+    """
+    import json
+
+    base_states, _, _, config = mf.load_plan(out_dir)
+    assert config["mode"] in ("bucketed", "bucketed_groupby"), (
+        "append requires a bucketed base encode (streaming-mode outputs "
+        "are not resumable/extensible per-bucket)"
+    )
+    gens = _append_generations(out_dir)
+    latest = gens[-1] if gens else 0
+    if resume and gens:
+        prev = json.loads(_append_plan_path(out_dir, latest).read_text())
+        if not prev.get("completed"):
+            gen = latest  # resume the crashed generation
+        else:
+            gen = latest + 1  # nothing to resume: a fresh generation
+    else:
+        if gens:
+            prev = json.loads(_append_plan_path(out_dir, latest).read_text())
+            assert prev.get("completed"), (
+                f"append generation g{latest} is incomplete — rerun with "
+                "resume=True to finish it before starting a new append"
+            )
+        gen = latest + 1
+
+    plan_file = _append_plan_path(out_dir, gen)
+    if resume and plan_file.exists():
+        states, bucket_plan, mass, saved_config = mf.load_plan(out_dir, path=plan_file)
+        assert saved_config == config, (
+            f"append resume config mismatch: {saved_config} != {config}"
+        )
+    else:
+        # pass 1 over the APPENDED data only
+        if input_path is not None and _corpus_bytes(input_path) >= PRUNED_PASS1_MIN_BYTES:
+            from ..stages.trainer import train_states_pruned
+
+            new_states, mass = train_states_pruned(input_path)
+        else:
+            new_states, mass = train_states(ds)
+        # reuse the corpus's trained states wherever they exist; only
+        # genuinely new sources use the append-trained ones
+        states = {src: base_states.get(src, st) for src, st in new_states.items()}
+        bucket_plan = build_bucket_plan(mass, config["bucket_tokens"])
+        mf.save_plan(
+            out_dir, states, bucket_plan, mass, config,
+            path=plan_file, extra={"generation": gen, "completed": False},
+        )
+
+    result = encode_dataset(
+        ds,
+        out_dir,
+        mode=config["mode"],
+        chunk_tokens=config["chunk_tokens"],
+        bucket_tokens=config["bucket_tokens"],
+        codecs=tuple(config["codecs"]),
+        resume=resume,
+        input_path=input_path,
+        _plan=(states, bucket_plan, mass),
+        _key_tag=f"g{gen}-",
+    )
+    mf.save_plan(
+        out_dir, states, bucket_plan, mass, config,
+        path=plan_file, extra={"generation": gen, "completed": True},
+    )
+    result.metrics["generation"] = gen
+    return result
 
 
 def _entries_from_chunks(chunks_path: str) -> dict[str, dict]:

@@ -42,14 +42,18 @@ def build_bucket_plan(mass: dict[str, dict], bucket_tokens: int) -> dict[str, in
     }
 
 
-def assign_partitions(batch: pa.Table, plan: dict[str, int]) -> pa.Table:
-    """Append the part_key column: '{source}:{bucket:05d}'."""
+def assign_partitions(batch: pa.Table, plan: dict[str, int], tag: str = "") -> pa.Table:
+    """Append the part_key column: '{source}:{tag}{bucket:05d}'.
+
+    `tag` namespaces a generation of buckets (incremental append jobs
+    pass 'g{N}-') so appended part keys never collide with existing
+    bucket files."""
     sources = batch["source"].to_numpy(zero_copy_only=False)
     pr = _doc_priorities(batch["doc_id"])
     n_buckets = np.array([plan.get(s, 1) for s in sources], dtype=np.uint64)
     buckets = (pr % n_buckets).astype(np.int64)
     keys = np.char.add(
-        np.char.add(sources.astype(str), ":"),
+        np.char.add(sources.astype(str), ":" + tag),
         np.char.zfill(buckets.astype(str), 5),
     )
     return batch.append_column("part_key", pa.array(keys, type=pa.string()))

@@ -45,9 +45,9 @@ def write_json_atomic(path: pathlib.Path, obj) -> None:
 
 
 def save_plan(out_dir: str, states: dict[str, dict], bucket_plan: dict[str, int],
-              mass: dict[str, dict], config: dict) -> None:
+              mass: dict[str, dict], config: dict, path=None, extra: dict | None = None) -> None:
     write_json_atomic(
-        plan_path(out_dir),
+        path or plan_path(out_dir),
         {
             "states": {
                 s: {"fsst_b64": base64.b64encode(st["fsst"]).decode(), "ratio": st["ratio"]}
@@ -56,12 +56,13 @@ def save_plan(out_dir: str, states: dict[str, dict], bucket_plan: dict[str, int]
             "bucket_plan": bucket_plan,
             "mass": mass,
             "config": config,
+            **(extra or {}),
         },
     )
 
 
-def load_plan(out_dir: str):
-    obj = json.loads(plan_path(out_dir).read_text())
+def load_plan(out_dir: str, path=None):
+    obj = json.loads((path or plan_path(out_dir)).read_text())
     states = {
         s: {"fsst": base64.b64decode(st["fsst_b64"]), "ratio": st["ratio"]}
         for s, st in obj["states"].items()

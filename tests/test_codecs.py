@@ -139,3 +139,36 @@ def test_truncated_body_raises(name):
     for cut in (len(body) // 2, len(body) - 3):
         with pytest.raises((ValueError, struct.error)):
             codec.decode_values(body[:cut], len(values))
+
+
+def test_fsst_decode_big_table_via_signed_memoryview():
+    """Regression: decode_payload_into receives memoryview(pa.Buffer)
+    whose format is SIGNED 'b'. A symbol table whose count's low byte
+    is >= 0x80 (e.g. the full 255) parsed via byte indexing went
+    negative and broke np.frombuffer; the count must be read unsigned."""
+    import pyarrow as pa
+
+    from fsst_ray.codecs.base import decode_payload_into
+    from fsst_ray.codecs.fsst_codec import FsstCodec
+
+    rng = np.random.default_rng(5)
+    # diverse natural-ish lines train a full 255-symbol table
+    words = [
+        bytes(rng.integers(97, 123, size=rng.integers(2, 9)).tolist())
+        for _ in range(500)
+    ]
+    lines = [
+        b" ".join(words[i] for i in rng.integers(0, len(words), size=40))
+        for _ in range(64)
+    ]
+    state = train_from_lines(lines)
+    n_syms = state[1] | (state[2] << 8)
+    assert n_syms >= 128, f"table too small to exercise the bug ({n_syms})"
+
+    values = rng.integers(0, 1 << 20, size=4096).astype(np.int32)
+    codec = FsstCodec()
+    payload = codec.encode(values, state)
+    buf = pa.py_buffer(payload)  # memoryview(pa.Buffer) => signed format
+    out = np.empty(len(values) + 2, dtype=np.int32)
+    decode_payload_into(memoryview(buf), out[: len(values)])
+    assert (out[: len(values)] == values).all()

@@ -605,3 +605,96 @@ def test_decode_ntok_range_prunes_and_matches(tokens_ds, tmp_path):
     empty = decode_ntok_range(out, 1 << 29, 1 << 30, stats=stats2)
     assert empty.count() == 0
     assert stats2["files_read"] == 0
+
+
+def test_append_dataset_incremental_ingest(tokens_ds, tmp_path):
+    """Append encodes only the new rows into generation-tagged buckets:
+    old bucket files untouched, trained states reused for known sources
+    (new sources get append-trained states), and decode / select see
+    the union corpus bit-identical."""
+    import json
+    import pathlib
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fsst_ray import append_dataset, decode_select
+    from fsst_ray.pipelines.encode_job import _append_plan_path
+
+    full = pa.concat_tables(
+        pa.table(b) for b in tokens_ds.iter_batches(batch_format="pyarrow")
+    )
+    # disjoint halves by row parity; half B also carries a NEW source
+    idx = np.arange(full.num_rows)
+    half_a = full.take(pa.array(idx[idx % 2 == 0]))
+    half_b = full.take(pa.array(idx[idx % 2 == 1]))
+    nb = half_b.num_rows
+    new_src = pc.if_else(
+        pa.array(np.arange(nb) % 3 == 0),
+        pa.scalar("appended-src"),
+        half_b["source"].combine_chunks()
+        if isinstance(half_b["source"], pa.ChunkedArray)
+        else half_b["source"],
+    )
+    half_b = half_b.set_column(
+        half_b.schema.get_field_index("source"), "source", new_src
+    )
+
+    out = str(tmp_path / "enc_append")
+    encode_dataset(
+        rd.from_arrow(half_a), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    base_files = {
+        f.name: f.stat().st_mtime_ns
+        for f in pathlib.Path(mf.chunks_dir(out)).glob("*.parquet")
+    }
+    base_states, _, _, _ = mf.load_plan(out)
+
+    res = append_dataset(rd.from_arrow(half_b), out)
+    assert res.metrics["generation"] == 1
+
+    # old bucket files untouched, appended buckets generation-tagged
+    after = {
+        f.name: f.stat().st_mtime_ns
+        for f in pathlib.Path(mf.chunks_dir(out)).glob("*.parquet")
+    }
+    for name, mtime in base_files.items():
+        assert after[name] == mtime, f"base bucket {name} was rewritten"
+    new_files = set(after) - set(base_files)
+    assert new_files and all("g1-" in n for n in new_files), new_files
+
+    # states reused for known sources; new source got its own
+    sidecar = json.loads(_append_plan_path(out, 1).read_text())
+    assert sidecar["completed"] is True
+    app_states, _, _, _ = mf.load_plan(out, path=_append_plan_path(out, 1))
+    for src, st in app_states.items():
+        if src in base_states:
+            assert st["fsst"] == base_states[src]["fsst"], src
+    assert "appended-src" in app_states
+
+    # union decode is bit-identical to old + new input
+    union = pa.concat_tables([half_a, half_b])
+    got = pa.concat_tables(
+        pa.table(b)
+        for b in decode_dataset(out).iter_batches(batch_format="pyarrow")
+    )
+    assert _sorted_rows(got) == _sorted_rows(union)
+
+    # selective decode spans generations
+    want_ids = sorted(
+        [half_a["doc_id"][0].as_py(), half_b["doc_id"][0].as_py()]
+    )
+    sel = pa.concat_tables(
+        pa.table(b)
+        for b in decode_select(out, want_ids).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert sel["doc_id"].to_pylist() == want_ids
+
+    # an incomplete generation blocks a fresh append but resumes
+    mf.save_plan(
+        out, app_states, {}, {}, sidecar["config"],
+        path=_append_plan_path(out, 2),
+        extra={"generation": 2, "completed": False},
+    )
+    with pytest.raises(AssertionError, match="incomplete"):
+        append_dataset(rd.from_arrow(half_b.slice(0, 4)), out)
