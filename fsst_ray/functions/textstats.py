@@ -252,9 +252,13 @@ def distinctive_terms(ds, k: int = 10):
       1. map-side (source, word) partial counts (np.unique over the
          flattened split-word array, codes not string concat);
       2. one groupby(source, word) sum -> the tf table;
-      3. groupby(word) attaches df = rows in the word's group (tf rows
-         are distinct (source, word) pairs, so group size IS the
-         distinct-source count; groups are <= n_sources rows);
+      3. df attached inside a HASH-BUCKETED combine (word ->
+         crc32 % merge_partitions buckets, one np.unique per bucket):
+         constant group count instead of one Ray group per distinct
+         word — the token_histogram lesson (~431k single-row groups
+         cost ~30x the useful work at sf0.1; a million-word vocabulary
+         would be worse). A word's tf rows land wholly in one bucket,
+         so its distinct-source count is exact;
       4. the same map-side-prune + per-group finalize used by
          top_n_per_group emits k rows per source.
 
@@ -291,17 +295,30 @@ def distinctive_terms(ds, k: int = 10):
             }
         )
 
+    merge_partitions = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        word = t["word"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(word, return_inverse=True)
+        ub = np.array(
+            [zlib.crc32(w.encode()) % merge_partitions for w in uniq],
+            dtype=np.int64,
+        )
+        return t.append_column("part", pa.array(ub[inv]))
+
     def attach_df(group: pa.Table) -> pa.Table:
         tf = group["sum(tf)"]
         tf = tf.combine_chunks() if isinstance(tf, pa.ChunkedArray) else tf
+        word = group["word"].to_numpy(zero_copy_only=False)
+        _, inv, counts = np.unique(word, return_inverse=True, return_counts=True)
         return pa.table(
             {
                 "source": group["source"],
                 "word": group["word"],
                 "tf": pc.cast(tf, pa.int64()),
-                "df": pa.array(
-                    np.full(group.num_rows, group.num_rows, dtype=np.int64)
-                ),
+                "df": pa.array(counts[inv].astype(np.int64)),
             }
         )
 
@@ -333,7 +350,8 @@ def distinctive_terms(ds, k: int = 10):
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby(["source", "word"])
         .sum("tf")
-        .groupby("word")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(attach_df, batch_format="pyarrow")
         .map_batches(prune, batch_format="pyarrow")
         .groupby("source")
