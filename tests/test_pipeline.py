@@ -698,3 +698,56 @@ def test_append_dataset_incremental_ingest(tokens_ds, tmp_path):
     )
     with pytest.raises(AssertionError, match="incomplete"):
         append_dataset(rd.from_arrow(half_b.slice(0, 4)), out)
+
+
+def test_append_resume_finishes_crashed_generation(tokens_ds, tmp_path):
+    """A crashed append (sidecar saved, buckets partial or absent)
+    resumed with resume=True finishes ITS generation rather than
+    starting a new one, and the union decodes bit-identical."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fsst_ray import append_dataset
+    from fsst_ray.pipelines.encode_job import _append_plan_path
+
+    full = pa.concat_tables(
+        pa.table(b) for b in tokens_ds.iter_batches(batch_format="pyarrow")
+    )
+    idx = np.arange(full.num_rows)
+    half_a = full.take(pa.array(idx[idx % 2 == 0]))
+    half_b = full.take(pa.array(idx[idx % 2 == 1]))
+
+    out = str(tmp_path / "enc_resume_app")
+    encode_dataset(
+        rd.from_arrow(half_a), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+
+    # simulate the crash: run the plan/train half of append by hand
+    # (exactly what append_dataset persists BEFORE encoding), leaving
+    # completed=False and no generation buckets on disk
+    from fsst_ray.stages.encoder import build_bucket_plan
+    from fsst_ray.stages.trainer import train_states
+
+    base_states, _, _, config = mf.load_plan(out)
+    new_states, mass = train_states(rd.from_arrow(half_b))
+    states = {s: base_states.get(s, st) for s, st in new_states.items()}
+    bucket_plan = build_bucket_plan(mass, config["bucket_tokens"])
+    mf.save_plan(
+        out, states, bucket_plan, mass, config,
+        path=_append_plan_path(out, 1),
+        extra={"generation": 1, "completed": False},
+    )
+
+    res = append_dataset(rd.from_arrow(half_b), out, resume=True)
+    assert res.metrics["generation"] == 1  # finished g1, did not open g2
+    sidecar = json.loads(_append_plan_path(out, 1).read_text())
+    assert sidecar["completed"] is True
+
+    union = pa.concat_tables([half_a, half_b])
+    got = pa.concat_tables(
+        pa.table(b)
+        for b in decode_dataset(out).iter_batches(batch_format="pyarrow")
+    )
+    assert _sorted_rows(got) == _sorted_rows(union)
