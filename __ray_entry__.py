@@ -623,6 +623,44 @@ def _q_tokens_roundtrip(sf_dir: str):
     return tokens_summary(decode_dataset(out))
 
 
+def _q_append_roundtrip(sf_dir: str):
+    """Incremental ingest correctness: encode the even half of the
+    corpus (doc_id's last digit), APPEND the odd half through
+    `append_dataset` (states reused for known sources, generation-
+    tagged buckets, old files untouched), then decode the UNION and
+    summarize per source. The oracle is the same full-corpus summary
+    as tokens_roundtrip, so any appended-row loss, duplication, or
+    value corruption hash-mismatches."""
+    import pyarrow.compute as pc
+
+    from fsst_ray import (
+        append_dataset,
+        decode_dataset,
+        encode_dataset,
+        read_tokens_dataset,
+    )
+    from fsst_ray.stages.decoder import tokens_summary
+
+    scale = _scale_for(sf_dir)
+    ds = read_tokens_dataset(scale=scale)
+
+    def _half(odd: bool):
+        def pick(batch):
+            m = None
+            for d in "13579":
+                e = pc.ends_with(batch["doc_id"], pattern=d)
+                m = e if m is None else pc.or_(m, e)
+            return batch.filter(m if odd else pc.invert(m))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    out = _tmp_out("app_rt")
+    encode_dataset(_half(False), out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
+    res = append_dataset(_half(True), out)
+    assert res.metrics.get("generation") == 1, res.metrics
+    return tokens_summary(decode_dataset(out))
+
+
 def _q_decode_point_lookup(sf_dir: str):
     """Selective decode (point lookup): encode the corpus, then decode
     ONLY the docs whose id ends in '00' through the two-phase pruned
@@ -815,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
         "tokens_roundtrip": _q_tokens_roundtrip,
+        "append_roundtrip": _q_append_roundtrip,
         "encode_metrics": _q_encode_metrics,
         "decode_point_lookup": _q_decode_point_lookup,
         "decode_ntok_range": _q_decode_ntok_range,
@@ -1168,6 +1207,8 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS fingerprint FROM documents"
         ),
         "tokens_roundtrip": tokens_summary_sql,
+        # append path must reproduce the identical full-corpus summary
+        "append_roundtrip": tokens_summary_sql,
         "decode_point_lookup": (
             "SELECT doc_id, n_tok, "
             "CAST(COALESCE(list_sum(list_transform(tokens, "
