@@ -80,6 +80,28 @@ def _q_codec_numeric_roundtrip(sf_dir: str):
     return int_column_roundtrip_groupby(ds, "l_partkey", "l_returnflag")
 
 
+def _q_codec_float_roundtrip(sf_dir: str):
+    """Lossless float-list codec (byte-plane transpose,
+    codecs/floats.py) over the embeddings table: encode the flattened
+    list<float> child buffer per batch, decode, and checksum per label
+    with the position-weighted FLOOR(x*1e6) integer sum — integral
+    doubles sum exactly, so DuckDB recomputes it bit-for-bit."""
+    from fsst_ray.pipelines.text_codec import float_list_roundtrip_groupby
+
+    return float_list_roundtrip_groupby(_read(sf_dir, "embeddings"), "embedding", "label")
+
+
+def _q_codec_decimal_roundtrip(sf_dir: str):
+    """Decimal-int float promotion (the ALP idea, codecs/floats.py)
+    over events.value (2-decimal doubles): the codec verifies bitwise
+    i/10^p reconstruction, stores ints through the existing int chunk
+    codecs (bitpack here, ~4x), and the grouped FLOOR(x*100) checksum
+    proves the round trip."""
+    from fsst_ray.pipelines.text_codec import float_column_roundtrip_groupby
+
+    return float_column_roundtrip_groupby(_read(sf_dir, "events"), "value", "event_type")
+
+
 def _q_dedup_exact(sf_dir: str):
     from fsst_ray.functions.dedup import exact_dedup
 
@@ -807,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "fsst_text_roundtrip": _q_fsst_text_roundtrip,
         "codec_numeric_roundtrip": _q_codec_numeric_roundtrip,
+        "codec_float_roundtrip": _q_codec_float_roundtrip,
+        "codec_decimal_roundtrip": _q_codec_decimal_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "word_stats": _q_word_stats,
@@ -892,6 +916,17 @@ def oracle_sql() -> dict[str, str]:
         "codec_numeric_roundtrip": (
             "SELECT l_returnflag, CAST(SUM(l_partkey) AS BIGINT) AS sum_l_partkey, "
             "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "codec_float_roundtrip": (
+            "SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n, "
+            "CAST(SUM(list_sum(list_transform(embedding, "
+            "(x, i) -> FLOOR(CAST(x AS DOUBLE) * 1000000) * i))) AS BIGINT) "
+            "AS checksum FROM embeddings GROUP BY label"
+        ),
+        "codec_decimal_roundtrip": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS checksum "
+            "FROM events GROUP BY event_type"
         ),
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "dedup_prefix": (

@@ -79,3 +79,100 @@ def int_column_roundtrip_groupby(ds, int_col: str, group_col: str):
             "n": pa.array(df["n"].astype("int64"), type=pa.int64()),
         }
     )
+
+
+def float_column_roundtrip_groupby(ds, float_col: str, group_col: str, scale: int = 100):
+    """Encode a float column through the lossless float chunk codec
+    (byte-plane / decimal-int auto mode, codecs/floats.py), decode it,
+    then aggregate an integer checksum — proving bit-exactness on a
+    real table. Checksum per group: SUM(FLOOR(x * scale)) as int64,
+    exactly recomputable in SQL (integral doubles sum exactly).
+
+    Returns rows (group_col, n, checksum) ordered by group.
+    """
+    from ..codecs.floats import decode_float_payload, encode_float_chunk
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        vals = np.ascontiguousarray(batch[float_col].to_numpy(zero_copy_only=False))
+        payload, _ = encode_float_chunk(vals)
+        decoded = decode_float_payload(payload)
+        assert decoded.tobytes() == vals.tobytes(), "float round-trip mismatch"
+        check = np.floor(decoded.astype(np.float64) * scale).astype(np.int64)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "checksum": pa.array(check, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(roundtrip, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n"), Sum("checksum", alias_name="checksum"))
+    )
+    df = out.to_pandas().sort_values(group_col).reset_index(drop=True)
+    return pa.table(
+        {
+            group_col: pa.array(df[group_col], type=pa.string()),
+            "n": pa.array(df["n"].astype("int64"), type=pa.int64()),
+            "checksum": pa.array(df["checksum"].astype("int64"), type=pa.int64()),
+        }
+    )
+
+
+def float_list_roundtrip_groupby(ds, list_col: str, group_col: str, scale: int = 1_000_000):
+    """Encode a list<float> column (flattened per batch, zero-copy list
+    child buffer) through the float chunk codec, decode, and aggregate a
+    position-weighted integer checksum per group:
+    SUM over elements of FLOOR(x * scale) * (1-based position) — the
+    same shape DuckDB's list_transform((x, i) -> ...) computes.
+
+    Returns rows (group_col, n, checksum) ordered by group.
+    """
+    from ..codecs.floats import decode_float_payload, encode_float_chunk
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        lists = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offsets = np.asarray(lists.offsets, dtype=np.int64)
+        flat = np.ascontiguousarray(
+            lists.values.to_numpy(zero_copy_only=False)[offsets[0] : offsets[-1]]
+        )
+        offsets = offsets - offsets[0]
+        payload, _ = encode_float_chunk(flat)
+        decoded = decode_float_payload(payload)
+        assert decoded.tobytes() == flat.tobytes(), "float list round-trip mismatch"
+        counts = np.diff(offsets)
+        pos = np.arange(len(decoded), dtype=np.int64) - np.repeat(offsets[:-1], counts) + 1
+        elem = np.floor(decoded.astype(np.float64) * scale).astype(np.int64) * pos
+        # reduceat needs indices < len(elem); trailing empty lists put
+        # offsets at len(elem) — clip them, their rows are zeroed below
+        idx = np.minimum(offsets[:-1], max(len(elem) - 1, 0))
+        row_sums = np.add.reduceat(elem, idx) if len(elem) else np.zeros(
+            len(counts), dtype=np.int64
+        )
+        row_sums = np.where(counts == 0, 0, row_sums)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "checksum": pa.array(row_sums, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(roundtrip, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n"), Sum("checksum", alias_name="checksum"))
+    )
+    df = out.to_pandas().sort_values(group_col).reset_index(drop=True)
+    return pa.table(
+        {
+            group_col: pa.array(df[group_col].astype("int64"), type=pa.int64()),
+            "n": pa.array(df["n"].astype("int64"), type=pa.int64()),
+            "checksum": pa.array(df["checksum"].astype("int64"), type=pa.int64()),
+        }
+    )
