@@ -315,6 +315,29 @@ def _q_minhash_exact_clusters(sf_dir: str):
     return minhash_dedup(_read(sf_dir, "documents"), jaccard_threshold=1.0)
 
 
+def _q_minhash_cc_clusters(sf_dir: str):
+    """`minhash_exact_clusters` with the driver union-find replaced by
+    distributed connected components (large-star/small-star over the
+    verified pair edge list — `graph.py`): the transitive-closure
+    shape that survives an edge list too big for the driver. Same
+    oracle as the union-find sibling, so the two paths are pinned
+    identical end-to-end."""
+    from fsst_ray.functions.graph import minhash_dedup_cc
+
+    return minhash_dedup_cc(_read(sf_dir, "documents"), jaccard_threshold=1.0)
+
+
+def _q_connected_components(sf_dir: str):
+    """Distributed connected components on a deterministic multi-hop
+    graph over the documents doc_ids (consecutive runs + skip links —
+    closures need several hops, so the oracle's recursive CTE actually
+    exercises transitivity). Labels = (node, component-min)."""
+    from fsst_ray.functions.graph import chain_edges, connected_components
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    return connected_components(chain_edges(docs))
+
+
 def _q_simhash_recall(sf_dir: str):
     """Recall of the approximate SimHash pair set (hamming <= 6)
     against its exact sibling (hamming 0 + word-set digest), computed
@@ -852,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_recall": _q_minhash_recall,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
+        "minhash_cc_clusters": _q_minhash_cc_clusters,
+        "connected_components": _q_connected_components,
         "simhash_recall": _q_simhash_recall,
         "simhash_exact_pairs": _q_simhash_exact_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1191,6 +1216,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id, m.cid AS cluster_id FROM s a "
             "JOIN (SELECT sh, MIN(doc_id) AS cid FROM s GROUP BY sh) m "
             "ON a.sh = m.sh"
+        ),
+        "minhash_cc_clusters": (
+            # identical to minhash_exact_clusters: shingle-set equality
+            # is an equivalence relation, so transitive closure over the
+            # exact pair set reproduces the same-set clusters — the CC
+            # path must land bit-identical to the union-find sibling
+            "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_sort(list_distinct("
+            "CASE WHEN len(ws) < 3 THEN [text] "
+            "ELSE list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh FROM w) "
+            "SELECT a.doc_id, m.cid AS cluster_id FROM s a "
+            "JOIN (SELECT sh, MIN(doc_id) AS cid FROM s GROUP BY sh) m "
+            "ON a.sh = m.sh"
+        ),
+        "connected_components": (
+            # min-label transitive closure over the deterministic
+            # chain+skip graph (same edge expressions as chain_edges)
+            "WITH RECURSIVE "
+            "e0 AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents "
+            "WHERE doc_id % 8 < 5 "
+            "UNION ALL "
+            "SELECT doc_id AS u, doc_id + 16 AS v FROM documents "
+            "WHERE doc_id % 64 = 0), "
+            "e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0), "
+            "n AS (SELECT DISTINCT u AS node FROM e), "
+            "r AS (SELECT node, node AS lab FROM n "
+            "UNION "
+            "SELECT e.u AS node, r.lab FROM e JOIN r ON r.node = e.v) "
+            "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id "
+            "FROM r GROUP BY node"
         ),
         "simhash_exact_pairs": (
             "WITH s AS (SELECT doc_id, "

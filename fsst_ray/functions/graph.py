@@ -1,0 +1,231 @@
+"""Distributed graph connected components over an edge-list Dataset.
+
+The dedup operators emit verified near-duplicate PAIRS; turning pairs
+into clusters is a transitive closure, which `minhash_dedup` today
+solves with a driver-side union-find (fine while the edge list is
+orders of magnitude smaller than the corpus, see dedup.py's module
+note). At 100 TB the edge list itself can be billions of rows, so this
+module provides the distributed alternative: alternating
+large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+Beyond", SoCC 2014). Each round is two groupby-shaped shuffles of the
+EDGE LIST ONLY (never the corpus), converges in O(log^2 n) rounds
+(O(log n) observed), and ends with every node holding an edge to its
+component's minimum node id — the same labels union-find produces.
+
+Scale notes (100 TB):
+- Per round: two `sort`-based group exchanges over (int64, int64)
+  edges + one bounded metadata collection (one summary row per block)
+  for the convergence signature. Nothing corpus-sized moves.
+- Partitioning assumption (documented per the custom-operator rule):
+  a node's incident edge group must fit in one worker's block — after
+  convergence the component root's degree equals the component size,
+  so the largest COMPONENT (not the graph) bounds per-group memory.
+  Dedup clusters are small in practice; a hash-to-min variant would
+  lift this if ever needed.
+- Group processing is vectorized (np.unique + slice emission) via the
+  same sorted-boundary streaming helper the dedup module uses — zero
+  per-edge Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fsst_ray.functions.dedup import _sorted_group_map_streaming, min_per_key
+
+_EDGE_SCHEMA = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+_EDGE_EMPTY = pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+
+def _canon_edges(doc_a: str, doc_b: str):
+    """Batch fn: arbitrary pair rows -> canonical (k=max, n=min) int64
+    edges, self-loops dropped."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch[doc_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[doc_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"k": pa.array(np.maximum(a, b)), "n": pa.array(np.minimum(a, b))}
+        )
+
+    return fn
+
+
+def _symmetrize(batch: pa.Table) -> pa.Table:
+    """Both orientations of every edge (large-star groups on each
+    endpoint)."""
+    k = batch["k"].to_numpy(zero_copy_only=False)
+    n = batch["n"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "k": pa.array(np.concatenate([k, n])),
+            "n": pa.array(np.concatenate([n, k])),
+        }
+    )
+
+
+def _star_group(large: bool, chunk: int = 1 << 20):
+    """Vectorized per-group star step. Group = one node u with its
+    (possibly duplicated) neighbor list; dedup with np.unique, then:
+
+    large-star:  m = min(neighbors + u); emit (v, m) for v > u
+    small-star:  neighbors all < u;  m = min(neighbors);
+                 emit (v, m) for v in neighbors + {u}, v != m
+
+    Emitted edges are always (bigger, smaller) — already canonical.
+    """
+
+    def gen(group: pa.Table):
+        u = int(group["k"][0].as_py())
+        vs = np.unique(group["n"].to_numpy(zero_copy_only=False))
+        if large:
+            m = min(int(vs[0]), u)
+            out = vs[np.searchsorted(vs, u, side="right") :]
+        else:
+            m = int(vs[0])
+            out = np.concatenate([vs[1:], np.array([u], dtype=np.int64)])
+        for s in range(0, len(out), chunk):
+            part = out[s : s + chunk]
+            yield pa.table(
+                {
+                    "k": pa.array(part.astype(np.int64)),
+                    "n": pa.array(np.full(len(part), m, dtype=np.int64)),
+                }
+            )
+
+    return gen
+
+
+def _star_round(edges, large: bool):
+    src = (
+        edges.map_batches(_symmetrize, batch_format="pyarrow") if large else edges
+    )
+    return _sorted_group_map_streaming(src, "k", _star_group(large), _EDGE_EMPTY)
+
+
+def _edge_sig(edges) -> tuple[int, int]:
+    """(count, order-insensitive hash-sum) of the edge multiset,
+    computed distributed; the driver collects ONE summary row per
+    block. Used only for fixpoint detection — at the fixpoint the
+    round output is the deduplicated star set, which is bit-stable
+    round over round, so consecutive equal signatures == converged."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (k << np.uint64(32)) ^ n
+        # splitmix64 finalizer — order-insensitive via wrapping sum
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "cnt": pa.array([len(k)], pa.int64()),
+                "hsum": pa.array([int(x.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
+
+    rows = edges.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow"
+    ).take_all()
+    cnt = sum(r["cnt"] for r in rows)
+    hsum = sum(r["hsum"] for r in rows) & ((1 << 64) - 1)
+    return cnt, hsum
+
+
+def connected_components(
+    pairs, doc_a: str = "doc_a", doc_b: str = "doc_b", max_rounds: int = 64
+):
+    """Labels Dataset (doc_id, cluster_id) for every node that appears
+    in `pairs`; cluster_id = the minimum node id of its component.
+    Nodes absent from `pairs` (singletons) are the caller's to add —
+    see `assign_components`.
+
+    Alternates large-star / small-star until the small-star output's
+    (count, hash-sum) signature repeats. Both steps preserve
+    connectivity and only ever point nodes at smaller ids, so the
+    fixpoint is the forest of single-level stars rooted at each
+    component's minimum (SoCC 2014, Thms 1-3).
+    """
+    edges = pairs.map_batches(_canon_edges(doc_a, doc_b), batch_format="pyarrow")
+    prev = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False).materialize()
+        sig = _edge_sig(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+    def leaf_and_root(batch: pa.Table) -> pa.Table:
+        # star edge (child, root) labels the child; every edge also
+        # re-asserts the root's identity row (deduped by min_per_key)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([k, n])),
+                "cluster_id": pa.array(np.concatenate([n, n])),
+            }
+        )
+
+    labels = edges.map_batches(leaf_and_root, batch_format="pyarrow")
+    return min_per_key(labels, "doc_id", "cluster_id")
+
+
+def assign_components(ds, pairs, max_rounds: int = 64):
+    """Full-corpus cluster assignment: (doc_id, cluster_id) for EVERY
+    row of `ds` — component-minimum for nodes in `pairs`, identity for
+    the rest. The distributed replacement for
+    `minhash_dedup`'s driver union-find + broadcast remap: the corpus
+    contributes only a 16-byte identity projection to one final
+    min-per-key exchange."""
+
+    def identity(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "cluster_id": pa.array(ids)})
+
+    labels = connected_components(pairs, max_rounds=max_rounds)
+    ident = ds.map_batches(identity, batch_format="pyarrow")
+    return min_per_key(ident.union(labels), "doc_id", "cluster_id")
+
+
+def minhash_dedup_cc(ds, jaccard_threshold: float = 0.7, max_rounds: int = 64):
+    """`minhash_dedup` with the union-find replaced by distributed
+    connected components — the shape that survives an edge list too
+    big for the driver. Same output contract: (doc_id, cluster_id),
+    cluster_id = min doc_id of the near-duplicate component."""
+    from fsst_ray.functions.dedup import minhash_pairs
+
+    return assign_components(
+        ds, minhash_pairs(ds, jaccard_threshold), max_rounds=max_rounds
+    )
+
+
+def chain_edges(ds, run_mod: int = 8, run_keep: int = 5, skip_mod: int = 64,
+                skip_len: int = 16):
+    """Deterministic multi-hop test graph over a doc_id column:
+    consecutive runs (d, d+1) when d % run_mod < run_keep, plus skip
+    links (d, d+skip_len) when d % skip_mod == 0 — components whose
+    closure needs several hops, SQL-reproducible for the oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        runs = d[d % run_mod < run_keep]
+        skips = d[d % skip_mod == 0]
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate([runs, skips])),
+                "doc_b": pa.array(
+                    np.concatenate([runs + 1, skips + skip_len])
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

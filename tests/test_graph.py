@@ -1,0 +1,152 @@
+"""Distributed connected components (large-star/small-star): fixpoint
+labels must equal a reference union-find on every graph shape that
+stresses the algorithm — long paths (worst-case diameter), hub stars
+(hot groups), random graphs, and the minhash integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _uf_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _pairs_ds(edges: list[tuple[int, int]]):
+    import ray.data as rd
+
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    return rd.from_arrow(pa.table({"doc_a": a, "doc_b": b}))
+
+
+def _cc_labels(edges, **kw) -> dict[int, int]:
+    from fsst_ray.functions.graph import connected_components
+
+    out = connected_components(_pairs_ds(edges), **kw).to_pandas()
+    assert out["doc_id"].is_unique
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(0, 1)],
+        [(5, 3), (3, 5), (9, 9), (2, 7)],  # dupes + self-loop + reversal
+        [(i, i + 1) for i in range(200)],  # 201-node path, diameter 200
+        [(0, i) for i in range(1, 300)],  # hub star, hot group
+        [(i + 1, 0) for i in range(299)],  # reversed hub star
+        [(2 * i, 2 * i + 2) for i in range(50)]
+        + [(2 * i + 1, 2 * i + 3) for i in range(50)],  # two interleaved paths
+    ],
+    ids=["single", "dupes", "path200", "star", "rstar", "evens_odds"],
+)
+def test_cc_matches_union_find(edges, ray_session):
+    want = _uf_labels(edges)
+    want = {k: v for k, v in want.items() if True}
+    got = _cc_labels(edges)
+    # union-find keeps self-loop-only nodes; CC drops self-loops — align
+    nodes = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+    assert got == {n: want[n] for n in nodes}
+
+
+def test_cc_random_graphs(ray_session):
+    rng = np.random.default_rng(1234)
+    for trial in range(3):
+        n = 400
+        m = int(rng.integers(100, 600))
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        ]
+        want = _uf_labels([e for e in edges if e[0] != e[1]])
+        got = _cc_labels(edges)
+        assert got == want, f"trial {trial}"
+
+
+def test_cc_path_converges_in_log_rounds(ray_session):
+    # a 256-node path must close in O(log n) star rounds, not O(n)
+    edges = [(i, i + 1) for i in range(255)]
+    got = _cc_labels(edges, max_rounds=20)
+    assert set(got.values()) == {0}
+    assert len(got) == 256
+
+
+def test_assign_components_covers_singletons(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.graph import assign_components
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(10), pa.int64())}))
+    out = assign_components(docs, _pairs_ds([(3, 7), (7, 9)])).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    want = {i: i for i in range(10)} | {7: 3, 9: 3}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(40):
+        words = [vocab[j] for j in rng.integers(0, 200, size=60)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    base0 = rows[0]["text"].split(" ")
+    base1 = rows[1]["text"].split(" ")
+    rows.append({"doc_id": 100, "text": " ".join(base0[:-1] + ["zzz"])})
+    rows.append({"doc_id": 101, "text": " ".join(base0)})
+    rows.append({"doc_id": 102, "text": " ".join(base1[:-2] + ["yyy", "xxx"])})
+    table = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    return rd.from_arrow(table)
+
+
+def test_minhash_dedup_cc_matches_union_find_path(ray_session, planted_docs):
+    """The CC-backed minhash dedup must produce the identical label
+    table to the driver union-find path on the planted corpus."""
+    from fsst_ray.functions.dedup import minhash_dedup
+    from fsst_ray.functions.graph import minhash_dedup_cc
+
+    want = (
+        minhash_dedup(planted_docs, jaccard_threshold=0.6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        minhash_dedup_cc(planted_docs, jaccard_threshold=0.6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_chain_edges_deterministic(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.graph import chain_edges
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(100), pa.int64())}))
+    out = chain_edges(docs).to_pandas()
+    runs = {(d, d + 1) for d in range(100) if d % 8 < 5}
+    skips = {(d, d + 16) for d in range(100) if d % 64 == 0}
+    assert set(zip(out["doc_a"], out["doc_b"])) == runs | skips
