@@ -596,6 +596,35 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(_read(sf_dir, "documents"), eval_mod=97, min_hits=1)
 
 
+def _q_blocklist_filter(sf_dir: str):
+    """Banned-document anti-join with Bloom pushdown: the blocklist
+    (content fingerprints of every 13th doc) builds a broadcast Bloom
+    bitmap; only Bloom-positive candidates enter one blocklist-sized
+    exact-verify exchange; the verified drop-list broadcasts back for a
+    map-side filter — the corpus never shuffles. Planted exact copies
+    (doc_id % 7) make the blocklist catch non-original rows too
+    (copies of docs with doc_id % 91 == 0)."""
+    import pyarrow as _pa
+
+    from fsst_ray.functions.curate import blocklist_filter
+    from fsst_ray.functions.dedup import plant_dup_docs
+    from fsst_ray.functions.textstats import fingerprint_batch
+
+    corpus = plant_dup_docs(_read(sf_dir, "documents"))
+
+    def block_fps(batch):
+        import numpy as _np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.take(_pa.array(_np.flatnonzero(ids % 13 == 0)))
+        return _pa.table({"fp": fingerprint_batch(sub)["fingerprint"]})
+
+    blocklist = _read(sf_dir, "documents").map_batches(
+        block_fps, batch_format="pyarrow"
+    )
+    return blocklist_filter(corpus, blocklist)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling (corpus re-mixing): map-side
     hash-threshold filter, zero shuffle, nested samples across rate
@@ -897,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
+        "blocklist_filter": _q_blocklist_filter,
         "stratified_sample": _q_stratified_sample,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -1289,6 +1319,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_intersect(s.sh, ev.esh)) AS BIGINT) AS n_hits, "
             "len(list_intersect(s.sh, ev.esh)) < 1 AS keep "
             "FROM s, ev WHERE s.doc_id % 97 <> 0"
+        ),
+        "blocklist_filter": (
+            # anti-join on the content fingerprint: survivors of the
+            # planted corpus whose md5 fingerprint is not blocklisted
+            "WITH d AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 7 = 0), "
+            "b AS (SELECT DISTINCT md5_number_upper(text) & 9223372036854775807 "
+            "AS fp FROM documents WHERE doc_id % 13 = 0) "
+            "SELECT d.doc_id FROM d WHERE "
+            "(md5_number_upper(d.text) & 9223372036854775807) "
+            "NOT IN (SELECT fp FROM b)"
         ),
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "

@@ -344,3 +344,139 @@ def decontaminate(ds, eval_mod: int = 97, min_hits: int = 1):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------- Bloom-pushdown blocklist anti-join ----------------
+
+
+def _bloom_mix(fp: np.ndarray, salt: int) -> np.ndarray:
+    """Second independent 64-bit mix for double hashing."""
+    return _murmur64(fp ^ np.uint64(salt))
+
+
+def _bloom_probes(fp: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(n_hashes, n) bit indices via double hashing h1 + i*h2."""
+    h1 = _murmur64(fp.astype(np.uint64))
+    h2 = _bloom_mix(fp.astype(np.uint64), 0x9E3779B97F4A7C15) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)).astype(
+            np.int64
+        )
+
+
+def build_bloom(fps_ds, key: str = "fp", n_bits: int = 1 << 17, n_hashes: int = 7):
+    """Bloom bitmap over a fingerprint Dataset, built distributed: one
+    m/8-byte bitmap row per block, OR-folded on the driver (bounded by
+    block count x bitmap size, never by row count). Deterministic."""
+
+    def block_bits(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        fp = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(fp):
+            idx = _bloom_probes(fp, n_bits, n_hashes).ravel()
+            np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in fps_ds.map_batches(
+        block_bits, batch_size=None, batch_format="pyarrow"
+    ).take_all():
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def _bloom_test(bits: np.ndarray, fp: np.ndarray, n_hashes: int) -> np.ndarray:
+    """Vectorized membership test: True = possibly present."""
+    if len(fp) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = _bloom_probes(fp, len(bits) * 8, n_hashes)
+    hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return hit.all(axis=0).astype(bool)
+
+
+def blocklist_filter(ds, blocklist_fps, n_bits: int = 1 << 17, n_hashes: int = 7):
+    """Remove corpus documents whose content fingerprint appears in a
+    blocklist — the "banned documents" anti-join, shaped so the CORPUS
+    NEVER SHUFFLES:
+
+    1. the blocklist's Bloom bitmap (n_bits/8 bytes, built distributed)
+       broadcasts via ray.put; a fingerprint+Bloom pass over the corpus
+       emits only Bloom-POSITIVE candidates (true matches + ~0.1% false
+       positives at the defaults);
+    2. candidates and blocklist fingerprints meet in ONE exchange sized
+       by the blocklist, where an exact sorted-group test yields the
+       verified drop-list (false positives die here, so the result is
+       exactly the anti-join, Bloom or not);
+    3. the drop-list (bounded by |blocklist ∩ corpus|) broadcasts back
+       and a map-side doc_id filter emits survivors.
+
+    At 100 TB the fingerprint column would be persisted at ingest; here
+    pass 1 computes it with the vectorized DuckDB md5 batch kernel.
+    Returns the surviving (doc_id) rows."""
+    import ray
+
+    from .textstats import fingerprint_batch
+
+    bloom_ref = ray.put(build_bloom(blocklist_fps, n_bits=n_bits, n_hashes=n_hashes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        fps = fingerprint_batch(batch)
+        fp = fps["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _bloom_test(ray.get(bloom_ref), fp, n_hashes)
+        sub = fps.take(pa.array(np.flatnonzero(keep)))
+        return pa.table(
+            {
+                "fp": sub["fingerprint"],
+                "doc_id": sub["doc_id"],
+                "is_block": pa.array(
+                    np.zeros(sub.num_rows, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def block_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "fp": batch["fp"],
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "is_block": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def verified_drops(block: pa.Table) -> pa.Table:
+        # sorted by fp: per-group any(is_block) via reduceat, then emit
+        # the candidate doc_ids of flagged groups
+        fp = block["fp"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        isb = block["is_block"].to_numpy(zero_copy_only=False)
+        if len(fp) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.flatnonzero(fp[1:] != fp[:-1]) + 1])
+        grp = np.cumsum(np.concatenate([[False], fp[1:] != fp[:-1]]))
+        has_block = np.maximum.reduceat(isb, starts)
+        drop = (has_block[grp] == 1) & (isb == 0)
+        return pa.table({"doc_id": pa.array(ids[drop].astype(np.int64))})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    tagged = cand.union(blocklist_fps.map_batches(block_rows, batch_format="pyarrow"))
+    drops = tagged.sort("fp").map_batches(
+        verified_drops, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # bounded by |blocklist ∩ corpus| + Bloom false positives that share
+    # a fingerprint with a blocked doc (i.e. none) — blocklist-sized
+    drop_ids = np.unique(
+        np.array([r["doc_id"] for r in drops.take_all()], dtype=np.int64)
+    )
+    drop_ref = ray.put(drop_ids)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = ray.get(drop_ref)
+        pos = np.searchsorted(dl, ids)
+        pos = np.clip(pos, 0, max(len(dl) - 1, 0))
+        bad = (dl[pos] == ids) if len(dl) else np.zeros(len(ids), dtype=bool)
+        return pa.table({"doc_id": pa.array(ids[~bad])})
+
+    return ds.map_batches(survivors, batch_format="pyarrow")

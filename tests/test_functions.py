@@ -918,3 +918,70 @@ def test_min_per_key_vectorized_reducer(ray_session):
     assert list(out["doc_id"]) == [1, 3, 9]
     assert list(out["v"]) == [10, 30, 90]
     assert list(out["n"]) == [2, 3, 1]
+
+
+# ---------------- Bloom blocklist anti-join ----------------
+
+
+def test_bloom_no_false_negatives_and_prunes(ray_session):
+    from fsst_ray.functions.curate import _bloom_test, build_bloom
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    members = rng.integers(0, 1 << 62, 500, dtype=np.int64)
+    others = rng.integers(0, 1 << 62, 20000, dtype=np.int64)
+    others = others[~np.isin(others, members)]
+    bits = build_bloom(
+        rd.from_arrow(pa.table({"fp": pa.array(members)})), n_bits=1 << 16
+    )
+    assert _bloom_test(bits, members.astype(np.uint64), 7).all()  # no FN ever
+    fp_rate = _bloom_test(bits, others.astype(np.uint64), 7).mean()
+    assert fp_rate < 0.01, fp_rate  # pruning engages: ~0.1% expected
+
+
+def test_blocklist_filter_exact_anti_join(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import blocklist_filter
+    from fsst_ray.functions.textstats import fingerprint_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(
+                # ids 0..99 unique text; 100..199 duplicate 0..99's text
+                [f"doc body {i % 100} lorem" for i in range(200)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs)
+
+    def blk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.take(pa.array(np.flatnonzero(ids % 10 == 3)))
+        return pa.table({"fp": fingerprint_batch(sub)["fingerprint"]})
+
+    out = blocklist_filter(ds, ds.map_batches(blk, batch_format="pyarrow"))
+    got = sorted(out.to_pandas()["doc_id"])
+    # blocked fingerprints cover ids =3 mod 10 AND their text twins
+    want = sorted(i for i in range(200) if i % 10 != 3)
+    assert got == want
+
+
+def test_blocklist_filter_empty_blocklist(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import blocklist_filter
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array([f"t {i}" for i in range(20)]),
+            }
+        )
+    )
+    empty = rd.from_arrow(pa.table({"fp": pa.array([], pa.int64())}))
+    got = sorted(blocklist_filter(ds, empty).to_pandas()["doc_id"])
+    assert got == list(range(20))
