@@ -279,6 +279,19 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(plant_twins(_read(sf_dir, "embeddings")), threshold=0.98)
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding column (the 4x
+    vector-storage codec): per-dim min/max via a distributed aggregate
+    broadcast once, codes bit-identical to the SQL oracle's double
+    arithmetic (floor(q+0.5) on both engines). The int checksums
+    (code_sum, position-weighted code_wsum) pin every code byte."""
+    from fsst_ray.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read(sf_dir, "embeddings")).select_columns(
+        ["vec_id", "code_sum", "code_wsum"]
+    )
+
+
 def _q_minhash_recall(sf_dir: str):
     """Recall of the approximate MinHash-LSH pair set (threshold 0.7)
     against its exact sibling (threshold 1.0 = identical shingle sets),
@@ -902,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "ann_ivf_disk": _q_ann_ivf_disk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_quantize": _q_embedding_quantize,
         "minhash_recall": _q_minhash_recall,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
         "minhash_cc_clusters": _q_minhash_cc_clusters,
@@ -1206,6 +1220,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM aug a, aug b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98"
+        ),
+        "embedding_quantize": (
+            # same double arithmetic as the engine: CAST to DOUBLE,
+            # scale=(mx-mn)/255 first, floor(q+0.5), clip — bit-identical
+            "WITH dims AS (SELECT CAST(d AS BIGINT) AS d FROM range(1, 65) t(d)), "
+            "s AS (SELECT dims.d AS d, "
+            "MIN(CAST(embedding[dims.d] AS DOUBLE)) AS mn, "
+            "MAX(CAST(embedding[dims.d] AS DOUBLE)) AS mx "
+            "FROM embeddings, dims GROUP BY dims.d), "
+            "c AS (SELECT e.vec_id, s.d, "
+            "CASE WHEN s.mx > s.mn THEN "
+            "LEAST(255, GREATEST(0, CAST(FLOOR("
+            "(CAST(e.embedding[s.d] AS DOUBLE) - s.mn) / "
+            "((s.mx - s.mn) / 255.0) + 0.5) AS BIGINT))) "
+            "ELSE 0 END AS code FROM embeddings e, s) "
+            "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
+            "CAST(SUM(d * code) AS BIGINT) AS code_wsum FROM c GROUP BY vec_id"
         ),
         "minhash_recall": (
             # exact sibling = identical distinct word-3-shingle sets over

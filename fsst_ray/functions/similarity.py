@@ -579,3 +579,89 @@ def _embedding_matrix_named(batch: pa.Table, id_col: str, emb_col: str):
     mat = values.reshape(-1, dim) if dim else values.reshape(0, 0)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     return mat, ids
+
+
+# ---------------- int8 scalar quantization (storage codec) ----------------
+
+
+def _minmax_stats(ds) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the corpus: one summary row per
+    block (two dim-sized float64 lists), folded on the driver —
+    bounded by block count, never by row count."""
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        mat, _ = _embedding_matrix(batch)
+        if mat.size == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.list_(pa.float64())),
+                 "mx": pa.array([], pa.list_(pa.float64()))}
+            )
+        return pa.table(
+            {
+                "mn": pa.array([mat.min(axis=0).tolist()], pa.list_(pa.float64())),
+                "mx": pa.array([mat.max(axis=0).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(
+        block_stats, batch_size=None, batch_format="pyarrow"
+    ).take_all()
+    mns = np.array([r["mn"] for r in rows], dtype=np.float64)
+    mxs = np.array([r["mx"] for r in rows], dtype=np.float64)
+    return mns.min(axis=0), mxs.max(axis=0)
+
+
+def quantize_embeddings(ds):
+    """Int8 scalar quantization of the embedding column — the 4x
+    storage codec for vector corpora: per-dimension (min, max) from a
+    distributed aggregate broadcast via ray.put, then each batch maps
+    x -> clip(floor((x - mn)/scale + 0.5), 0, 255) with
+    scale = (mx - mn)/255. All arithmetic in float64 with the exact
+    operation order the SQL oracle uses (CAST to DOUBLE, scale
+    computed first, floor(q + 0.5)), so the codes are bit-identical
+    cross-engine — floor(+0.5) sidesteps the numpy half-even vs SQL
+    half-away rounding mismatch. Returns
+    (vec_id, codes: binary, code_sum, code_wsum); the int checksums
+    make the query hashable without float columns."""
+    import ray
+
+    mn, mx = _minmax_stats(ds)
+    scale = (mx - mn) / 255.0
+    ref = ray.put((mn, scale))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat, ids = _embedding_matrix(batch)
+        b_mn, b_scale = ray.get(ref)
+        if mat.size == 0:
+            codes = np.zeros((len(ids), 0), dtype=np.uint8)
+        else:
+            safe = np.where(b_scale > 0, b_scale, 1.0)
+            q = np.floor((mat - b_mn) / safe + 0.5)
+            q = np.where(b_scale > 0, q, 0.0)
+            codes = np.clip(q, 0, 255).astype(np.uint8)
+        w = np.arange(1, codes.shape[1] + 1, dtype=np.int64)
+        code_sum = codes.sum(axis=1, dtype=np.int64)
+        code_wsum = (codes.astype(np.int64) * w).sum(axis=1)
+        if codes.shape[1] == 0:
+            codes = np.zeros((len(ids), 1), dtype=np.uint8)
+        code_col = pa.Array.from_buffers(
+            pa.binary(codes.shape[1]),
+            len(ids),
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())],
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "codes": code_col,
+                "code_sum": pa.array(code_sum),
+                "code_wsum": pa.array(code_wsum),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def dequantize_codes(codes: np.ndarray, mn: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Reconstruction: x' = mn + code * scale (float64). Max abs error
+    is scale/2 per dimension by construction (pytest-pinned)."""
+    return mn + codes.astype(np.float64) * scale

@@ -985,3 +985,40 @@ def test_blocklist_filter_empty_blocklist(ray_session):
     empty = rd.from_arrow(pa.table({"fp": pa.array([], pa.int64())}))
     got = sorted(blocklist_filter(ds, empty).to_pandas()["doc_id"])
     assert got == list(range(20))
+
+
+def test_quantize_embeddings_error_bound_and_layout(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.similarity import (
+        _minmax_stats,
+        dequantize_codes,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 16
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+    codes = np.frombuffer(b"".join(out["codes"]), dtype=np.uint8).reshape(n, dim)
+    mn, mx = _minmax_stats(ds)
+    scale = (mx - mn) / 255.0
+    # reconstruction error <= scale/2 per dim (the int8 quantizer bound)
+    err = np.abs(dequantize_codes(codes, mn, scale) - mat.astype(np.float64))
+    assert (err <= scale / 2 + 1e-12).all()
+    # checksums match the code bytes
+    assert (out["code_sum"].to_numpy() == codes.sum(axis=1)).all()
+    w = np.arange(1, dim + 1)
+    assert (out["code_wsum"].to_numpy() == (codes.astype(np.int64) * w).sum(axis=1)).all()
+    # extremes hit the rails
+    assert codes.min() == 0 and codes.max() == 255
