@@ -292,6 +292,41 @@ def _q_embedding_quantize(sf_dir: str):
     )
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """Cross-corpus fuzzy decontamination: training docs near-duplicate
+    to any eval doc (eval = originals with doc_id % 17 == 0; train =
+    everything else + planted exact copies). At threshold 1.0 the
+    match predicate is identical-shingle-set (digest-checked), which
+    SQL recomputes exactly; the planted copies of docs with
+    doc_id % 119 == 0 are the non-vacuous flags. Only cross-side pairs
+    ever materialize — the train side shuffles its banded projection,
+    never text."""
+    import pyarrow as _pa
+
+    from fsst_ray.functions.dedup import fuzzy_decontaminate, plant_dup_docs
+
+    def is_eval(batch):
+        import numpy as _np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.take(
+            _pa.array(_np.flatnonzero((ids % 17 == 0) & (ids < 1_000_000)))
+        )
+
+    def is_train(batch):
+        import numpy as _np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.take(
+            _pa.array(_np.flatnonzero(~((ids % 17 == 0) & (ids < 1_000_000))))
+        )
+
+    docs = _read(sf_dir, "documents")
+    eval_ds = docs.map_batches(is_eval, batch_format="pyarrow")
+    train_ds = plant_dup_docs(docs).map_batches(is_train, batch_format="pyarrow")
+    return fuzzy_decontaminate(train_ds, eval_ds, jaccard_threshold=1.0)
+
+
 def _q_minhash_recall(sf_dir: str):
     """Recall of the approximate MinHash-LSH pair set (threshold 0.7)
     against its exact sibling (threshold 1.0 = identical shingle sets),
@@ -916,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_disk": _q_ann_ivf_disk,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_quantize": _q_embedding_quantize,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "minhash_recall": _q_minhash_recall,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
         "minhash_cc_clusters": _q_minhash_cc_clusters,
@@ -1237,6 +1273,23 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END AS code FROM embeddings e, s) "
             "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
             "CAST(SUM(d * code) AS BIGINT) AS code_wsum FROM c GROUP BY vec_id"
+        ),
+        "fuzzy_decontaminate": (
+            # threshold 1.0 cross-corpus match == identical distinct
+            # word-3-shingle sets between a train doc and any eval doc
+            "WITH d AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0), "
+            "w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM d), "
+            "s AS (SELECT doc_id, list_sort(list_distinct("
+            "CASE WHEN len(ws) < 3 THEN [text] "
+            "ELSE list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh FROM w), "
+            "ev AS (SELECT DISTINCT sh FROM s "
+            "WHERE doc_id % 17 = 0 AND doc_id < 1000000), "
+            "tr AS (SELECT doc_id, sh FROM s "
+            "WHERE NOT (doc_id % 17 = 0 AND doc_id < 1000000)) "
+            "SELECT tr.doc_id, "
+            "NOT EXISTS(SELECT 1 FROM ev WHERE ev.sh = tr.sh) AS keep FROM tr"
         ),
         "minhash_recall": (
             # exact sibling = identical distinct word-3-shingle sets over

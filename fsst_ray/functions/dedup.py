@@ -885,3 +885,131 @@ def ngram_jaccard_pairs(
         .groupby("part")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# ------------- cross-corpus fuzzy decontamination (minhash) -------------
+
+
+def _tag_side(side: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array(np.full(batch.num_rows, side, dtype=np.int8), pa.int8())
+        )
+
+    return fn
+
+
+def _bucket_cross_pairs(threshold: float):
+    """In-bucket verification restricted to CROSS-SIDE pairs (side 0 =
+    train, side 1 = eval): same estimated-Jaccard test, digest check at
+    threshold 1.0, and lowest-matching-band single emission as
+    `_bucket_verified_pairs` — but train×train and eval×eval pairs are
+    never materialized, which is what makes this viable when the train
+    side is the 100-TB corpus. Emits (doc_a=train id, doc_b=eval id)."""
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+
+    def fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+        )
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sides = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # first occurrence per (side, doc_id) — ids may collide across sides
+        _, first_idx = np.unique(doc_ids * 2 + sides, return_index=True)
+        if len(first_idx) < 2:
+            return empty
+        band = int(group["band"][0].as_py())
+        g = group.take(pa.array(np.sort(first_idx)))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sd))
+        ids, sd = ids[order], sd[order]
+        if sd[0] == sd[-1]:  # single-sided bucket: no cross pairs
+            return empty
+        sigs = _sig_matrix(g["sig"].combine_chunks() if isinstance(g["sig"], pa.ChunkedArray) else g["sig"])[order]
+        n = len(ids)
+        digests = sigs[:, _MINHASH_PERMS]
+        sigs = sigs[:, :_MINHASH_PERMS]
+        bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
+        out_a, out_b = [], []
+        for ia, ib in _pair_blocks(n):
+            keep = sd[ia] != sd[ib]
+            if not keep.any():
+                continue
+            agree = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep &= agree >= threshold
+            if threshold >= 1.0:
+                keep &= digests[ia] == digests[ib]
+            if band > 0 and keep.any():
+                earlier = (
+                    (bands[ia[keep], :band] == bands[ib[keep], :band])
+                    .all(axis=2)
+                    .any(axis=1)
+                )
+                kidx = np.flatnonzero(keep)
+                keep[kidx[earlier]] = False
+            # orient: doc_a = train (side 0), doc_b = eval (side 1)
+            a_is_train = sd[ia[keep]] == 0
+            ka, kb = ia[keep], ib[keep]
+            out_a.append(np.where(a_is_train, ids[ka], ids[kb]))
+            out_b.append(np.where(a_is_train, ids[kb], ids[ka]))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(cat(out_a).astype(np.int64), type=pa.int64()),
+                "doc_b": pa.array(cat(out_b).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def cross_minhash_pairs(train_ds, eval_ds, jaccard_threshold: float = 0.7):
+    """Near-duplicate pairs BETWEEN two corpora (train doc, eval doc):
+    both sides band into the same LSH bucket space with a side tag;
+    verification emits cross-side pairs only. The eval side is
+    benchmark-sized, so buckets stay dominated by their train rows and
+    no train×train pair ever materializes."""
+    bands_t = train_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    bands_e = eval_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    tagged = bands_t.map_batches(_tag_side(0), batch_format="pyarrow").union(
+        bands_e.map_batches(_tag_side(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("bucket").map_groups(
+        _bucket_cross_pairs(jaccard_threshold), batch_format="pyarrow"
+    )
+
+
+def fuzzy_decontaminate(train_ds, eval_ds, jaccard_threshold: float = 0.7):
+    """Fuzzy benchmark decontamination: flag training docs
+    NEAR-duplicate (minhash-estimated Jaccard >= threshold) to any
+    eval doc — the fuzzy sibling of `curate.decontaminate`'s exact
+    shingle semi-join. The matched-train-id set is bounded by the
+    (tiny) eval side's neighborhood, so it broadcasts back for a
+    map-side flag: the train corpus shuffles only its banded
+    (bucket, doc_id, sig) projection, never its text. Returns
+    (doc_id, keep) for every train doc."""
+    import ray
+
+    pairs = cross_minhash_pairs(train_ds, eval_ds, jaccard_threshold)
+    matched = np.unique(
+        np.array(
+            [r["doc_a"] for r in pairs.select_columns(["doc_a"]).take_all()],
+            dtype=np.int64,
+        )
+    )
+    ref = ray.put(matched)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ray.get(ref)
+        pos = np.clip(np.searchsorted(m, ids), 0, max(len(m) - 1, 0))
+        hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), dtype=bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "keep": pa.array(~hit, type=pa.bool_()),
+            }
+        )
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")

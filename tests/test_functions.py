@@ -1022,3 +1022,42 @@ def test_quantize_embeddings_error_bound_and_layout(ray_session):
     assert (out["code_wsum"].to_numpy() == (codes.astype(np.int64) * w).sum(axis=1)).all()
     # extremes hit the rails
     assert codes.min() == 0 and codes.max() == 255
+
+
+def test_fuzzy_decontaminate_cross_side_only(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import cross_minhash_pairs, fuzzy_decontaminate
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    mk = lambda: " ".join(vocab[j] for j in rng.integers(0, 300, size=80))
+    train_rows, eval_rows = [], []
+    for i in range(30):
+        train_rows.append({"doc_id": i, "text": mk()})
+    for i in range(5):
+        eval_rows.append({"doc_id": i, "text": mk()})  # ids COLLIDE with train
+    # near-dup of eval doc 2 planted in train as doc 20 (tiny edit)
+    ew = eval_rows[2]["text"].split(" ")
+    train_rows[20]["text"] = " ".join(ew[:-1] + ["zz"])
+    # exact dup of eval doc 3 planted in train as doc 21
+    train_rows[21]["text"] = eval_rows[3]["text"]
+    # two train docs that are near-dups of EACH OTHER but of no eval doc
+    train_rows[25]["text"] = train_rows[24]["text"]
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    train = rd.from_arrow(pa.Table.from_pylist(train_rows, schema=schema))
+    ev = rd.from_arrow(pa.Table.from_pylist(eval_rows, schema=schema))
+
+    pairs = cross_minhash_pairs(train, ev, jaccard_threshold=0.6).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (20, 2) in got and (21, 3) in got
+    # train x train near-dups (24, 25) never emitted; doc_a is always train-side
+    assert all(b in range(5) for _, b in got)
+    assert not any({a, b} == {24, 25} for a, b in got)
+
+    out = fuzzy_decontaminate(train, ev, jaccard_threshold=0.6).to_pandas()
+    flags = dict(zip(out["doc_id"], out["keep"]))
+    assert len(flags) == 30
+    assert flags[20] is False or flags[20] == False  # noqa: E712
+    assert not flags[21]
+    assert flags[24] and flags[25]  # in-train dups are NOT contamination

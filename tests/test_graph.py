@@ -57,7 +57,6 @@ def _cc_labels(edges, **kw) -> dict[int, int]:
 )
 def test_cc_matches_union_find(edges, ray_session):
     want = _uf_labels(edges)
-    want = {k: v for k, v in want.items() if True}
     got = _cc_labels(edges)
     # union-find keeps self-loop-only nodes; CC drops self-loops — align
     nodes = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
@@ -150,3 +149,17 @@ def test_chain_edges_deterministic(ray_session):
     runs = {(d, d + 1) for d in range(100) if d % 8 < 5}
     skips = {(d, d + 16) for d in range(100) if d % 64 == 0}
     assert set(zip(out["doc_a"], out["doc_b"])) == runs | skips
+
+
+def test_cc_empty_edge_list(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.graph import assign_components, connected_components
+
+    empty = rd.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    )
+    assert connected_components(empty).count() == 0
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64())}))
+    out = assign_components(docs, empty).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == {i: i for i in range(5)}
