@@ -327,6 +327,16 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     return fuzzy_decontaminate(train_ds, eval_ds, jaccard_threshold=1.0)
 
 
+def _q_consistent_sample(sf_dir: str):
+    """Fixed-size-k deterministic sample: globally smallest k
+    murmur64(doc_id) values (bit-exact DuckDB hash()), merged through
+    the bounded two-level candidate shape — no corpus sort, driver
+    holds <= k x 16 rows."""
+    from fsst_ray.functions.curate import consistent_sample
+
+    return consistent_sample(_read(sf_dir, "documents"), k=100)
+
+
 def _q_minhash_recall(sf_dir: str):
     """Recall of the approximate MinHash-LSH pair set (threshold 0.7)
     against its exact sibling (threshold 1.0 = identical shingle sets),
@@ -952,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_quantize": _q_embedding_quantize,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "consistent_sample": _q_consistent_sample,
         "minhash_recall": _q_minhash_recall,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
         "minhash_cc_clusters": _q_minhash_cc_clusters,
@@ -1273,6 +1284,10 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END AS code FROM embeddings e, s) "
             "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
             "CAST(SUM(d * code) AS BIGINT) AS code_wsum FROM c GROUP BY vec_id"
+        ),
+        "consistent_sample": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY hash(doc_id), doc_id LIMIT 100"
         ),
         "fuzzy_decontaminate": (
             # threshold 1.0 cross-corpus match == identical distinct

@@ -480,3 +480,60 @@ def blocklist_filter(ds, blocklist_fps, n_bits: int = 1 << 17, n_hashes: int = 7
         return pa.table({"doc_id": pa.array(ids[~bad])})
 
     return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+def consistent_sample(ds, k: int = 100, merge_partitions: int = 16) -> pa.Table:
+    """Deterministic fixed-size-k uniform sample: the k docs with the
+    globally SMALLEST murmur64(doc_id) (ties broken by doc_id) — i.e.
+    consistent / bottom-k sampling. Unlike a rate sample the budget is
+    fixed regardless of corpus size, the result is stable under
+    reordering/repartition/rerun, and any two samples with k1 <= k2
+    nest. Shape mirrors `top_quality_docs`: local bottom-k per batch ->
+    bounded repartition -> per-block bottom-k -> driver merge of
+    <= k x merge_partitions rows; the corpus never sorts. Hash is
+    bit-exact DuckDB `hash(doc_id)`, so the sample is ORDER BY
+    hash(doc_id), doc_id LIMIT k on both engines."""
+
+    def bottomk(ids: np.ndarray, h: np.ndarray) -> pa.Table:
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "h": pa.array(h[order].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 view keeps lexsort order: DuckDB hash() is uint64 but the
+        # comparison must match, so order on the uint64 value
+        h = _murmur64(ids)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "h": pa.array(h[order].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "h": pa.array(h[order].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(merge_partitions)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    ids = np.array([r["doc_id"] for r in cand], dtype=np.int64)
+    h = np.array([r["h"] for r in cand], dtype=np.int64).view(np.uint64)
+    order = np.lexsort((ids, h))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], type=pa.int64())})

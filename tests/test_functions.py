@@ -1061,3 +1061,19 @@ def test_fuzzy_decontaminate_cross_side_only(ray_session):
     assert flags[20] is False or flags[20] == False  # noqa: E712
     assert not flags[21]
     assert flags[24] and flags[25]  # in-train dups are NOT contamination
+
+
+def test_consistent_sample_nests_and_is_stable(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import consistent_sample
+
+    docs = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    ds = rd.from_arrow(docs)
+    s50 = set(consistent_sample(ds, k=50)["doc_id"].to_pylist())
+    s200 = set(consistent_sample(ds, k=200)["doc_id"].to_pylist())
+    assert len(s50) == 50 and len(s200) == 200
+    assert s50 <= s200  # nesting: smaller budgets are subsets
+    # stable under repartition
+    s50b = set(consistent_sample(ds.repartition(7), k=50)["doc_id"].to_pylist())
+    assert s50b == s50
