@@ -12,6 +12,7 @@ decode pass.
 from .pipelines import (
     EncodeResult,
     append_dataset,
+    compact_corpus,
     decode_dataset,
     decode_ntok_range,
     decode_select,
@@ -25,6 +26,7 @@ __all__ = [
     "EncodeResult",
     "encode_dataset",
     "append_dataset",
+    "compact_corpus",
     "decode_dataset",
     "decode_select",
     "decode_ntok_range",

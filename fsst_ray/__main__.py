@@ -39,7 +39,8 @@ def _init_ray(num_cpus: int | None):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="fsst_ray")
     parser.add_argument(
-        "command", choices=["encode", "decode", "select", "verify", "stats"]
+        "command",
+        choices=["encode", "decode", "select", "verify", "stats", "compact"],
     )
     parser.add_argument(
         "--doc-ids", help="comma-separated doc ids (select): pruned point lookup"
@@ -61,6 +62,12 @@ def main(argv=None):
         action="store_true",
         help="encode: incremental ingest into an EXISTING encoded corpus "
         "(reuses trained states; generation-tagged buckets)",
+    )
+    parser.add_argument(
+        "--target-mb",
+        type=int,
+        default=512,
+        help="compact: target merged file size (encoded MB)",
     )
     parser.add_argument("--num-cpus", type=int, default=None)
     args = parser.parse_args(argv)
@@ -139,6 +146,14 @@ def main(argv=None):
                         }
                     )
                 )
+        elif args.command == "compact":
+            from fsst_ray import compact_corpus
+
+            metrics = compact_corpus(
+                args.encoded or args.input,
+                target_bytes=args.target_mb << 20,
+            )
+            print(json.dumps(metrics))
         elif args.command == "verify":
             from fsst_ray import verify_roundtrip
 

@@ -1,4 +1,5 @@
 from .encode_job import append_dataset, encode_dataset, EncodeResult
+from .compact_job import compact_corpus, repair_compaction
 from .decode_job import read_encoded, decode_dataset, decode_ntok_range, decode_select, verify_roundtrip
 
 __all__ = [
@@ -10,4 +11,6 @@ __all__ = [
     "decode_select",
     "decode_ntok_range",
     "verify_roundtrip",
+    "compact_corpus",
+    "repair_compaction",
 ]

@@ -534,6 +534,17 @@ def encode_dataset(
         assert mode in ("bucketed", "bucketed_groupby"), "plan override needs buckets"
         states, bucket_plan, mass = _plan
     elif resume and mf.plan_path(out_dir).exists():
+        from .compact_job import has_compaction
+
+        if has_compaction(out_dir):
+            # compaction replaced the original per-bucket part keys, so
+            # completed_parts can no longer tell which buckets exist —
+            # and compaction requires a COMPLETE corpus, so there is
+            # nothing for a base resume to finish anyway
+            raise ValueError(
+                "corpus has been compacted; base-encode resume is not "
+                "meaningful (appends still work: encode --append)"
+            )
         states, bucket_plan, mass, saved_config = mf.load_plan(out_dir)
         assert saved_config == config, (
             f"resume config mismatch: {saved_config} != {config}"
