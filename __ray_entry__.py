@@ -869,6 +869,34 @@ def _doc_checksum_table(batch):
 _NTOK_RANGE_LO, _NTOK_RANGE_HI = 2000, 1 << 30
 
 
+def _q_decode_source(sf_dir: str):
+    """Per-source selective decode (the "export the english split"
+    read): pruning is purely manifest-level — buckets are per-source by
+    construction, so only the selected source's files are opened; a
+    pytest/CLI stat asserts files_read < files_total. Same per-doc
+    checksum table as the other selective reads."""
+    import pyarrow as pa
+
+    from fsst_ray import decode_source, encode_dataset, read_tokens_dataset
+    from fsst_ray.sources.tokens import ensure_tokens_parquet
+
+    scale = _scale_for(sf_dir)
+    path = ensure_tokens_parquet(scale)
+    ds = read_tokens_dataset(scale=scale)
+    out = _tmp_out("srcsel")
+    encode_dataset(
+        ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19, input_path=path
+    )
+    stats: dict = {}
+    sel = decode_source(out, ["english"], stats=stats).map_batches(
+        _doc_checksum_table, batch_format="pyarrow"
+    )
+    assert stats["files_read"] < stats["files_total"], stats
+    parts = [pa.table(b) for b in sel.iter_batches(batch_format="pyarrow")]
+    assert parts, "decode_source returned no rows"
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
 def _q_decode_ntok_range(sf_dir: str):
     """Selective decode (length range): encode the corpus, then decode
     ONLY the rows with n_tok in [2000, 2^30] — the curriculum
@@ -996,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_roundtrip": _q_append_roundtrip,
         "encode_metrics": _q_encode_metrics,
         "decode_point_lookup": _q_decode_point_lookup,
+        "decode_source": _q_decode_source,
         "decode_ntok_range": _q_decode_ntok_range,
     }
 
@@ -1447,6 +1476,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(list_sum(list_transform(tokens, "
             "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
             f"FROM {corpus} WHERE doc_id LIKE '%00'"
+        ),
+        "decode_source": (
+            "SELECT doc_id, n_tok, "
+            "CAST(COALESCE(list_sum(list_transform(tokens, "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
+            f"FROM {corpus} WHERE source = 'english'"
         ),
         "decode_ntok_range": (
             "SELECT doc_id, n_tok, "

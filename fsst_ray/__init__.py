@@ -16,6 +16,7 @@ from .pipelines import (
     decode_dataset,
     decode_ntok_range,
     decode_select,
+    decode_source,
     encode_dataset,
     read_encoded,
     verify_roundtrip,
@@ -30,6 +31,7 @@ __all__ = [
     "decode_dataset",
     "decode_select",
     "decode_ntok_range",
+    "decode_source",
     "read_encoded",
     "verify_roundtrip",
     "tokens_table",

@@ -5,7 +5,9 @@
                                [--append]   # incremental ingest into --output
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
     python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
-                               [--ntok-range LO:HI] [--output DIR]
+                               [--ntok-range LO:HI] [--source S[,S...]]
+                               [--output DIR]
+    python -m fsst_ray compact --encoded ENCODED_DIR [--target-mb M]
     python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
     python -m fsst_ray stats   --encoded ENCODED_DIR
 
@@ -48,6 +50,10 @@ def main(argv=None):
     parser.add_argument(
         "--ntok-range",
         help="LO:HI inclusive n_tok range (select): pruned length-range decode",
+    )
+    parser.add_argument(
+        "--source",
+        help="comma-separated sources (select): manifest-pruned per-source decode",
     )
     parser.add_argument("--input", help="input parquet dir (tokens schema) / encoded dir")
     parser.add_argument("--output", help="output dir")
@@ -115,7 +121,15 @@ def main(argv=None):
             from fsst_ray import decode_ntok_range, decode_select
 
             stats: dict = {}
-            if args.ntok_range:
+            if args.source:
+                from fsst_ray import decode_source
+
+                sel = decode_source(
+                    args.encoded or args.input,
+                    [s for s in args.source.split(",") if s],
+                    stats=stats,
+                )
+            elif args.ntok_range:
                 lo, hi = (int(v) for v in args.ntok_range.split(":"))
                 sel = decode_ntok_range(
                     args.encoded or args.input, lo, hi, stats=stats

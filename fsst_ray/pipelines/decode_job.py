@@ -277,3 +277,41 @@ def decode_ntok_range(out_dir: str, lo: int, hi: int, stats: dict | None = None)
         return rows.filter(keep)
 
     return _phase_b_decode(path, entries, hits, stats, trim)
+
+
+def decode_source(out_dir: str, sources, stats: dict | None = None):
+    """Selective decode by SOURCE: the per-source export read ("give me
+    the english split"). Buckets are per-source by construction
+    (part_key = '{source}:...'), so the pruning is purely manifest-
+    level — only the requested sources' bucket files are ever opened;
+    no phase-A scan is needed at all. At 100 TB this reads exactly the
+    selected sources' share of the corpus."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    wanted = set(sources) if not isinstance(sources, str) else {sources}
+    path = mf.chunks_dir(out_dir)
+    entries = mf.load_manifest(out_dir)
+    files = [
+        str(path / e["file"])
+        for key, e in entries.items()
+        if key.split(":", 1)[0] in wanted
+    ]
+    if stats is not None:
+        stats["files_total"] = len(entries)
+        stats["files_read"] = len(files)
+    if not files:
+        return rd.from_arrow(_empty_rows_table())
+    import pyarrow as pa
+
+    rows = rd.read_parquet(
+        files, override_num_blocks=max(len(files), 1)
+    ).map_batches(decode_chunks_batch, batch_format="pyarrow", batch_size=None)
+    value_set = pa.array(sorted(wanted), pa.string())
+
+    def enforce(batch: pa.Table) -> pa.Table:
+        # belt-and-braces: buckets are per-source, but enforce the
+        # predicate on decoded rows anyway
+        return batch.filter(pc.is_in(batch["source"], value_set=value_set))
+
+    return rows.map_batches(enforce, batch_format="pyarrow")

@@ -185,3 +185,30 @@ def test_merge_group_missing_constituent_raises(tmp_path):
                 "old_files": ["gone.parquet"],
             },
         )
+
+
+def test_decode_source_prunes_before_and_after_compaction(
+    tokens_full, tmp_path, ray_session
+):
+    from fsst_ray import decode_source
+
+    out, _ = _build_fragmented(tokens_full, tmp_path, "enc_c4")
+    want = tokens_full.filter(
+        pa.compute.equal(tokens_full["source"], pa.scalar("english"))
+    ).num_rows
+
+    stats: dict = {}
+    got = decode_source(out, ["english"], stats=stats).count()
+    assert got == want
+    assert 0 < stats["files_read"] < stats["files_total"]
+
+    compact_corpus(out, target_bytes=512 << 20)
+    stats2: dict = {}
+    got2 = decode_source(out, ["english"], stats=stats2).count()
+    assert got2 == want
+    assert 0 < stats2["files_read"] < stats2["files_total"]
+    assert stats2["files_read"] <= stats["files_read"]
+
+    # unknown source: empty with stable schema
+    empty = decode_source(out, ["nope"], stats={})
+    assert empty.count() == 0
