@@ -163,3 +163,69 @@ def test_cc_empty_edge_list(ray_session):
     docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64())}))
     out = assign_components(docs, empty).to_pandas()
     assert dict(zip(out["doc_id"], out["cluster_id"])) == {i: i for i in range(5)}
+
+
+# ---------------- Hypothesis: algorithm-level fixpoint property ----------------
+
+
+def _simulate_cc(edges: list[tuple[int, int]], max_rounds: int = 64) -> dict[int, int]:
+    """Run the exact per-group star steps (the same _star_group
+    generator the Ray pipeline uses) on an in-memory edge set — pure
+    algorithm check, no Ray."""
+    from fsst_ray.functions.graph import _star_group
+
+    cur = {(max(a, b), min(a, b)) for a, b in edges if a != b}
+    if not cur:
+        return {}
+    prev = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            grouped: dict[int, list[int]] = {}
+            if large:
+                for k, n in cur:
+                    grouped.setdefault(k, []).append(n)
+                    grouped.setdefault(n, []).append(k)
+            else:
+                for k, n in cur:
+                    grouped.setdefault(k, []).append(n)
+            nxt = set()
+            fn = _star_group(large)
+            for k in grouped:
+                g = pa.table(
+                    {
+                        "k": pa.array([k] * len(grouped[k]), pa.int64()),
+                        "n": pa.array(grouped[k], pa.int64()),
+                    }
+                )
+                for chunk in fn(g):
+                    nxt.update(
+                        zip(chunk["k"].to_pylist(), chunk["n"].to_pylist())
+                    )
+            cur = nxt
+        if cur == prev:
+            break
+        prev = set(cur)
+    else:
+        raise AssertionError("no fixpoint")
+    labels = {}
+    for k, n in cur:
+        labels[k] = n
+        labels.setdefault(n, n)
+    return labels
+
+
+def test_star_steps_property_vs_union_find():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 60), st.integers(0, 60)), max_size=120
+        )
+    )
+    def prop(edges):
+        want = _uf_labels([e for e in edges if e[0] != e[1]])
+        assert _simulate_cc(edges) == want
+
+    prop()
