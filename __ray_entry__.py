@@ -869,6 +869,19 @@ def _doc_checksum_table(batch):
 _NTOK_RANGE_LO, _NTOK_RANGE_HI = 2000, 1 << 30
 
 
+def _q_split_windows(sf_dir: str):
+    """Fixed-length training windows with stride over every doc's
+    token sequence (overlap at stride < seq_len): pure map-side flat
+    expansion, token payloads never leave the map task. The
+    position-weighted window checksum pins every gathered token."""
+    from fsst_ray.functions.packing import split_windows
+    from fsst_ray import read_tokens_dataset
+
+    return split_windows(
+        read_tokens_dataset(scale=_scale_for(sf_dir)), seq_len=512, stride=384
+    )
+
+
 def _q_decode_source(sf_dir: str):
     """Per-source selective decode (the "export the english split"
     read): pruning is purely manifest-level — buckets are per-source by
@@ -1012,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_docs": _q_top_quality,
         "ntok_percentiles": _q_ntok_percentiles,
         "pack_sequences": _q_pack_sequences,
+        "split_windows": _q_split_windows,
         "corpus_split": _q_corpus_split,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
@@ -1471,6 +1485,17 @@ def oracle_sql() -> dict[str, str]:
         "tokens_roundtrip": tokens_summary_sql,
         # append path must reproduce the identical full-corpus summary
         "append_roundtrip": tokens_summary_sql,
+        "split_windows": (
+            "SELECT doc_id, t.d AS win_idx, t.d * 384 AS win_start, "
+            "LEAST(512, n_tok - t.d * 384) AS win_len, "
+            "CAST(COALESCE(list_sum(list_transform("
+            "tokens[t.d * 384 + 1 : t.d * 384 + LEAST(512, n_tok - t.d * 384)], "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) "
+            "AS win_checksum "
+            f"FROM {corpus}, "
+            "(SELECT CAST(t0.d AS BIGINT) AS d FROM range(0, 4096) t0(d)) t "
+            "WHERE n_tok > 0 AND t.d * 384 < n_tok"
+        ),
         "decode_point_lookup": (
             "SELECT doc_id, n_tok, "
             "CAST(COALESCE(list_sum(list_transform(tokens, "

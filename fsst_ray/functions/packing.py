@@ -96,3 +96,73 @@ def pack_sequences(ds, seq_len: int = 4096):
         )
 
     return proj.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def split_windows(ds, seq_len: int = 512, stride: int = 384):
+    """Chunk every document's token sequence into fixed-length training
+    windows with stride (overlapping when stride < seq_len) — the
+    "split long docs" counterpart of `pack_sequences`' "concatenate
+    short docs". Window w of a doc covers tokens
+    [w*stride, w*stride + seq_len) clamped to the doc; docs emit
+    ceil(n_tok/stride) windows (empty docs none).
+
+    Pure map-side flat expansion — no shuffle, no driver state; each
+    batch computes its windows with repeat/arange index math and ONE
+    reduceat over gathered values (no Python loop over rows or
+    windows). Emits (doc_id, win_idx, win_start, win_len,
+    win_checksum) where win_checksum = sum((tok+1) * pos1based) —
+    position-weighted so any token mispairing or misalignment changes
+    it; token payloads themselves never leave the map task."""
+    from ..stages.serialize import tokens_views
+
+    assert stride > 0 and seq_len > 0
+
+    def expand(batch: pa.Table) -> pa.Table:
+        values, offsets = tokens_views(batch)
+        n_tok = np.diff(offsets)
+        n_win = -(-n_tok // stride)  # ceil; 0 for empty docs
+        total = int(n_win.sum())
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "win_idx": pa.array([], pa.int64()),
+                "win_start": pa.array([], pa.int64()),
+                "win_len": pa.array([], pa.int64()),
+                "win_checksum": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(len(n_tok)), n_win)
+        # per-window index within its doc: global arange minus the
+        # doc's first window's global index
+        base = np.concatenate([[0], np.cumsum(n_win)])[:-1]
+        widx = np.arange(total) - base[row]
+        wstart = widx * stride
+        wlen = np.minimum(seq_len, n_tok[row] - wstart)
+        # gather indices for all window tokens at once
+        g_base = np.concatenate([[0], np.cumsum(wlen)])
+        flat = np.arange(int(g_base[-1])) - g_base[:-1].repeat(wlen)
+        gidx = offsets[:-1][row].repeat(wlen) + wstart.repeat(wlen) + flat
+        toks = values[gidx].astype(np.int64)
+        weights = flat + 1  # 1-based position within the window
+        prod = (toks + 1) * weights
+        csum = np.add.reduceat(
+            np.concatenate([prod, [0]]), g_base[:-1]
+        )[: total]
+        # reduceat quirk: equal consecutive boundaries (zero-length
+        # windows) can't occur — wlen >= 1 whenever a window exists
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(row)),
+                "win_idx": pa.array(widx.astype(np.int64)),
+                "win_start": pa.array(wstart.astype(np.int64)),
+                "win_len": pa.array(wlen.astype(np.int64)),
+                "win_checksum": pa.array(csum.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")

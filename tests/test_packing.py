@@ -45,3 +45,51 @@ def test_pack_sequences_block_boundaries(ray_session):
     assert (out["offset"].to_numpy() == np.arange(500)).all()
     assert (out["seq_first"].to_numpy() == np.arange(500) // 64).all()
     assert (out["seq_last"] == out["seq_first"]).all()
+
+
+def test_split_windows_edges(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.packing import split_windows
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "tokens": pa.array(
+                [list(range(10)), list(range(8)), [], [5]],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([10, 8, 0, 1], pa.int32()),
+            "source": pa.array(["s"] * 4, pa.string()),
+        }
+    )
+    out = (
+        split_windows(rd.from_arrow(docs), seq_len=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "win_idx"])
+        .reset_index(drop=True)
+    )
+
+    def ref(tokens, seq_len=4, stride=3):
+        wins = []
+        for w in range(0, -(-len(tokens) // stride)):
+            s = w * stride
+            win = tokens[s : s + seq_len]
+            wins.append(
+                (w, s, len(win), sum((t + 1) * (i + 1) for i, t in enumerate(win)))
+            )
+        return wins
+
+    want = []
+    for did, toks in [("a", list(range(10))), ("b", list(range(8))), ("d", [5])]:
+        for w, s, l, c in ref(toks):
+            want.append((did, w, s, l, c))
+    got = list(
+        zip(out["doc_id"], out["win_idx"], out["win_start"], out["win_len"], out["win_checksum"])
+    )
+    assert got == want
+    # doc "a" (10 toks, stride 3) -> 4 windows, last is length 1
+    assert sum(1 for g in got if g[0] == "a") == 4
+    assert [g for g in got if g[0] == "a"][-1][3] == 1
+    # empty doc "c" emits nothing
+    assert not any(g[0] == "c" for g in got)
