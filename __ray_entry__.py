@@ -525,6 +525,22 @@ def _q_order_priority_rollup(sf_dir: str):
     return order_priority_rollup(li, od)
 
 
+def _q_customer_orders_left(sf_dir: str):
+    """LEFT outer hash join (customer x orders on custkey): customers
+    with no orders keep one row with a NULL o_orderkey — exercises the
+    null-index take path on naturally unmatched TPC-H keys (~1/3 of
+    customers have no orders)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    return hash_join(cust, od, "c_custkey", "o_custkey", how="left")
+
+
 _RATE_BANDS = [(0, 0.0, 10.0), (1, 5.0, 25.0), (2, 20.0, 60.0), (3, 50.0, 1000.0)]
 
 
@@ -1015,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "order_priority_rollup": _q_order_priority_rollup,
+        "customer_orders_left": _q_customer_orders_left,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1164,6 +1181,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY n_name, r_name"
+        ),
+        "customer_orders_left": (
+            "SELECT c_custkey, o_orderkey FROM customer "
+            "LEFT JOIN orders ON o_custkey = c_custkey"
         ),
         "order_priority_rollup": (
             "SELECT o_orderpriority, "

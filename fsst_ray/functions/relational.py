@@ -99,8 +99,9 @@ def dim_lookup_rollup(fact_ds, supplier: pa.Table, nation: pa.Table, region: pa.
     )
 
 
-def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 1 << 20):
-    """Distributed inner equi-join: one exchange of the two tagged
+def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 1 << 20,
+              how: str = "inner"):
+    """Distributed equi-join (`how` = "inner" | "left"): one exchange of the two tagged
     projections (a range sort on the key — equal keys never straddle a
     block boundary, the same property ngram_jaccard's streaming group
     map relies on), then ONE vectorized pass per sorted block that
@@ -182,7 +183,10 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
         lmask = side == 0
         nl = np.bincount(gid[lmask], minlength=g_count)
         nr = np.bincount(gid[~lmask], minlength=g_count)
-        m = nl * nr  # out rows per group
+        # left join: a group with no right rows still emits its left
+        # rows once (right columns null)
+        nr_eff = np.maximum(nr, 1) if how == "left" else nr
+        m = nl * nr_eff  # out rows per group
         total = int(m.sum())
         if total == 0:
             yield _empty(block.schema)
@@ -196,12 +200,20 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
         # per-out-row group id and within-group position, all vectorized
         go = np.repeat(np.arange(g_count), m)
         t = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m)
-        li = l_rows[l_starts[go] + t // nr[go]]
-        ri = r_rows[r_starts[go] + t % nr[go]]
+        li = l_rows[l_starts[go] + t // nr_eff[go]]
+        matched = nr[go] > 0
+        # unmatched (left-join-only) out rows get a NULL take index ->
+        # a null right row; their placeholder value 0 is in bounds and
+        # masked out, so no real row is ever read through it
+        if len(r_rows):
+            safe = np.clip(r_starts[go] + t % nr_eff[go], 0, len(r_rows) - 1)
+            ri = np.where(matched, r_rows[safe], 0).astype(np.int64)
+        else:
+            ri = np.zeros(total, dtype=np.int64)
         for s in range(0, total, chunk_rows):
             e = min(s + chunk_rows, total)
             lt = block.take(pa.array(li[s:e]))
-            rt = block.take(pa.array(ri[s:e]))
+            rt = block.take(pa.array(ri[s:e], mask=~matched[s:e]))
             cols = {left_on: lt["_join_key"]}
             for c in left_cols:
                 cols[c] = lt[c]

@@ -1077,3 +1077,41 @@ def test_consistent_sample_nests_and_is_stable(ray_session):
     # stable under repartition
     s50b = set(consistent_sample(ds.repartition(7), k=50)["doc_id"].to_pylist())
     assert s50b == s50
+
+
+def test_hash_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3], pa.int64()),
+                  "lv": pa.array(["a", "b", "c", "d"])})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([1, 1, 3], pa.int64()),
+                  "rv": pa.array([10, 11, 30], pa.int64())})
+    )
+    out = (
+        hash_join(left, right, "k", "rk", how="left")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="first")
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["k"], out["lv"], [None if v != v else int(v) for v in out["rv"]]))
+    want = [
+        (1, "a", 10), (1, "a", 11),
+        (2, "b", None),           # unmatched left keeps one null row
+        (3, "c", 30), (3, "d", 30),
+    ]
+    assert got == want
+
+    # inner drops the unmatched key
+    inner = hash_join(left, right, "k", "rk", how="inner").to_pandas()
+    assert set(inner["k"]) == {1, 3} and len(inner) == 4
+
+    # empty right side: left join yields all-left with nulls
+    empty_r = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64()),
+                                      "rv": pa.array([], pa.int64())}))
+    allnull = hash_join(left, empty_r, "k", "rk", how="left").to_pandas()
+    assert len(allnull) == 4 and allnull["rv"].isna().all()
