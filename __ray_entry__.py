@@ -525,6 +525,17 @@ def _q_order_priority_rollup(sf_dir: str):
     return order_priority_rollup(li, od)
 
 
+def _q_funnel_stages(sf_dir: str):
+    """Ordered funnel view -> click -> purchase per user: one hash
+    exchange on user_id, K masked reduceat sweeps per block compute
+    every user's whole funnel (no per-user Python)."""
+    from fsst_ray.functions.analytics import funnel_stages
+
+    # 72h conversion window: at gate scale the cohort splits ~35/34/81
+    # across stages 1/2/3 — non-vacuous stage differentiation
+    return funnel_stages(_read(sf_dir, "events"), window_us=72 * 3600 * 1_000_000)
+
+
 def _q_customer_orders_left(sf_dir: str):
     """LEFT outer hash join (customer x orders on custkey): customers
     with no orders keep one row with a NULL o_orderkey — exercises the
@@ -1032,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "order_priority_rollup": _q_order_priority_rollup,
         "customer_orders_left": _q_customer_orders_left,
+        "funnel_stages": _q_funnel_stages,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1181,6 +1193,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY n_name, r_name"
+        ),
+        "funnel_stages": (
+            # t_k = MIN ts of step k at/after t_{k-1}; stage = #steps hit
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e, s1 "
+            "WHERE e.user_id = s1.user_id AND e.event_type = 'click' "
+            "AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e, s2 "
+            "WHERE e.user_id = s2.user_id AND e.event_type = 'purchase' "
+            "AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 72 HOUR GROUP BY e.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM events) "
+            "SELECT u.user_id, "
+            "CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 "
+            "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage, "
+            "CAST(epoch_us(t1) AS BIGINT) AS t1_us, "
+            "CAST(epoch_us(t2) AS BIGINT) AS t2_us, "
+            "CAST(epoch_us(t3) AS BIGINT) AS t3_us "
+            "FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) "
+            "LEFT JOIN s3 USING(user_id)"
         ),
         "customer_orders_left": (
             "SELECT c_custkey, o_orderkey FROM customer "

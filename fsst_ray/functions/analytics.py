@@ -133,3 +133,100 @@ def top_n_per_group(ds, n: int = 3):
         .groupby("source")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+_TS_INF = np.iinfo(np.int64).max
+
+
+def funnel_stages(
+    events_ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_us: int | None = None,
+):
+    """Ordered-sequence funnel per user: stage k is reached when a
+    `steps[k]` event exists AT OR AFTER the user's earliest completion
+    of stage k-1 (t_k = min ts of steps[k] with t_{k-1} <= ts, and
+    ts <= t_{k-1} + window_us when a conversion window is set). Returns
+    one row per user who has ANY event: (user_id, stage,
+    t1_us..tK_us nullable epoch-micros).
+
+    Shape: map-side projection keeps only step-typed rows plus one
+    per-block distinct-user sentinel row (so stage-0 users survive);
+    ONE hash exchange on user_id; then a block-level pass computes
+    every user's whole funnel with K masked `minimum.reduceat` sweeps —
+    no per-user Python, loop only over the K steps."""
+    import pyarrow.compute as pc
+
+    step_list = list(steps)
+    value_set = pa.array(step_list, pa.string())
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=value_set)
+        sub = batch.filter(keep)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(users)
+        ts = sub["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.concatenate(
+                        [sub["user_id"].to_numpy(zero_copy_only=False), uniq]
+                    ).astype(np.int64)
+                ),
+                "ts_us": pa.array(
+                    np.concatenate([ts_us, np.zeros(len(uniq), np.int64)])
+                ),
+                "etype": pa.concat_arrays(
+                    [
+                        (
+                            sub["event_type"].combine_chunks()
+                            if isinstance(sub["event_type"], pa.ChunkedArray)
+                            else sub["event_type"]
+                        ),
+                        pa.array([""] * len(uniq), pa.string()),
+                    ]
+                ),
+            }
+        )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        users = block["user_id"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            cols = {
+                "user_id": pa.array([], pa.int64()),
+                "stage": pa.array([], pa.int64()),
+            }
+            for k in range(len(step_list)):
+                cols[f"t{k + 1}_us"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        ts = block["ts_us"].to_numpy(zero_copy_only=False)
+        et = block["etype"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(users[1:] != users[:-1]) + 1])
+        gid = np.cumsum(np.concatenate([[False], users[1:] != users[:-1]]))
+        prev = np.full(len(starts), -1, dtype=np.int64)  # -inf: ts >= 0 always
+        cols = {"user_id": pa.array(users[starts].astype(np.int64))}
+        stage = np.zeros(len(starts), dtype=np.int64)
+        for k, s in enumerate(step_list):
+            ok = (et == s) & (ts >= prev[gid]) & (prev[gid] != _TS_INF)
+            if window_us is not None and k > 0:
+                ok &= ts <= prev[gid] + window_us
+            arr = np.where(ok, ts, _TS_INF)
+            tk = np.minimum.reduceat(arr, starts)
+            stage += (tk != _TS_INF).astype(np.int64)
+            cols[f"t{k + 1}_us"] = pa.array(tk, mask=tk == _TS_INF)
+            prev = tk
+        cols["stage"] = pa.array(stage)
+        order = ["user_id", "stage"] + [f"t{k + 1}_us" for k in range(len(step_list))]
+        return pa.table({c: cols[c] for c in order})
+
+    return (
+        events_ds.map_batches(project, batch_format="pyarrow")
+        .sort("user_id")
+        .map_batches(
+            per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

@@ -137,3 +137,40 @@ def test_distinctive_terms_df_and_rank(ray_session):
         ("z", 3, 1, 1),
         ("shared", 2, 2, 2),
     ]
+
+
+def test_funnel_stages_semantics(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import funnel_stages
+
+    us = 1_000_000
+    rows = []
+    # user 1: full funnel in order
+    rows += [(1, 10, "view"), (1, 20, "click"), (1, 30, "purchase")]
+    # user 2: purchase BEFORE click -> stage 2 only
+    rows += [(2, 10, "view"), (2, 30, "click"), (2, 20, "purchase")]
+    # user 3: only other event types -> stage 0
+    rows += [(3, 10, "error"), (3, 20, "signup")]
+    # user 4: click at the same ts as view (>= is inclusive), purchase
+    # outside the window -> stage 2
+    rows += [(4, 10, "view"), (4, 10, "click"), (4, 1000, "purchase")]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] * us for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        funnel_stages(rd.from_arrow(t), window_us=100 * us)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["user_id"], out["stage"])) == {1: 3, 2: 2, 3: 0, 4: 2}
+    r1 = out[out.user_id == 1].iloc[0]
+    assert (r1.t1_us, r1.t2_us, r1.t3_us) == (10 * us, 20 * us, 30 * us)
+    r3 = out[out.user_id == 3].iloc[0]
+    assert r3.t1_us != r3.t1_us  # NaN: stage-0 user kept via sentinel
