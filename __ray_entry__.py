@@ -525,6 +525,36 @@ def _q_order_priority_rollup(sf_dir: str):
     return order_priority_rollup(li, od)
 
 
+def _q_jsonl_ingest(sf_dir: str):
+    """JSONL source end-to-end: export the documents table to JSONL
+    once (cached per scale), re-ingest it through the normalizing
+    JSONL reader, and run word_stats over the result — landing on the
+    parquet-oracle numbers proves the alternate source format feeds
+    the operator suite losslessly."""
+    import json as _json
+    import pathlib as _pl
+
+    from fsst_ray.functions.textstats import word_stats_batch
+    from fsst_ray.sources.documents import read_documents_jsonl
+
+    tag = _pl.Path(sf_dir).name
+    jdir = _pl.Path(f"/tmp/fsst_ray_runs/docs_jsonl_{tag}")
+    marker = jdir / "_done"
+    if not marker.exists():
+        jdir.mkdir(parents=True, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        with open(jdir / "docs.jsonl", "w") as f:
+            for did, txt in zip(
+                t["doc_id"].to_pylist(), t["text"].to_pylist()
+            ):
+                f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+        marker.write_text("ok")
+    ds = read_documents_jsonl(str(jdir / "docs.jsonl"))
+    return ds.map_batches(word_stats_batch, batch_format="pyarrow")
+
+
 def _q_funnel_stages(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: one hash
     exchange on user_id, K masked reduceat sweeps per block compute
@@ -1044,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_rollup": _q_order_priority_rollup,
         "customer_orders_left": _q_customer_orders_left,
         "funnel_stages": _q_funnel_stages,
+        "jsonl_ingest": _q_jsonl_ingest,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1120,6 +1151,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": (
             "SELECT substring(text, 1, 40) AS prefix_key, MIN(doc_id) AS doc_id, "
             "COUNT(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "jsonl_ingest": (
+            # identical to word_stats — the JSONL round trip must be
+            # lossless, so the parquet oracle is the ground truth
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents"
         ),
         "word_stats": (
             "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
