@@ -337,6 +337,18 @@ def _q_consistent_sample(sf_dir: str):
     return consistent_sample(_read(sf_dir, "documents"), k=100)
 
 
+def _q_kmeans_codes(sf_dir: str):
+    """Distributed integer-exact k-means over int8-quantized embeddings
+    (k=8, 2 assignment passes): per-iteration map partials of
+    (cluster, count, per-dim int sums), driver fold + floor-division
+    update, deterministic init from the k smallest vec_ids. Integer
+    distances and integer centroid updates make every iteration
+    bit-reproducible and SQL-recomputable."""
+    from fsst_ray.functions.similarity import kmeans_codes
+
+    return kmeans_codes(_read(sf_dir, "embeddings"), k=8, iters=2)
+
+
 def _q_minhash_recall(sf_dir: str):
     """Recall of the approximate MinHash-LSH pair set (threshold 0.7)
     against its exact sibling (threshold 1.0 = identical shingle sets),
@@ -1059,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_disk": _q_ann_ivf_disk,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_quantize": _q_embedding_quantize,
+        "kmeans_codes": _q_kmeans_codes,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "consistent_sample": _q_consistent_sample,
         "minhash_recall": _q_minhash_recall,
@@ -1440,6 +1453,42 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT (doc_id % 17 = 0 AND doc_id < 1000000)) "
             "SELECT tr.doc_id, "
             "NOT EXISTS(SELECT 1 FROM ev WHERE ev.sh = tr.sh) AS keep FROM tr"
+        ),
+        "kmeans_codes": (
+            # same integer protocol as the engine: init = codes of the 8
+            # smallest vec_ids, argmin ties to the lowest cluster,
+            # centroid update = floor-division of integer sums
+            "WITH dims AS (SELECT CAST(d AS BIGINT) AS d FROM range(1, 65) t(d)), "
+            "s AS (SELECT dims.d AS d, "
+            "MIN(CAST(embedding[dims.d] AS DOUBLE)) AS mn, "
+            "MAX(CAST(embedding[dims.d] AS DOUBLE)) AS mx "
+            "FROM embeddings, dims GROUP BY dims.d), "
+            "c AS (SELECT e.vec_id, s.d, "
+            "CASE WHEN s.mx > s.mn THEN "
+            "LEAST(255, GREATEST(0, CAST(FLOOR("
+            "(CAST(e.embedding[s.d] AS DOUBLE) - s.mn) / "
+            "((s.mx - s.mn) / 255.0) + 0.5) AS BIGINT))) "
+            "ELSE 0 END AS code FROM embeddings e, s), "
+            "init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl "
+            "FROM (SELECT DISTINCT vec_id FROM c ORDER BY vec_id LIMIT 8)), "
+            "cent0 AS (SELECT i.cl, c.d, c.code AS v FROM init i "
+            "JOIN c ON c.vec_id = i.vec_id), "
+            "d1 AS (SELECT c.vec_id, ct.cl, "
+            "SUM((c.code - ct.v) * (c.code - ct.v)) AS dist "
+            "FROM c JOIN cent0 ct ON ct.d = c.d GROUP BY c.vec_id, ct.cl), "
+            "a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn "
+            "FROM d1) WHERE rn = 1), "
+            "cent1 AS (SELECT a1.cl, c.d, "
+            "CAST(SUM(c.code) // COUNT(DISTINCT c.vec_id) AS BIGINT) AS v "
+            "FROM a1 JOIN c ON c.vec_id = a1.vec_id GROUP BY a1.cl, c.d), "
+            "d2 AS (SELECT c.vec_id, ct.cl, "
+            "SUM((c.code - ct.v) * (c.code - ct.v)) AS dist "
+            "FROM c JOIN cent1 ct ON ct.d = c.d GROUP BY c.vec_id, ct.cl) "
+            "SELECT vec_id, CAST(cl AS BIGINT) AS cluster, "
+            "CAST(dist AS BIGINT) AS dist FROM (SELECT vec_id, cl, dist, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn "
+            "FROM d2) WHERE rn = 1"
         ),
         "minhash_recall": (
             # exact sibling = identical distinct word-3-shingle sets over

@@ -665,3 +665,142 @@ def dequantize_codes(codes: np.ndarray, mn: np.ndarray, scale: np.ndarray) -> np
     """Reconstruction: x' = mn + code * scale (float64). Max abs error
     is scale/2 per dimension by construction (pytest-pinned)."""
     return mn + codes.astype(np.float64) * scale
+
+
+# ---------------- distributed integer-exact k-means ----------------
+
+
+def _code_matrix(mn: np.ndarray, scale: np.ndarray):
+    """Batch -> (vec_ids, int64 code matrix) with the exact
+    quantize_embeddings arithmetic (shared oracle parity)."""
+
+    def fn(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        mat, ids = _embedding_matrix(batch)
+        if mat.size == 0:
+            return ids, np.zeros((len(ids), len(mn)), dtype=np.int64)
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.floor((mat - mn) / safe + 0.5)
+        q = np.where(scale > 0, q, 0.0)
+        return ids, np.clip(q, 0, 255).astype(np.int64)
+
+    return fn
+
+
+def kmeans_codes(ds, k: int = 8, iters: int = 2):
+    """Distributed Lloyd's k-means over int8-quantized embeddings —
+    INTEGER-EXACT, so every iteration is bit-reproducible and
+    SQL-recomputable (the distance is a sum of squared int64 code
+    deltas; the centroid update is floor-division of integer sums).
+    This is the at-scale centroid trainer the IVF index needs when a
+    driver-side sample no longer represents the corpus: each iteration
+    is one map pass emitting per-block (cluster, count, per-dim sums)
+    partials — rows ≤ k per block — folded on the driver and
+    re-broadcast. Nothing corpus-sized moves.
+
+    Deterministic protocol (mirrored by the oracle): centroids
+    initialize from the k smallest vec_ids' codes (cluster id = rank);
+    assignment ties break to the lowest cluster id; clusters that lose
+    all members are dropped from subsequent iterations. `iters` counts
+    assignment passes (updates happen between them). Returns
+    (vec_id, cluster, dist)."""
+    import ray
+
+    mn, mx = _minmax_stats(ds)
+    scale = (mx - mn) / 255.0
+    codes_fn = _code_matrix(mn, scale)
+
+    # init: codes of the k globally-smallest vec_ids (tiny driver merge)
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        ids, codes = codes_fn(batch)
+        order = np.argsort(ids)[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "codes": pa.array(
+                    [codes[i].tobytes() for i in order], pa.binary()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(
+        local_bottom, batch_size=None, batch_format="pyarrow"
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    dim = len(mn)
+    cents = np.stack(
+        [np.frombuffer(r["codes"], dtype=np.int64) for r in rows[:k]]
+    ).reshape(k, dim)
+    cluster_ids = np.arange(k, dtype=np.int64)
+
+    def assign(codes: np.ndarray, cents_: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        x2 = (codes * codes).sum(axis=1)
+        c2 = (cents_ * cents_).sum(axis=1)
+        dist = x2[:, None] - 2 * (codes @ cents_.T) + c2[None, :]
+        a = np.argmin(dist, axis=1)  # ties -> first (lowest cluster id)
+        return a, dist[np.arange(len(a)), a]
+
+    for _ in range(max(iters - 1, 0)):
+        ref = ray.put((cluster_ids, cents))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cl_ids, cents_ = ray.get(ref)
+            ids, codes = codes_fn(batch)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "sums": pa.array([], pa.binary()),
+                    }
+                )
+            a, _ = assign(codes, cents_)
+            out_cl, out_cnt, out_sums = [], [], []
+            for j in np.unique(a):
+                sel = codes[a == j]
+                out_cl.append(int(cl_ids[j]))
+                out_cnt.append(len(sel))
+                out_sums.append(sel.sum(axis=0, dtype=np.int64).tobytes())
+            return pa.table(
+                {
+                    "cluster": pa.array(out_cl, pa.int64()),
+                    "cnt": pa.array(out_cnt, pa.int64()),
+                    "sums": pa.array(out_sums, pa.binary()),
+                }
+            )
+
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for r in ds.map_batches(
+            partials, batch_size=None, batch_format="pyarrow"
+        ).take_all():
+            cnt, sums = acc.get(r["cluster"], (0, np.zeros(dim, np.int64)))
+            acc[r["cluster"]] = (
+                cnt + r["cnt"],
+                sums + np.frombuffer(r["sums"], dtype=np.int64),
+            )
+        kept = sorted(c for c, (n, _) in acc.items() if n > 0)
+        cluster_ids = np.array(kept, dtype=np.int64)
+        cents = np.stack([acc[c][1] // acc[c][0] for c in kept])
+
+    final_ref = ray.put((cluster_ids, cents))
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        cl_ids, cents_ = ray.get(final_ref)
+        ids, codes = codes_fn(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        a, d = assign(codes, cents_)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl_ids[a], pa.int64()),
+                "dist": pa.array(d.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

@@ -1115,3 +1115,41 @@ def test_hash_join_left_outer(ray_session):
                                       "rv": pa.array([], pa.int64())}))
     allnull = hash_join(left, empty_r, "k", "rk", how="left").to_pandas()
     assert len(allnull) == 4 and allnull["rv"].isna().all()
+
+
+def test_kmeans_codes_invariants(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.similarity import kmeans_codes
+
+    rng = np.random.default_rng(21)
+    n, dim, k = 240, 12, 6
+    # three planted gaussian blobs -> k-means should separate them
+    centers = rng.normal(scale=4.0, size=(3, dim))
+    mat = np.concatenate(
+        [c + rng.normal(scale=0.15, size=(n // 3, dim)) for c in centers]
+    ).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = kmeans_codes(ds, k=k, iters=3).to_pandas().sort_values("vec_id")
+    assert len(out) == n
+    assert out["cluster"].nunique() <= k
+    # Lloyd monotonicity: more iterations never worsen the total
+    # within-cluster distance (init is rank-based, not kmeans++, so
+    # perfect blob separation is NOT guaranteed — determinism is)
+    d1 = kmeans_codes(ds, k=k, iters=1).to_pandas()["dist"].sum()
+    d3 = out["dist"].sum()
+    assert d3 <= d1
+    # the planted blobs are far apart, so distances must collapse a lot
+    assert d3 < d1 * 0.5, (d1, d3)
+
+    # deterministic under repartition (map partials + integer updates)
+    out2 = kmeans_codes(ds.repartition(7), k=k, iters=3).to_pandas().sort_values("vec_id")
+    assert (out2["cluster"].to_numpy() == out["cluster"].to_numpy()).all()
+    assert (out2["dist"].to_numpy() == out["dist"].to_numpy()).all()
