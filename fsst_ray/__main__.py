@@ -75,6 +75,11 @@ def main(argv=None):
         default=512,
         help="compact: target merged file size (encoded MB)",
     )
+    parser.add_argument(
+        "--by-source",
+        action="store_true",
+        help="stats: per-source rollup incl. generation fragmentation",
+    )
     parser.add_argument("--num-cpus", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -82,7 +87,10 @@ def main(argv=None):
         from fsst_ray.state import manifest as mf
 
         entries = mf.load_manifest(args.encoded or args.input)
-        print(json.dumps(mf.summarize(entries), indent=2))
+        if args.by_source:
+            print(json.dumps(mf.summarize_by_source(entries), indent=2))
+        else:
+            print(json.dumps(mf.summarize(entries), indent=2))
         return 0
 
     ray = _init_ray(args.num_cpus)

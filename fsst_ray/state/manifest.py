@@ -154,3 +154,38 @@ def summarize(entries: dict[str, dict]) -> dict:
         total["bytes_per_token"] = total["bytes_out"] / total["tokens"]
         total["compression_ratio"] = total["bytes_in"] / max(total["bytes_out"], 1)
     return total
+
+
+def summarize_by_source(entries: dict[str, dict]) -> dict[str, dict]:
+    """Per-source rollup of the manifest (part keys are
+    '{source}:[g{N}-|c{N}-]{bucket}'), including how many append
+    generations / compactions the source's files span — the operational
+    signal for when to run `compact`."""
+    import re
+
+    out: dict[str, dict] = {}
+    for key, entry in entries.items():
+        src, _, rest = key.partition(":")
+        s = out.setdefault(
+            src,
+            {
+                "parts": 0,
+                "chunks": 0,
+                "rows": 0,
+                "tokens": 0,
+                "bytes_in": 0,
+                "bytes_out": 0,
+                "generations": set(),
+            },
+        )
+        s["parts"] += 1
+        for f in ("chunks", "rows", "tokens", "bytes_in", "bytes_out"):
+            s[f] += entry[f]
+        m = re.match(r"([gc]\d+)-", rest)
+        s["generations"].add(m.group(1) if m else "g0")
+    for s in out.values():
+        s["generations"] = sorted(s["generations"])
+        if s["tokens"]:
+            s["bytes_per_token"] = s["bytes_out"] / s["tokens"]
+            s["compression_ratio"] = s["bytes_in"] / max(s["bytes_out"], 1)
+    return {k: out[k] for k in sorted(out)}

@@ -212,3 +212,19 @@ def test_decode_source_prunes_before_and_after_compaction(
     # unknown source: empty with stable schema
     empty = decode_source(out, ["nope"], stats={})
     assert empty.count() == 0
+
+
+def test_summarize_by_source_generations(tokens_full, tmp_path, ray_session):
+    out, _ = _build_fragmented(tokens_full, tmp_path, "enc_c5")
+    by_src = mf.summarize_by_source(mf.load_manifest(out))
+    assert "english" in by_src
+    # base + one append generation visible before compaction
+    assert by_src["english"]["generations"] == ["g0", "g1"]
+    total = mf.summarize(mf.load_manifest(out))
+    assert sum(s["rows"] for s in by_src.values()) == total["rows"]
+    assert sum(s["tokens"] for s in by_src.values()) == total["tokens"]
+
+    compact_corpus(out, target_bytes=512 << 20)
+    by_src2 = mf.summarize_by_source(mf.load_manifest(out))
+    assert by_src2["english"]["generations"] == ["c1"]
+    assert by_src2["english"]["rows"] == by_src["english"]["rows"]
