@@ -77,7 +77,7 @@ def _merged_entry(new_key: str, new_file: str, parts: list[dict]) -> dict:
     for e in parts:
         for c, n in e.get("codecs", {}).items():
             codecs[c] = codecs.get(c, 0) + n
-    return {
+    entry = {
         "part_key": new_key,
         "file": new_file,
         "status": "done",
@@ -87,9 +87,13 @@ def _merged_entry(new_key: str, new_file: str, parts: list[dict]) -> dict:
         "bytes_in": sum(e["bytes_in"] for e in parts),
         "bytes_out": sum(e["bytes_out"] for e in parts),
         "codecs": codecs,
-        "doc_min": min(e["doc_min"] for e in parts),
-        "doc_max": max(e["doc_max"] for e in parts),
     }
+    # zone map only if every constituent has one (legacy pre-zone-map
+    # entries lack doc_min/doc_max; decode_select always scans those)
+    if all("doc_min" in e and "doc_max" in e for e in parts):
+        entry["doc_min"] = min(e["doc_min"] for e in parts)
+        entry["doc_max"] = max(e["doc_max"] for e in parts)
+    return entry
 
 
 def plan_compaction(out_dir: str, target_bytes: int = 512 << 20) -> dict:

@@ -228,3 +228,25 @@ def test_summarize_by_source_generations(tokens_full, tmp_path, ray_session):
     by_src2 = mf.summarize_by_source(mf.load_manifest(out))
     assert by_src2["english"]["generations"] == ["c1"]
     assert by_src2["english"]["rows"] == by_src["english"]["rows"]
+
+
+def test_compact_legacy_entries_without_zone_maps(tokens_full, tmp_path, ray_session):
+    """Pre-zone-map manifests (no doc_min/doc_max) must still compact;
+    the merged entry simply omits the zone fields (always-scan)."""
+    out, full_ds = _build_fragmented(tokens_full, tmp_path, "enc_c6")
+    entries = mf.load_manifest(out)
+    for e in entries.values():
+        e.pop("doc_min", None)
+        e.pop("doc_max", None)
+    mf.write_json_atomic(mf.compact_path(out), entries)
+    for p in mf.manifest_dir(out).glob("*.json"):
+        if p.name != mf.compact_path(out).name:
+            p.unlink()
+
+    metrics = compact_corpus(out, target_bytes=512 << 20)
+    assert metrics["groups"] >= 1
+    merged = {
+        k: e for k, e in mf.load_manifest(out).items() if ":c1-" in k
+    }
+    assert merged and all("doc_min" not in e for e in merged.values())
+    assert verify_roundtrip(full_ds, out)["match"]
