@@ -726,11 +726,14 @@ def kmeans_codes(ds, k: int = 8, iters: int = 2):
         local_bottom, batch_size=None, batch_format="pyarrow"
     ).take_all()
     rows.sort(key=lambda r: r["vec_id"])
+    rows = rows[:k]
+    assert rows, "kmeans_codes: empty embeddings dataset"
     dim = len(mn)
+    # corpora smaller than k simply get one cluster per vector
     cents = np.stack(
-        [np.frombuffer(r["codes"], dtype=np.int64) for r in rows[:k]]
-    ).reshape(k, dim)
-    cluster_ids = np.arange(k, dtype=np.int64)
+        [np.frombuffer(r["codes"], dtype=np.int64) for r in rows]
+    ).reshape(len(rows), dim)
+    cluster_ids = np.arange(len(rows), dtype=np.int64)
 
     def assign(codes: np.ndarray, cents_: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         x2 = (codes * codes).sum(axis=1)

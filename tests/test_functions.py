@@ -1153,3 +1153,24 @@ def test_kmeans_codes_invariants(ray_session):
     out2 = kmeans_codes(ds.repartition(7), k=k, iters=3).to_pandas().sort_values("vec_id")
     assert (out2["cluster"].to_numpy() == out["cluster"].to_numpy()).all()
     assert (out2["dist"].to_numpy() == out["dist"].to_numpy()).all()
+
+
+def test_kmeans_codes_corpus_smaller_than_k(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.similarity import kmeans_codes
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(4, 8)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = kmeans_codes(ds, k=16, iters=2).to_pandas().sort_values("vec_id")
+    # every vector seeds its own cluster and stays there (dist 0)
+    assert list(out["cluster"]) == [0, 1, 2, 3]
+    assert (out["dist"] == 0).all()
