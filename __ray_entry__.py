@@ -946,9 +946,12 @@ def _q_split_windows(sf_dir: str):
     from fsst_ray.functions.packing import split_windows
     from fsst_ray import read_tokens_dataset
 
-    return split_windows(
-        read_tokens_dataset(scale=_scale_for(sf_dir)), seq_len=512, stride=384
-    )
+    ds = read_tokens_dataset(scale=_scale_for(sf_dir))
+    # the oracle's dims table caps windows per doc at 4096 — make any
+    # corpus/stride change that could exceed it fail LOUDLY here
+    # instead of silently diverging from the oracle
+    assert ds.max("n_tok") <= 384 * 4096, "oracle window cap exceeded"
+    return split_windows(ds, seq_len=512, stride=384)
 
 
 def _q_decode_source(sf_dir: str):

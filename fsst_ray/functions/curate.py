@@ -472,11 +472,10 @@ def blocklist_filter(ds, blocklist_fps, n_bits: int = 1 << 17, n_hashes: int = 7
     drop_ref = ray.put(drop_ids)
 
     def survivors(batch: pa.Table) -> pa.Table:
+        from .dedup import sorted_isin
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dl = ray.get(drop_ref)
-        pos = np.searchsorted(dl, ids)
-        pos = np.clip(pos, 0, max(len(dl) - 1, 0))
-        bad = (dl[pos] == ids) if len(dl) else np.zeros(len(ids), dtype=bool)
+        bad = sorted_isin(ray.get(drop_ref), ids)
         return pa.table({"doc_id": pa.array(ids[~bad])})
 
     return ds.map_batches(survivors, batch_format="pyarrow")
@@ -505,27 +504,13 @@ def consistent_sample(ds, k: int = 100, merge_partitions: int = 16) -> pa.Table:
 
     def local(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # int64 view keeps lexsort order: DuckDB hash() is uint64 but the
-        # comparison must match, so order on the uint64 value
-        h = _murmur64(ids)
-        order = np.lexsort((ids, h))[:k]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], type=pa.int64()),
-                "h": pa.array(h[order].astype(np.int64), type=pa.int64()),
-            }
-        )
+        # DuckDB hash() is uint64, so ordering is on the uint64 value;
+        # the column stores the int64 bit pattern and views back
+        return bottomk(ids, _murmur64(ids))
 
     def merge(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.lexsort((ids, h))[:k]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], type=pa.int64()),
-                "h": pa.array(h[order].astype(np.int64), type=pa.int64()),
-            }
-        )
+        return bottomk(ids, batch["h"].to_numpy(zero_copy_only=False).view(np.uint64))
 
     cand = (
         ds.map_batches(local, batch_format="pyarrow")

@@ -111,6 +111,16 @@ def _distinct_per_doc(
 # ---------------- exact / prefix dedup ----------------
 
 
+def sorted_isin(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Vectorized membership of x in a SORTED array (the broadcast-
+    lookup primitive the map-side filters share): searchsorted + clip +
+    equality, correct on empty inputs."""
+    if len(sorted_vals) == 0 or len(x) == 0:
+        return np.zeros(len(x), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_vals, x), 0, len(sorted_vals) - 1)
+    return sorted_vals[pos] == x
+
+
 def min_per_key(ds, key: str, order_col: str, counts_col: str | None = None):
     """Vectorized `groupby(key) -> min-order_col row per key`: range-sort
     on the key (equal keys never straddle a block boundary — the same
@@ -427,11 +437,9 @@ def _remap_assign(remap: dict[int, int]):
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         cluster = ids.copy()
-        if len(keys):
-            pos = np.searchsorted(keys, ids)
-            pos = np.clip(pos, 0, len(keys) - 1)
-            hit = keys[pos] == ids
-            cluster[hit] = vals[pos[hit]]
+        hit = sorted_isin(keys, ids)
+        if hit.any():
+            cluster[hit] = vals[np.searchsorted(keys, ids[hit])]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -1002,9 +1010,7 @@ def fuzzy_decontaminate(train_ds, eval_ds, jaccard_threshold: float = 0.7):
 
     def flag(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = ray.get(ref)
-        pos = np.clip(np.searchsorted(m, ids), 0, max(len(m) - 1, 0))
-        hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), dtype=bool)
+        hit = sorted_isin(ray.get(ref), ids)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

@@ -224,16 +224,57 @@ def repair_compaction(out_dir: str) -> dict | None:
     return {"repaired_groups": len(done_groups)}
 
 
+def _assert_corpus_complete(out_dir: str, bucket_plan: dict) -> None:
+    """Compaction precondition: every encode/append that ever started
+    must have FINISHED. Compacting a partially-encoded corpus would
+    destroy the part keys its resume needs, so a later resume would
+    re-encode and silently duplicate rows (or, for the base encode, be
+    refused with buckets permanently missing)."""
+    import json
+
+    from .encode_job import _append_generations, _append_plan_path
+
+    gens = _append_generations(out_dir)
+    if gens:
+        latest = json.loads(_append_plan_path(out_dir, gens[-1]).read_text())
+        if not latest.get("completed"):
+            raise ValueError(
+                f"append generation g{gens[-1]} is incomplete — finish it "
+                "(encode --append --resume) before compacting"
+            )
+    if not compaction_generations(out_dir):
+        # never-compacted corpus: the base bucket keys must all exist
+        # (after a compaction they are legitimately replaced by c-keys,
+        # and that first compaction already verified them)
+        done = {
+            k for k, e in mf.load_manifest(out_dir).items()
+            if e.get("status") == "done"
+        }
+        expected = {
+            f"{src}:{i:05d}"
+            for src, n in bucket_plan.items()
+            for i in range(n)
+        }
+        missing = expected - done
+        if missing:
+            raise ValueError(
+                f"base encode incomplete ({len(missing)} buckets missing, "
+                f"e.g. {sorted(missing)[:3]}) — finish it (encode --resume) "
+                "before compacting"
+            )
+
+
 def compact_corpus(out_dir: str, target_bytes: int = 512 << 20) -> dict:
     """Run a full compaction pass (see module docstring). Returns a
     metrics dict; a corpus with nothing to merge is a no-op."""
     import ray.data as rd
 
-    _, _, _, config = mf.load_plan(out_dir)
+    _, bucket_plan, _, config = mf.load_plan(out_dir)
     assert config["mode"] in ("bucketed", "bucketed_groupby"), (
         "compaction requires a bucketed corpus (streaming outputs have no "
         "per-bucket manifest entries to merge)"
     )
+    _assert_corpus_complete(out_dir, bucket_plan)
     repair_compaction(out_dir)
     journal = plan_compaction(out_dir, target_bytes=target_bytes)
     if not journal["groups"]:
@@ -267,3 +308,24 @@ def _make_merge_fn(cdir: str):
         return pd.DataFrame({"merged": [len(df)]})
 
     return fn
+
+
+def assert_readable(out_dir: str) -> None:
+    """Read-path guard: an interrupted compaction leaves a window where
+    the chunks directory holds BOTH a merged file and its constituents
+    (glob decode would double-count) or the manifest references deleted
+    files (selective decode would 404). Reads must refuse until the
+    journal is replayed — `compact_corpus` repairs first, so running
+    `python -m fsst_ray compact` (or `repair_compaction`) converges."""
+    import json
+
+    gens = compaction_generations(out_dir)
+    if not gens:
+        return
+    journal = json.loads(_journal_path(out_dir, gens[-1]).read_text())
+    if not journal.get("completed"):
+        raise ValueError(
+            f"interrupted compaction g{gens[-1]} detected — run "
+            "`python -m fsst_ray compact` (repairs the journal first) "
+            "before decoding"
+        )

@@ -18,6 +18,9 @@ def read_encoded(out_dir: str):
     import ray
     import ray.data as rd
 
+    from .compact_job import assert_readable
+
+    assert_readable(out_dir)
     path = mf.chunks_dir(out_dir)
     nbytes = sum(f.stat().st_size for f in pathlib.Path(path).glob("*.parquet"))
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -173,6 +176,9 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
     # [doc_min, doc_max] range (recorded in the manifest at encode
     # time) cannot contain any requested id. Entries from older
     # manifests without zone fields are always scanned.
+    from .compact_job import assert_readable
+
+    assert_readable(out_dir)
     entries = mf.load_manifest(out_dir)
     wanted_np = np.array(wanted_sorted)
 
@@ -242,6 +248,9 @@ def decode_ntok_range(out_dir: str, lo: int, hi: int, stats: dict | None = None)
     import ray.data as rd
 
     path = mf.chunks_dir(out_dir)
+    from .compact_job import assert_readable
+
+    assert_readable(out_dir)
     entries = mf.load_manifest(out_dir)
     scan_files = [str(path / e["file"]) for e in entries.values()]
     if not scan_files:
@@ -291,6 +300,9 @@ def decode_source(out_dir: str, sources, stats: dict | None = None):
 
     wanted = set(sources) if not isinstance(sources, str) else {sources}
     path = mf.chunks_dir(out_dir)
+    from .compact_job import assert_readable
+
+    assert_readable(out_dir)
     entries = mf.load_manifest(out_dir)
     files = [
         str(path / e["file"])

@@ -250,3 +250,96 @@ def test_compact_legacy_entries_without_zone_maps(tokens_full, tmp_path, ray_ses
     }
     assert merged and all("doc_min" not in e for e in merged.values())
     assert verify_roundtrip(full_ds, out)["match"]
+
+
+def test_compact_refuses_crashed_append(tokens_full, tmp_path, ray_session):
+    """Compacting a corpus with an incomplete append generation would
+    destroy the g{N}- keys its resume needs (silent row duplication on
+    resume) — it must refuse instead."""
+    import ray.data as rd
+
+    from fsst_ray import append_dataset
+    from fsst_ray.pipelines.encode_job import _append_plan_path
+
+    idx = np.arange(tokens_full.num_rows)
+    half_a = tokens_full.take(pa.array(idx[idx % 2 == 0]))
+    half_b = tokens_full.take(pa.array(idx[idx % 2 == 1]))
+    out = str(tmp_path / "enc_c7")
+    encode_dataset(
+        rd.from_arrow(half_a), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    append_dataset(rd.from_arrow(half_b), out)
+    # simulate a crashed append: mark the latest plan incomplete
+    plan = json.loads(_append_plan_path(out, 1).read_text())
+    plan["completed"] = False
+    mf.write_json_atomic(_append_plan_path(out, 1), plan)
+
+    with pytest.raises(ValueError, match="append generation g1 is incomplete"):
+        compact_corpus(out, target_bytes=512 << 20)
+
+
+def test_compact_refuses_incomplete_base(tokens_full, tmp_path, ray_session):
+    import ray.data as rd
+
+    idx = np.arange(tokens_full.num_rows)
+    half_a = tokens_full.take(pa.array(idx[idx % 2 == 0]))
+    out = str(tmp_path / "enc_c8")
+    encode_dataset(
+        rd.from_arrow(half_a), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    # simulate a crashed base encode: drop one bucket's entry + file
+    entries = mf.load_manifest(out)
+    victim = sorted(entries)[0]
+    f = mf.chunks_dir(out) / entries[victim]["file"]
+    f.unlink()
+    del entries[victim]
+    mf.write_json_atomic(mf.compact_path(out), entries)
+
+    with pytest.raises(ValueError, match="base encode incomplete"):
+        compact_corpus(out, target_bytes=512 << 20)
+
+
+def test_reads_refused_during_interrupted_compaction(
+    tokens_full, tmp_path, ray_session
+):
+    """The rename-to-unlink crash window leaves both the merged file
+    and its constituents on disk; every read path must refuse until the
+    journal is replayed, then read bit-identically."""
+    from fsst_ray import decode_select, decode_source
+
+    out, full_ds = _build_fragmented(tokens_full, tmp_path, "enc_c9")
+    before = verify_roundtrip(full_ds, out)
+
+    journal = plan_compaction(out, target_bytes=512 << 20)
+    jp = pathlib.Path(out) / f"compaction_g{journal['generation']}.json"
+    mf.write_json_atomic(jp, journal)
+    # crash window: merged file landed, constituents NOT unlinked
+    g0 = journal["groups"][0]
+    cdir = mf.chunks_dir(out)
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables(
+        [pq.read_table(cdir / f) for f in g0["old_files"]], promote_options="none"
+    )
+    t = t.set_column(
+        t.schema.get_field_index("part_key"),
+        "part_key",
+        pa.array([g0["new_key"]] * t.num_rows, pa.string()),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("chunk_seq"),
+        "chunk_seq",
+        pa.array(range(t.num_rows), pa.int32()),
+    )
+    pq.write_table(t, cdir / g0["new_file"], compression="none")
+
+    with pytest.raises(ValueError, match="interrupted compaction"):
+        decode_dataset(out).count()
+    with pytest.raises(ValueError, match="interrupted compaction"):
+        decode_select(out, ["whatever"])
+    with pytest.raises(ValueError, match="interrupted compaction"):
+        decode_source(out, ["english"])
+
+    repair_compaction(out)
+    after = verify_roundtrip(full_ds, out)
+    assert after["match"] and after["decoded"] == before["decoded"]
