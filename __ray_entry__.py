@@ -567,6 +567,16 @@ def _q_jsonl_ingest(sf_dir: str):
     return ds.map_batches(word_stats_batch, batch_format="pyarrow")
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix over the events stream: distinct
+    (user, week) projection per block, one hash exchange on user_id,
+    per-user cohort = min week, matrix-sized final groupby. The event
+    stream itself never shuffles."""
+    from fsst_ray.functions.analytics import retention_cohorts
+
+    return retention_cohorts(_read(sf_dir, "events"))
+
+
 def _q_funnel_stages(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: one hash
     exchange on user_id, K masked reduceat sweeps per block compute
@@ -1090,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_rollup": _q_order_priority_rollup,
         "customer_orders_left": _q_customer_orders_left,
         "funnel_stages": _q_funnel_stages,
+        "retention_cohorts": _q_retention_cohorts,
         "jsonl_ingest": _q_jsonl_ingest,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1248,6 +1259,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY n_name, r_name"
+        ),
+        "retention_cohorts": (
+            # week = epoch_us // week_us; cohort = per-user min week
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS week FROM events), "
+            "c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id) "
+            "SELECT c.cohort AS cohort_week, uw.week - c.cohort AS week_offset, "
+            "COUNT(*) AS n_users FROM uw JOIN c ON uw.user_id = c.user_id "
+            "GROUP BY 1, 2"
         ),
         "funnel_stages": (
             # t_k = MIN ts of step k at/after t_{k-1}; stage = #steps hit

@@ -230,3 +230,84 @@ def funnel_stages(
             per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+def retention_cohorts(events_ds, week_s: int = 7 * 24 * 3600):
+    """Cohort retention matrix: users grouped by their first-activity
+    week (the cohort); for every later week in which a cohort member
+    was active, one (cohort_week, week_offset, n_users) cell.
+
+    Shape: a map pass projects DISTINCT (user_id, epoch_week) pairs per
+    block (np.unique — bounded by users x weeks, far below event rows);
+    ONE hash exchange on user_id; a block-level pass derives each
+    user's cohort (min week — first element per sorted group) and emits
+    (cohort, offset) pairs; map-side partial counts then reduce through
+    a matrix-sized groupby (weeks x weeks cells). The event stream is
+    never shuffled."""
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        week = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) // (
+            week_s * 1_000_000
+        )
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(users * np.int64(1 << 20) + week)
+        return pa.table(
+            {
+                "user_id": pa.array(key >> np.int64(20)),
+                "week": pa.array(key & np.int64((1 << 20) - 1)),
+            }
+        )
+
+    def cells(block: pa.Table) -> pa.Table:
+        users = block["user_id"].to_numpy(zero_copy_only=False)
+        weeks = block["week"].to_numpy(zero_copy_only=False)
+        if len(users) == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        # per-block projections are distinct only within their block —
+        # the same (user, week) pair can arrive from several blocks, so
+        # dedupe after the exchange (all of a user's rows co-locate)
+        key = np.unique(users * np.int64(1 << 20) + weeks)
+        users, weeks = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+        starts = np.concatenate([[0], np.flatnonzero(users[1:] != users[:-1]) + 1])
+        gid = np.cumsum(np.concatenate([[False], users[1:] != users[:-1]]))
+        cohort = weeks[starts][gid]  # per-user min week (sorted)
+        # distinct (user, week) pairs in, so each (cohort, offset) pair
+        # appears once per user: count directly
+        key = cohort * np.int64(1 << 20) + (weeks - cohort)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uniq >> np.int64(20)),
+                "week_offset": pa.array(uniq & np.int64((1 << 20) - 1)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pairs = events_ds.map_batches(
+        project, batch_size=None, batch_format="pyarrow"
+    )
+    per_block = pairs.sort("user_id").map_batches(
+        cells, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # matrix-sized reduce: weeks x weeks cells regardless of corpus size
+    agg = per_block.groupby(["cohort_week", "week_offset"]).sum("n_users")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_week": t["cohort_week"],
+                "week_offset": t["week_offset"],
+                "n_users": pc.cast(t["sum(n_users)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -174,3 +174,34 @@ def test_funnel_stages_semantics(ray_session):
     assert (r1.t1_us, r1.t2_us, r1.t3_us) == (10 * us, 20 * us, 30 * us)
     r3 = out[out.user_id == 3].iloc[0]
     assert r3.t1_us != r3.t1_us  # NaN: stage-0 user kept via sentinel
+
+
+def test_retention_cohorts_dedups_cross_block_pairs(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import retention_cohorts
+
+    us = 1_000_000
+    week = 7 * 24 * 3600 * us
+    rows = []
+    # user 1: cohort week 0, active weeks 0,1,3; duplicate events for
+    # the same (user, week) spread across partitions
+    for w in (0, 0, 1, 3, 3):
+        rows.append((1, w * week + 5 * us))
+    # user 2: cohort week 1, active weeks 1,2
+    for w in (1, 2):
+        rows.append((2, w * week + 5 * us))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+        }
+    )
+    # many partitions force cross-block duplicate (user, week) pairs
+    out = retention_cohorts(rd.from_arrow(t).repartition(5)).to_pandas()
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
