@@ -567,6 +567,16 @@ def _q_jsonl_ingest(sf_dir: str):
     return ds.map_batches(word_stats_batch, batch_format="pyarrow")
 
 
+def _q_length_outliers(sf_dir: str):
+    """Per-source length outliers (|z| > 3) with EXACT integer math:
+    sufficient statistics via a sources-sized groupby broadcast back,
+    cross-multiplied z-test so both engines compare the same BIGINTs."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.textstats import length_outliers
+
+    return length_outliers(read_tokens_dataset(scale=_scale_for(sf_dir)))
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Cohort retention matrix over the events stream: distinct
     (user, week) projection per block, one hash exchange on user_id,
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left": _q_customer_orders_left,
         "funnel_stages": _q_funnel_stages,
         "retention_cohorts": _q_retention_cohorts,
+        "length_outliers": _q_length_outliers,
         "jsonl_ingest": _q_jsonl_ingest,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1259,6 +1270,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY n_name, r_name"
+        ),
+        "length_outliers": (
+            # exact cross-multiplied z-test: (n*x-S)^2 > 9*(n*S2-S^2)
+            "WITH st AS (SELECT source, COUNT(*) AS n, SUM(n_tok) AS s, "
+            f"SUM(CAST(n_tok AS BIGINT) * n_tok) AS s2 FROM {corpus} "
+            "GROUP BY source) "
+            "SELECT c.doc_id, c.source, CAST(c.n_tok AS BIGINT) AS n_tok, "
+            "(st.n * c.n_tok - st.s) * (st.n * c.n_tok - st.s) > "
+            "9 * (st.n * st.s2 - st.s * st.s) AS is_outlier "
+            f"FROM {corpus} c JOIN st USING (source)"
         ),
         "retention_cohorts": (
             # week = epoch_us // week_us; cohort = per-user min week

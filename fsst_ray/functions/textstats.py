@@ -357,3 +357,81 @@ def distinctive_terms(ds, k: int = 10):
         .groupby("source")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def length_outliers(ds, k_sigma: int = 3):
+    """Per-source length-outlier flags: docs whose n_tok deviates more
+    than k standard deviations from their SOURCE's length distribution
+    — the data-quality screen for truncated/concatenated documents.
+
+    EXACT integer arithmetic end to end: per-block (source, n, sum,
+    sumsq) partials reduce through a sources-sized groupby, broadcast
+    via ray.put, and the per-doc test uses the cross-multiplied form
+
+        (n*x - S)^2  >  k^2 * (n*S2 - S^2)      [strict]
+
+    (z^2 > k^2 with both divisions cleared: mean = S/n and
+    var = (n*S2 - S^2)/n^2 share the n^2 denominator), so the flag is
+    bit-reproducible and SQL-recomputable with BIGINT math — no float
+    epsilon on either engine. int64 bounds (asserted): with
+    n_tok < 2^17, both sides stay under 2^63 while
+    rows-per-source < ~2^13.7; the per-source RHS threshold is computed
+    once in unbounded Python ints and only the int64-safe d = n*x - S
+    is vectorized. Returns (doc_id, source, n_tok, is_outlier)."""
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        x = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=x).astype(np.int64)
+        s2 = np.bincount(inv, weights=x * x).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(uniq.astype(str)),
+                "n": pa.array(n.astype(np.int64)),
+                "s": pa.array(s),
+                "s2": pa.array(s2),
+            }
+        )
+
+    rows = (
+        ds.select_columns(["source", "n_tok"])
+        .map_batches(partials, batch_size=None, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n", "s", "s2"])
+        .take_all()
+    )
+    # per-source (n, S, threshold = k^2 * (n*S2 - S^2)) — threshold in
+    # unbounded Python ints, then bounds-asserted before the int64 map
+    stats = {}
+    for r in rows:
+        n, s, s2 = int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(s2)"])
+        thr = k_sigma * k_sigma * (n * s2 - s * s)
+        assert thr < (1 << 62) and n * 65536 < (1 << 31), (
+            f"int64 bound exceeded for {r['source']}"
+        )
+        stats[r["source"]] = (n, s, thr)
+    ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        x = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n = np.array([st[u][0] for u in uniq], dtype=np.int64)[inv]
+        s = np.array([st[u][1] for u in uniq], dtype=np.int64)[inv]
+        rhs = np.array([st[u][2] for u in uniq], dtype=np.int64)[inv]
+        d = n * x - s
+        lhs = d * d
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pa.array(x),
+                "is_outlier": pa.array(lhs > rhs),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

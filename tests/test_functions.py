@@ -1174,3 +1174,36 @@ def test_kmeans_codes_corpus_smaller_than_k(ray_session):
     # every vector seeds its own cluster and stays there (dist 0)
     assert list(out["cluster"]) == [0, 1, 2, 3]
     assert (out["dist"] == 0).all()
+
+
+def test_length_outliers_exact_flags(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.textstats import length_outliers
+
+    # source "a": tight cluster around 100 plus one wild value. NB a
+    # lone outlier among n points caps its own |z| at sqrt(n-1) (it
+    # inflates the sigma it is measured against), so n must exceed 10
+    # for a 3-sigma flag — 24 cluster points give max |z| ~ 4.8
+    lens_a = [100 + (i % 5) - 2 for i in range(24)] + [5000]
+    # source "b": uniform spread, no outliers at 3 sigma
+    lens_b = [10, 20, 30, 40, 50]
+    lens = lens_a + lens_b
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(lens))], pa.string()),
+            "n_tok": pa.array(lens, pa.int32()),
+            "source": pa.array(["a"] * len(lens_a) + ["b"] * len(lens_b)),
+        }
+    )
+    out = length_outliers(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    flags = dict(zip(out["doc_id"], out["is_outlier"]))
+    assert flags["d24"]  # the 5000 in source a
+    assert not any(flags[f"d{i}"] for i in range(24))  # cluster members
+    assert not any(flags[f"d{i}"] for i in range(25, 30))  # uniform source
+
+    # the integer test agrees with the float z-score on every row
+    for src, group in out.groupby("source"):
+        x = group["n_tok"].to_numpy(dtype=np.float64)
+        z = (x - x.mean()) / max(x.std(), 1e-12)
+        assert (np.abs(z) > 3).tolist() == group["is_outlier"].tolist()
