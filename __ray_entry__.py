@@ -974,6 +974,40 @@ def _q_split_windows(sf_dir: str):
     return split_windows(ds, seq_len=512, stride=384)
 
 
+def _q_delete_roundtrip(sf_dir: str):
+    """Tombstone delete end-to-end: encode, delete every doc whose id
+    ends in '7' (SQL-reproducible), decode — deleted rows must never
+    surface, surviving rows must be bit-identical (per-doc checksum
+    vs the filtered oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fsst_ray import decode_dataset, delete_docs, encode_dataset
+    from fsst_ray.sources.tokens import ensure_tokens_parquet, read_parquet_bundled
+    from fsst_ray import read_tokens_dataset
+
+    scale = _scale_for(sf_dir)
+    path = ensure_tokens_parquet(scale)
+    ds = read_tokens_dataset(scale=scale)
+    out = _tmp_out("tomb")
+    encode_dataset(
+        ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19, input_path=path
+    )
+    dead: list[str] = []
+    for b in read_parquet_bundled(path, columns=["doc_id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        dead += t.filter(pc.ends_with(t["doc_id"], pattern="7"))["doc_id"].to_pylist()
+    delete_docs(out, dead)
+    sel = decode_dataset(out).map_batches(
+        _doc_checksum_table, batch_format="pyarrow"
+    )
+    parts = [pa.table(b) for b in sel.iter_batches(batch_format="pyarrow")]
+    assert parts, "decode returned no rows"
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
 def _q_decode_source(sf_dir: str):
     """Per-source selective decode (the "export the english split"
     read): pruning is purely manifest-level — buckets are per-source by
@@ -1137,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_metrics": _q_encode_metrics,
         "decode_point_lookup": _q_decode_point_lookup,
         "decode_source": _q_decode_source,
+        "delete_roundtrip": _q_delete_roundtrip,
         "decode_ntok_range": _q_decode_ntok_range,
     }
 
@@ -1686,6 +1721,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(list_sum(list_transform(tokens, "
             "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
             f"FROM {corpus} WHERE doc_id LIKE '%00'"
+        ),
+        "delete_roundtrip": (
+            "SELECT doc_id, n_tok, "
+            "CAST(COALESCE(list_sum(list_transform(tokens, "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
+            f"FROM {corpus} WHERE doc_id NOT LIKE '%7'"
         ),
         "decode_source": (
             "SELECT doc_id, n_tok, "

@@ -21,6 +21,7 @@ from .pipelines import (
     read_encoded,
     verify_roundtrip,
 )
+from .state.tombstones import delete_docs, purge_deletes
 from .sources import ensure_tokens_parquet, read_tokens_dataset, tokens_table
 
 __all__ = [
@@ -28,6 +29,8 @@ __all__ = [
     "encode_dataset",
     "append_dataset",
     "compact_corpus",
+    "delete_docs",
+    "purge_deletes",
     "decode_dataset",
     "decode_select",
     "decode_ntok_range",

@@ -8,6 +8,8 @@
                                [--ntok-range LO:HI] [--source S[,S...]]
                                [--output DIR]
     python -m fsst_ray compact --encoded ENCODED_DIR [--target-mb M]
+    python -m fsst_ray delete  --encoded ENCODED_DIR --doc-ids ID[,ID...]
+    python -m fsst_ray purge   --encoded ENCODED_DIR   # materialize deletes
     python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
     python -m fsst_ray stats   --encoded ENCODED_DIR
 
@@ -42,7 +44,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="fsst_ray")
     parser.add_argument(
         "command",
-        choices=["encode", "decode", "select", "verify", "stats", "compact"],
+        choices=["encode", "decode", "select", "verify", "stats", "compact",
+                 "delete", "purge"],
     )
     parser.add_argument(
         "--doc-ids", help="comma-separated doc ids (select): pruned point lookup"
@@ -168,6 +171,15 @@ def main(argv=None):
                         }
                     )
                 )
+        elif args.command == "delete":
+            from fsst_ray.state.tombstones import delete_docs
+
+            ids = [d for d in (args.doc_ids or "").split(",") if d]
+            print(json.dumps(delete_docs(args.encoded or args.input, ids)))
+        elif args.command == "purge":
+            from fsst_ray.state.tombstones import purge_deletes
+
+            print(json.dumps(purge_deletes(args.encoded or args.input)))
         elif args.command == "compact":
             from fsst_ray import compact_corpus
 

@@ -38,11 +38,21 @@ def read_encoded(out_dir: str):
 
 
 def decode_dataset(encoded_or_dir):
-    """Encoded chunks -> original (doc_id, tokens, n_tok, source) rows."""
+    """Encoded chunks -> original (doc_id, tokens, n_tok, source) rows.
+    Tombstoned rows (see state/tombstones.py) never surface."""
     encoded = (
         read_encoded(encoded_or_dir) if isinstance(encoded_or_dir, str) else encoded_or_dir
     )
-    return encoded.map_batches(decode_chunks_batch, batch_format="pyarrow", batch_size=None)
+    rows = encoded.map_batches(
+        decode_chunks_batch, batch_format="pyarrow", batch_size=None
+    )
+    if isinstance(encoded_or_dir, str):
+        from ..state.tombstones import tombstone_filter
+
+        drop = tombstone_filter(encoded_or_dir)
+        if drop is not None:
+            rows = rows.map_batches(drop, batch_format="pyarrow")
+    return rows
 
 
 def verify_roundtrip(original_ds, encoded_or_dir) -> dict:
@@ -90,6 +100,15 @@ def _collect_hits(scan_files, columns, find_hits):
             "part_key": pa.array([], type=pa.string()),
             "chunk_seq": pa.array([], type=pa.int32()),
         }
+    )
+
+
+def _apply_tombstones(out_dir: str, rows_ds):
+    from ..state.tombstones import tombstone_filter
+
+    drop = tombstone_filter(out_dir)
+    return rows_ds if drop is None else rows_ds.map_batches(
+        drop, batch_format="pyarrow"
     )
 
 
@@ -219,7 +238,7 @@ def decode_select(out_dir: str, doc_ids, stats: dict | None = None):
     def trim(rows: pa.Table) -> pa.Table:
         return rows.filter(pc.is_in(rows["doc_id"], value_set=ray.get(wanted_ref)))
 
-    return _phase_b_decode(path, entries, hits, stats, trim)
+    return _apply_tombstones(out_dir, _phase_b_decode(path, entries, hits, stats, trim))
 
 
 def decode_ntok_range(out_dir: str, lo: int, hi: int, stats: dict | None = None):
@@ -285,7 +304,7 @@ def decode_ntok_range(out_dir: str, lo: int, hi: int, stats: dict | None = None)
         )
         return rows.filter(keep)
 
-    return _phase_b_decode(path, entries, hits, stats, trim)
+    return _apply_tombstones(out_dir, _phase_b_decode(path, entries, hits, stats, trim))
 
 
 def decode_source(out_dir: str, sources, stats: dict | None = None):
@@ -326,4 +345,4 @@ def decode_source(out_dir: str, sources, stats: dict | None = None):
         # predicate on decoded rows anyway
         return batch.filter(pc.is_in(batch["source"], value_set=value_set))
 
-    return rows.map_batches(enforce, batch_format="pyarrow")
+    return _apply_tombstones(out_dir, rows.map_batches(enforce, batch_format="pyarrow"))

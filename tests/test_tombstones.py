@@ -1,0 +1,135 @@
+"""Tombstone deletes: every decode path hides deleted rows; purge
+materializes the deletion with zone-pruned per-file rewrites and
+clears the tombstones."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from fsst_ray import (
+    decode_dataset,
+    decode_select,
+    decode_source,
+    delete_docs,
+    encode_dataset,
+    purge_deletes,
+    verify_roundtrip,
+)
+from fsst_ray.sources.tokens import ensure_tokens_parquet
+from fsst_ray.state import manifest as mf
+from fsst_ray.state.tombstones import load_tombstones
+
+SCALE = 0.2
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    path = ensure_tokens_parquet(SCALE)
+    ds = rd.read_parquet(path, file_extensions=["parquet"])
+    full = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    out = str(tmp_path_factory.mktemp("tomb") / "enc")
+    encode_dataset(ds, out, chunk_tokens=1 << 14, bucket_tokens=1 << 15)
+    return out, full, ds
+
+
+def test_delete_hides_rows_everywhere_then_purge(corpus, ray_session):
+    import ray.data as rd
+
+    out, full, ds = corpus
+    all_ids = full["doc_id"].to_pylist()
+    # delete every 10th doc plus one english doc we can point-look-up
+    dead = sorted(all_ids[::10])
+    delete_docs(out, dead[: len(dead) // 2])
+    delete_docs(out, dead[len(dead) // 2 :])  # two batches union
+    dead_set = set(dead)
+
+    survivors = decode_dataset(out)
+    got_ids = set(
+        pa.concat_tables(
+            pa.table(b) for b in survivors.iter_batches(batch_format="pyarrow")
+        )["doc_id"].to_pylist()
+    )
+    assert got_ids == set(all_ids) - dead_set
+
+    # point lookup: a deleted id yields nothing, a live one decodes
+    live = next(i for i in all_ids if i not in dead_set)
+    assert decode_select(out, [dead[0]]).count() == 0
+    assert decode_select(out, [live]).count() == 1
+
+    # per-source export also filters
+    eng = decode_source(out, ["english"]).to_pandas()
+    assert not (set(eng["doc_id"]) & dead_set)
+
+    # roundtrip vs the FILTERED original matches; vs the full one must not
+    keep_ds = rd.from_arrow(
+        full.filter(
+            pc.invert(pc.is_in(full["doc_id"], value_set=pa.array(dead)))
+        )
+    )
+    assert verify_roundtrip(keep_ds, out)["match"]
+    assert not verify_roundtrip(ds, out)["match"]
+
+    # purge: files containing dead ids rewritten, others untouched
+    import pathlib
+
+    cdir = mf.chunks_dir(out)
+    before = {f.name: f.stat().st_mtime_ns for f in cdir.glob("*.parquet")}
+    res = purge_deletes(out)
+    assert res["purged_rows"] == len(dead)
+    assert res["files_rewritten"] >= 1
+    after = {f.name: f.stat().st_mtime_ns for f in cdir.glob("*.parquet")}
+    assert len(load_tombstones(out)) == 0
+    # manifest sums reflect the purge
+    sums = mf.summarize(mf.load_manifest(out))
+    assert sums["rows"] == len(all_ids) - len(dead)
+    # decode after purge: identical survivor set, bit-identical content
+    assert verify_roundtrip(keep_ds, out)["match"]
+    # a fresh delete-free corpus has no filter stage anymore
+    assert decode_select(out, [live]).count() == 1
+
+
+def test_purge_zone_pruning_skips_clean_files(corpus, ray_session, tmp_path):
+    import ray.data as rd
+
+    out, full, _ = corpus  # NOTE: module corpus already purged above —
+    # build a fresh one to control which files contain dead ids
+    out2 = str(tmp_path / "enc2")
+    ds = rd.from_arrow(full)
+    encode_dataset(ds, out2, chunk_tokens=1 << 14, bucket_tokens=1 << 15)
+    # delete ids from ONE source only; other sources' files must not move
+    eng = sorted(i for i in full["doc_id"].to_pylist() if i.startswith("english"))
+    delete_docs(out2, eng[:5])
+    cdir = mf.chunks_dir(out2)
+    before = {f.name: f.stat().st_mtime_ns for f in cdir.glob("*.parquet")}
+    res = purge_deletes(out2)
+    assert res["purged_rows"] == 5
+    after = {f.name: f.stat().st_mtime_ns for f in cdir.glob("*.parquet")}
+    untouched = [n for n in before if before[n] == after[n]]
+    touched = [n for n in before if before[n] != after[n]]
+    assert touched and untouched, (touched, untouched)
+    assert all(n.startswith("english") for n in touched), touched
+
+
+def test_delete_is_idempotent_and_empty_safe(corpus, ray_session, tmp_path):
+    import ray.data as rd
+
+    _, full, _ = corpus
+    out3 = str(tmp_path / "enc3")
+    encode_dataset(
+        rd.from_arrow(full.slice(0, 64)), out3, chunk_tokens=1 << 14,
+        bucket_tokens=1 << 15,
+    )
+    assert purge_deletes(out3) == {"purged_rows": 0, "files_rewritten": 0}
+    some = full.slice(0, 64)["doc_id"].to_pylist()[:3]
+    delete_docs(out3, some)
+    delete_docs(out3, some)  # duplicate batch: union, not double-count
+    assert list(load_tombstones(out3)) == sorted(some)
+    res = purge_deletes(out3)
+    assert res["purged_rows"] == 3
