@@ -114,6 +114,11 @@ def purge_deletes(out_dir: str) -> dict:
     from ..stages.encoder import encode_rows_to_chunks
     from ..stages.decoder import decode_chunks_batch
 
+    from ..pipelines.compact_job import assert_readable
+
+    # an interrupted compaction's manifest may reference superseded
+    # files — rewriting one would fork the corpus; replay it first
+    assert_readable(out_dir)
     dead = load_tombstones(out_dir)
     if len(dead) == 0:
         return {"purged_rows": 0, "files_rewritten": 0}
