@@ -974,6 +974,61 @@ def _q_split_windows(sf_dir: str):
     return split_windows(ds, seq_len=512, stride=384)
 
 
+def _q_upsert_roundtrip(sf_dir: str):
+    """Upsert end-to-end: encode the corpus, replace every doc whose id
+    ends in '3' with a modified version (tokens + [0]) via
+    delete+purge+append, decode — the union must equal the SQL CASE
+    oracle per-doc-checksum-exactly."""
+    import numpy as _np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fsst_ray import decode_dataset, encode_dataset, read_tokens_dataset, upsert_docs
+    from fsst_ray.sources.tokens import ensure_tokens_parquet, read_parquet_bundled
+
+    scale = _scale_for(sf_dir)
+    path = ensure_tokens_parquet(scale)
+    ds = read_tokens_dataset(scale=scale)
+    out = _tmp_out("upsert")
+    encode_dataset(
+        ds, out, chunk_tokens=1 << 17, bucket_tokens=1 << 19, input_path=path
+    )
+
+    def modified(batch):
+        t = pa.table(batch) if not isinstance(batch, pa.Table) else batch
+        sel = t.filter(pc.ends_with(t["doc_id"], pattern="3"))
+        toks = sel["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten().to_numpy(zero_copy_only=False).astype(_np.int32)
+        offs = _np.asarray(toks.offsets, dtype=_np.int64)
+        offs = offs - offs[0]
+        n = sel.num_rows
+        new_vals = _np.insert(vals, offs[1:].astype(_np.int64), 0)
+        new_offs = offs + _np.arange(n + 1)
+        new_toks = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), pa.array(new_vals, pa.int32())
+        )
+        ntok = sel["n_tok"].to_numpy(zero_copy_only=False).astype(_np.int32) + 1
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "tokens": new_toks,
+                "n_tok": pa.array(ntok, pa.int32()),
+                "source": sel["source"],
+            }
+        )
+
+    ups = read_parquet_bundled(path).map_batches(modified, batch_format="pyarrow")
+    upsert_docs(ups, out)
+    sel = decode_dataset(out).map_batches(
+        _doc_checksum_table, batch_format="pyarrow"
+    )
+    parts = [pa.table(b) for b in sel.iter_batches(batch_format="pyarrow")]
+    assert parts, "decode returned no rows"
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
 def _q_delete_roundtrip(sf_dir: str):
     """Tombstone delete end-to-end: encode, delete every doc whose id
     ends in '7' (SQL-reproducible), decode — deleted rows must never
@@ -1172,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_point_lookup": _q_decode_point_lookup,
         "decode_source": _q_decode_source,
         "delete_roundtrip": _q_delete_roundtrip,
+        "upsert_roundtrip": _q_upsert_roundtrip,
         "decode_ntok_range": _q_decode_ntok_range,
     }
 
@@ -1721,6 +1777,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(list_sum(list_transform(tokens, "
             "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
             f"FROM {corpus} WHERE doc_id LIKE '%00'"
+        ),
+        "upsert_roundtrip": (
+            "WITH m AS (SELECT doc_id, CASE WHEN doc_id LIKE '%3' "
+            "THEN list_append(tokens, 0) ELSE tokens END AS tokens "
+            f"FROM {corpus}) "
+            "SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok, "
+            "CAST(COALESCE(list_sum(list_transform(tokens, "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
+            "FROM m"
         ),
         "delete_roundtrip": (
             "SELECT doc_id, n_tok, "

@@ -73,6 +73,12 @@ def main(argv=None):
         "(reuses trained states; generation-tagged buckets)",
     )
     parser.add_argument(
+        "--upsert",
+        action="store_true",
+        help="encode: replace-or-insert the input rows into an EXISTING "
+        "corpus (delete+purge existing ids, then append)",
+    )
+    parser.add_argument(
         "--target-mb",
         type=int,
         default=512,
@@ -106,6 +112,11 @@ def main(argv=None):
             from fsst_ray.sources.tokens import read_parquet_bundled
 
             ds = read_parquet_bundled(args.input)
+            if args.upsert:
+                from fsst_ray import upsert_docs
+
+                print(json.dumps(upsert_docs(ds, args.output)))
+                return 0
             if args.append:
                 from fsst_ray import append_dataset
 

@@ -220,3 +220,26 @@ def purge_deletes(out_dir: str) -> dict:
     for f in tombstones_dir(out_dir).glob("del_*.parquet"):
         f.unlink()
     return {"purged_rows": purged_rows, "files_rewritten": rewritten}
+
+
+def upsert_docs(ds, out_dir: str) -> dict:
+    """Replace-or-insert: delete any existing rows with the incoming
+    doc_ids, MATERIALIZE the deletion (purge — required because a
+    tombstone would hide the re-appended id, see the module contract),
+    then append the new rows as a fresh generation. Cost: one
+    zone-pruned purge over the hit files + O(appended bytes) encode.
+    Returns the combined metrics."""
+    ids = []
+    for b in ds.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
+        ids += pa.table(b)["doc_id"].to_pylist()
+    from ..pipelines.encode_job import append_dataset
+
+    delete_docs(out_dir, ids)
+    purged = purge_deletes(out_dir)
+    res = append_dataset(ds, out_dir)
+    return {
+        "upserted": len(ids),
+        "replaced_rows": purged["purged_rows"],
+        "files_rewritten": purged["files_rewritten"],
+        "generation": res.metrics["generation"],
+    }

@@ -133,3 +133,51 @@ def test_delete_is_idempotent_and_empty_safe(corpus, ray_session, tmp_path):
     assert list(load_tombstones(out3)) == sorted(some)
     res = purge_deletes(out3)
     assert res["purged_rows"] == 3
+
+
+def test_upsert_replaces_and_inserts(corpus, ray_session, tmp_path):
+    import ray.data as rd
+
+    from fsst_ray import upsert_docs
+
+    _, full, _ = corpus
+    out = str(tmp_path / "enc_up")
+    base = full.slice(0, 200)
+    encode_dataset(
+        rd.from_arrow(base), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    # replace 3 existing docs with DIFFERENT tokens + insert 2 new ones
+    victims = base.slice(0, 3)
+    new_tokens = pa.array(
+        [[9, 9, 9], [8, 8], [7]], pa.list_(pa.int32())
+    )
+    up = pa.table(
+        {
+            "doc_id": pa.concat_arrays(
+                [victims["doc_id"].combine_chunks(), pa.array(["new-a", "new-b"])]
+            ),
+            "tokens": pa.concat_arrays(
+                [new_tokens, pa.array([[1, 2], [3]], pa.list_(pa.int32()))]
+            ),
+            "n_tok": pa.array([3, 2, 1, 2, 1], pa.int32()),
+            "source": pa.concat_arrays(
+                [victims["source"].combine_chunks(), pa.array(["english"] * 2)]
+            ),
+        }
+    )
+    res = upsert_docs(rd.from_arrow(up), out)
+    assert res["upserted"] == 5 and res["replaced_rows"] == 3
+    assert res["generation"] == 1
+
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in decode_dataset(out).iter_batches(batch_format="pyarrow")
+    )
+    assert rows.num_rows == 202  # 200 - 3 + 5
+    by_id = {
+        d: t for d, t in zip(rows["doc_id"].to_pylist(), rows["tokens"].to_pylist())
+    }
+    vid = victims["doc_id"].to_pylist()
+    assert by_id[vid[0]] == [9, 9, 9] and by_id[vid[2]] == [7]
+    assert by_id["new-a"] == [1, 2] and by_id["new-b"] == [3]
+    assert len(load_tombstones(out)) == 0  # purge cleared before append
