@@ -254,6 +254,12 @@ def retention_cohorts(events_ds, week_s: int = 7 * 24 * 3600):
             week_s * 1_000_000
         )
         users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # packed (user, week) key: 44-bit user + 20-bit week — assert
+        # loudly rather than silently corrupting the matrix for
+        # snowflake-scale ids or pre-1970 timestamps
+        if len(users):
+            assert users.min() >= 0 and users.max() < (1 << 43), "user_id exceeds 43-bit pack"
+            assert week.min() >= 0 and week.max() < (1 << 20), "week exceeds 20-bit pack"
         key = np.unique(users * np.int64(1 << 20) + week)
         return pa.table(
             {

@@ -387,20 +387,25 @@ def length_outliers(ds, k_sigma: int = 3):
         n = np.bincount(inv)
         s = np.bincount(inv, weights=x).astype(np.int64)
         s2 = np.bincount(inv, weights=x * x).astype(np.int64)
+        mx = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(mx, inv, x)
         return pa.table(
             {
                 "source": pa.array(uniq.astype(str)),
                 "n": pa.array(n.astype(np.int64)),
                 "s": pa.array(s),
                 "s2": pa.array(s2),
+                "mx": pa.array(mx),
             }
         )
+
+    from ray.data.aggregate import Max, Sum
 
     rows = (
         ds.select_columns(["source", "n_tok"])
         .map_batches(partials, batch_size=None, batch_format="pyarrow")
         .groupby("source")
-        .sum(["n", "s", "s2"])
+        .aggregate(Sum("n"), Sum("s"), Sum("s2"), Max("mx"))
         .take_all()
     )
     # per-source (n, S, threshold = k^2 * (n*S2 - S^2)) — threshold in
@@ -408,9 +413,12 @@ def length_outliers(ds, k_sigma: int = 3):
     stats = {}
     for r in rows:
         n, s, s2 = int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(s2)"])
+        mx = int(r["max(mx)"])
         thr = k_sigma * k_sigma * (n * s2 - s * s)
-        assert thr < (1 << 62) and n * 65536 < (1 << 31), (
-            f"int64 bound exceeded for {r['source']}"
+        # |d| = |n*x - S| <= n*mx, so d*d needs (n*mx)^2 < 2^62 — bound
+        # on the ACTUAL per-source max, not an assumed token ceiling
+        assert thr < (1 << 62) and n * mx < (1 << 31), (
+            f"int64 bound exceeded for {r['source']} (n={n}, max n_tok={mx})"
         )
         stats[r["source"]] = (n, s, thr)
     ref = ray.put(stats)

@@ -47,11 +47,7 @@ def decode_dataset(encoded_or_dir):
         decode_chunks_batch, batch_format="pyarrow", batch_size=None
     )
     if isinstance(encoded_or_dir, str):
-        from ..state.tombstones import tombstone_filter
-
-        drop = tombstone_filter(encoded_or_dir)
-        if drop is not None:
-            rows = rows.map_batches(drop, batch_format="pyarrow")
+        rows = _apply_tombstones(encoded_or_dir, rows)
     return rows
 
 

@@ -2,29 +2,34 @@
 
 Deleting documents from a 100-TB encoded corpus must not rewrite
 payload bytes — a delete batch lands as one parquet sidecar under
-`<out>/tombstones/` (atomic tmp+rename, one file per batch, the same
-uncoordinated-append discipline as manifest entries), and EVERY decode
-path (full scan, point lookup, length range, per-source) filters
-decoded rows against the broadcast tombstone set. Cost: O(delete-set)
-storage + one vectorized membership test per decoded batch.
+`<out>/tombstones/` (atomic tmp+rename, uniquely named per writer, the
+same uncoordinated-append discipline as manifest entries), and EVERY
+decode path (full scan, point lookup, length range, per-source)
+filters decoded rows against the broadcast tombstone set. Cost:
+O(delete-set) storage + one vectorized membership test per decoded
+batch.
 
 Contract:
 - the tombstone set is assumed broadcastable (deletes are a tiny
   fraction of the corpus; the purge below resets it to empty);
 - a deleted doc_id must NOT be re-appended before a purge — tombstones
   filter by id over the union corpus, so the new row would be hidden
-  too (`delete_docs` of an id currently visible, then append of a
-  fresh id, is the supported order);
+  too (`upsert_docs` composes the safe order);
 - `verify` against the ORIGINAL input will (correctly) mismatch once
   rows are deleted — the corpus no longer equals that input. The
   driver query compares against the SQL-filtered oracle instead.
 
 `purge_deletes` materializes the deletions: bucket files whose zone
 range can contain a tombstoned id are decoded, filtered and re-encoded
-with the corpus's saved per-source states (chunk payloads are
-self-contained, so this is a per-file local rewrite — no shuffle, no
-retraining), their manifest entries updated, and the tombstone files
-cleared. Files that cannot contain a deleted id are never touched.
+with the corpus's saved per-source states (base plan overlaid with
+every append generation's, so append-trained sources keep their
+symbol tables). It refuses on an incomplete corpus (an orphan file not
+yet in the manifest would silently resurrect its deleted rows when the
+tombstones clear) and is CRASH-CONVERGENT without a journal: every
+zone-hit file's manifest entry is recomputed from the file's CURRENT
+content on every run, so a rerun after any interruption lands on the
+same final state. Files that cannot contain a deleted id are never
+touched.
 """
 
 from __future__ import annotations
@@ -43,18 +48,22 @@ def tombstones_dir(out_dir: str) -> pathlib.Path:
 
 
 def delete_docs(out_dir: str, doc_ids) -> dict:
-    """Append one delete batch (sorted, deduped). Returns counts."""
+    """Append one delete batch (sorted, deduped). Batch files are
+    uniquely named per writer (pid + random suffix), so concurrent
+    delete calls never clobber each other. Returns counts."""
+    import uuid
+
     import pyarrow.parquet as pq
 
     ids = sorted({str(d) for d in doc_ids})
     tdir = tombstones_dir(out_dir)
     tdir.mkdir(parents=True, exist_ok=True)
-    seq = len(list(tdir.glob("del_*.parquet")))
-    final = tdir / f"del_{seq:05d}.parquet"
+    name = f"del_{os.getpid()}_{uuid.uuid4().hex[:10]}.parquet"
+    final = tdir / name
     tmp = final.with_suffix(".parquet.tmp")
     pq.write_table(pa.table({"doc_id": pa.array(ids, pa.string())}), tmp)
     os.replace(tmp, final)
-    return {"deleted": len(ids), "batch_file": final.name}
+    return {"deleted": len(ids), "batch_file": name}
 
 
 def load_tombstones(out_dir: str) -> np.ndarray:
@@ -79,9 +88,11 @@ def load_tombstones(out_dir: str) -> np.ndarray:
 
 def tombstone_filter(out_dir: str):
     """None when the corpus has no tombstones, else a map_batches fn
-    dropping tombstoned rows (vectorized sorted membership on the
-    broadcast set)."""
+    dropping tombstoned rows (shared sorted-membership primitive on
+    the broadcast set)."""
     import ray
+
+    from ..functions.dedup import sorted_isin
 
     dead = load_tombstones(out_dir)
     if len(dead) == 0:
@@ -89,40 +100,87 @@ def tombstone_filter(out_dir: str):
     ref = ray.put(dead)
 
     def drop(batch: pa.Table) -> pa.Table:
-        d = ray.get(ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
-        return batch.filter(pa.array(~(d[pos] == ids)))
+        return batch.filter(pa.array(~sorted_isin(ray.get(ref), ids)))
 
     return drop
 
 
+def _all_states(out_dir: str) -> dict:
+    """Base-plan codec states overlaid with every append generation's —
+    sources first seen in an append exist ONLY in that generation's
+    plan file, and re-encoding them without their symbol table would
+    silently fall back to a worse codec."""
+    import json
+
+    from ..pipelines.encode_job import _append_generations, _append_plan_path
+
+    states, _, _, _ = mf.load_plan(out_dir)
+    states = dict(states)
+    for gen in _append_generations(out_dir):
+        gstates, _, _, _ = mf.load_plan(
+            out_dir, path=_append_plan_path(out_dir, gen)
+        )
+        for src, st in gstates.items():
+            states.setdefault(src, st)
+    return states
+
+
+def _entry_from_chunks(key: str, old: dict, chunks: pa.Table) -> dict:
+    """Recompute a manifest entry from a file's chunk rows (the
+    crash-convergence primitive: entries always reflect on-disk
+    content)."""
+    new_e = dict(old)
+    new_e.update(
+        rows=int(pa.compute.sum(chunks["n_rows"]).as_py() or 0),
+        chunks=chunks.num_rows,
+        tokens=int(pa.compute.sum(chunks["n_values"]).as_py() or 0),
+        bytes_in=int(pa.compute.sum(chunks["bytes_in"]).as_py() or 0),
+        bytes_out=int(pa.compute.sum(chunks["bytes_out"]).as_py() or 0),
+        codecs={},
+    )
+    for c in chunks["codec"].to_pylist():
+        new_e["codecs"][c] = new_e["codecs"].get(c, 0) + 1
+    if "doc_min" in old:
+        doc_lists = chunks["doc_id"]
+        flat = (
+            doc_lists.combine_chunks()
+            if isinstance(doc_lists, pa.ChunkedArray)
+            else doc_lists
+        ).flatten()
+        if len(flat):
+            ids = sorted(flat.to_pylist())
+            new_e["doc_min"], new_e["doc_max"] = ids[0], ids[-1]
+    return new_e
+
+
 def purge_deletes(out_dir: str) -> dict:
-    """Materialize tombstones: re-write only the bucket files that can
-    contain a deleted id (zone-map pruned), dropping those rows, then
-    clear the tombstone files. Each victim file is an independent
-    decode -> filter -> re-encode task (the corpus's saved per-source
-    states broadcast once; chunk payloads are self-contained) fanned
-    out as one Ray Data map — no shuffle, no retraining, and files
-    whose zone range cannot contain a deleted id are never touched.
-    Returns counts."""
+    """Materialize tombstones (see module docstring): zone-pruned,
+    Ray-parallel per-file decode -> filter -> re-encode; a fully
+    tombstoned file is unlinked and its entry dropped; entries of every
+    zone-hit file are recomputed from current content (crash
+    convergence). Returns counts."""
     import json
 
     import ray
     import ray.data as rd
 
-    from ..stages.encoder import encode_rows_to_chunks
+    from ..functions.dedup import sorted_isin
+    from ..pipelines.compact_job import _assert_corpus_complete, assert_readable
     from ..stages.decoder import decode_chunks_batch
-
-    from ..pipelines.compact_job import assert_readable
+    from ..stages.encoder import encode_rows_to_chunks
 
     # an interrupted compaction's manifest may reference superseded
-    # files — rewriting one would fork the corpus; replay it first
+    # files; an incomplete encode/append may have orphan chunk files a
+    # manifest-driven purge would miss (their deleted rows would
+    # resurrect when the tombstones clear) — refuse both
     assert_readable(out_dir)
     dead = load_tombstones(out_dir)
     if len(dead) == 0:
         return {"purged_rows": 0, "files_rewritten": 0}
-    states, _, _, config = mf.load_plan(out_dir)
+    states, bucket_plan, _, config = mf.load_plan(out_dir)
+    _assert_corpus_complete(out_dir, bucket_plan)
+    states = _all_states(out_dir)
     entries = mf.load_manifest(out_dir)
     cdir = mf.chunks_dir(out_dir)
 
@@ -157,14 +215,32 @@ def purge_deletes(out_dir: str) -> dict:
         for rec in df.to_dict("records"):
             key, e = rec["key"], json.loads(rec["entry_json"])
             path = pathlib.Path(cdir_s) / e["file"]
-            rows = decode_chunks_batch(pq.read_table(path))
+            raw = pq.read_table(path)
+            rows = decode_chunks_batch(raw)
             ids = rows["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
-            hit = d[pos] == ids
+            hit = sorted_isin(d, ids)
             if not hit.any():
-                out_rows.append({"key": key, "entry_json": "", "purged": 0})
+                # crash convergence: a prior interrupted purge may have
+                # rewritten this file without updating its entry —
+                # recompute from current content either way
+                out_rows.append(
+                    {
+                        "key": key,
+                        "entry_json": json.dumps(_entry_from_chunks(key, e, raw)),
+                        "purged": 0,
+                        "action": "refresh",
+                    }
+                )
                 continue
             keep = rows.filter(pa.array(~hit))
+            if keep.num_rows == 0:
+                # every row tombstoned: drop the file and its entry
+                path.unlink()
+                out_rows.append(
+                    {"key": key, "entry_json": "", "purged": int(hit.sum()),
+                     "action": "drop"}
+                )
+                continue
             chunks = encode_rows_to_chunks(
                 keep, ray.get(states_ref), None, chunk_tokens, codecs
             )
@@ -182,22 +258,13 @@ def purge_deletes(out_dir: str) -> dict:
             tmp = path.with_suffix(".parquet.tmp")
             pq.write_table(chunks, tmp, compression="none")
             os.replace(tmp, path)
-            new_e = dict(e)
-            new_e.update(
-                rows=keep.num_rows,
-                chunks=n,
-                tokens=int(pa.compute.sum(chunks["n_values"]).as_py() or 0),
-                bytes_in=int(pa.compute.sum(chunks["bytes_in"]).as_py() or 0),
-                bytes_out=int(pa.compute.sum(chunks["bytes_out"]).as_py() or 0),
-                codecs={},
-            )
-            for c in chunks["codec"].to_pylist():
-                new_e["codecs"][c] = new_e["codecs"].get(c, 0) + 1
-            if keep.num_rows and "doc_min" in e:
-                kept_ids = sorted(keep["doc_id"].to_pylist())
-                new_e["doc_min"], new_e["doc_max"] = kept_ids[0], kept_ids[-1]
             out_rows.append(
-                {"key": key, "entry_json": json.dumps(new_e), "purged": int(hit.sum())}
+                {
+                    "key": key,
+                    "entry_json": json.dumps(_entry_from_chunks(key, e, chunks)),
+                    "purged": int(hit.sum()),
+                    "action": "rewrite",
+                }
             )
         return pd.DataFrame(out_rows)
 
@@ -210,9 +277,13 @@ def purge_deletes(out_dir: str) -> dict:
     rewritten = 0
     for r in results:
         purged_rows += int(r["purged"])
-        if r["entry_json"]:
-            entries[r["key"]] = json.loads(r["entry_json"])
+        if r["action"] == "drop":
+            entries.pop(r["key"], None)
             rewritten += 1
+        elif r["entry_json"]:
+            entries[r["key"]] = json.loads(r["entry_json"])
+            if r["action"] == "rewrite":
+                rewritten += 1
     mf.write_json_atomic(mf.compact_path(out_dir), entries)
     for p2 in mf.manifest_dir(out_dir).glob("*.json"):
         if p2.name != mf.compact_path(out_dir).name:

@@ -181,3 +181,74 @@ def test_upsert_replaces_and_inserts(corpus, ray_session, tmp_path):
     assert by_id[vid[0]] == [9, 9, 9] and by_id[vid[2]] == [7]
     assert by_id["new-a"] == [1, 2] and by_id["new-b"] == [3]
     assert len(load_tombstones(out)) == 0  # purge cleared before append
+
+
+def test_purge_drops_fully_tombstoned_file(corpus, ray_session, tmp_path):
+    """Deleting EVERY row of a bucket file must unlink the file and
+    drop its manifest entry — not crash re-encoding an empty table."""
+    import ray.data as rd
+
+    _, full, _ = corpus
+    out = str(tmp_path / "enc_empty")
+    encode_dataset(
+        rd.from_arrow(full), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    # kill an entire source (all of 'constant')
+    dead = [i for i in full["doc_id"].to_pylist() if i.startswith("constant")]
+    delete_docs(out, dead)
+    victim_keys = [k for k in mf.load_manifest(out) if k.startswith("constant")]
+    assert victim_keys
+    res = purge_deletes(out)
+    assert res["purged_rows"] == len(dead)
+    after = mf.load_manifest(out)
+    assert not any(k.startswith("constant") for k in after)
+    cdir = mf.chunks_dir(out)
+    assert not any(f.name.startswith("constant") for f in cdir.glob("*.parquet"))
+    # corpus still decodes to exactly the survivors
+    assert decode_dataset(out).count() == full.num_rows - len(dead)
+
+
+def test_purge_uses_append_generation_states(corpus, ray_session, tmp_path):
+    """A source first seen in an append generation has its fsst state
+    only in that generation's plan — purge must overlay it, or the
+    rewrite silently falls back to a worse codec."""
+    import ray.data as rd
+
+    from fsst_ray import append_dataset
+
+    _, full, _ = corpus
+    out = str(tmp_path / "enc_genstate")
+    encode_dataset(
+        rd.from_arrow(full.slice(0, 128)), out,
+        chunk_tokens=1 << 14, bucket_tokens=1 << 15,
+    )
+    # append a NEW source whose text-like tokens want the fsst codec
+    eng = full.filter(
+        pa.compute.equal(full["source"], pa.scalar("english"))
+    ).slice(0, 40)
+    new_src = eng.set_column(
+        eng.schema.get_field_index("source"),
+        "source",
+        pa.array(["appended-src"] * eng.num_rows, pa.string()),
+    )
+    new_src = new_src.set_column(
+        new_src.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([f"appended-{i:04d}" for i in range(eng.num_rows)], pa.string()),
+    )
+    append_dataset(rd.from_arrow(new_src), out)
+    entries = mf.load_manifest(out)
+    key = next(k for k in entries if k.startswith("appended-src"))
+    codecs_before = dict(entries[key]["codecs"])
+    bytes_before = entries[key]["bytes_out"]
+
+    # delete ONE appended doc and purge: the rewrite must keep the
+    # same codec mix (same states), not balloon to a fallback
+    delete_docs(out, ["appended-0000"])
+    res = purge_deletes(out)
+    assert res["purged_rows"] == 1
+    after = mf.load_manifest(out)[key]
+    assert set(after["codecs"]) == set(codecs_before), (
+        codecs_before, after["codecs"],
+    )
+    assert after["bytes_out"] <= bytes_before
