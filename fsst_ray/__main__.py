@@ -3,6 +3,7 @@
     python -m fsst_ray encode  --input DIR --output DIR [--mode bucketed]
                                [--chunk-tokens N] [--bucket-tokens N] [--resume]
                                [--append]   # incremental ingest into --output
+                               [--upsert]   # replace-or-insert into --output
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
     python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
                                [--ntok-range LO:HI] [--source S[,S...]]
@@ -11,7 +12,7 @@
     python -m fsst_ray delete  --encoded ENCODED_DIR --doc-ids ID[,ID...]
     python -m fsst_ray purge   --encoded ENCODED_DIR   # materialize deletes
     python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
-    python -m fsst_ray stats   --encoded ENCODED_DIR
+    python -m fsst_ray stats   --encoded ENCODED_DIR [--by-source]
 
 Owns its Ray session (scripts only — library code never calls ray.init).
 """
