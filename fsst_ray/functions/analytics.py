@@ -254,7 +254,7 @@ def retention_cohorts(events_ds, week_s: int = 7 * 24 * 3600):
             week_s * 1_000_000
         )
         users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # packed (user, week) key: 44-bit user + 20-bit week — assert
+        # packed (user, week) key: 43-bit user + 20-bit week — assert
         # loudly rather than silently corrupting the matrix for
         # snowflake-scale ids or pre-1970 timestamps
         if len(users):

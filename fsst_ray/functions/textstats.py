@@ -385,8 +385,13 @@ def length_outliers(ds, k_sigma: int = 3):
         x = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(src, return_inverse=True)
         n = np.bincount(inv)
-        s = np.bincount(inv, weights=x).astype(np.int64)
-        s2 = np.bincount(inv, weights=x * x).astype(np.int64)
+        # integer accumulation (np.add.at), NOT float bincount weights:
+        # sums of x*x pass 2^53 long before the int64 bound and float64
+        # would silently round them
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, x)
+        s2 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s2, inv, x * x)
         mx = np.zeros(len(uniq), dtype=np.int64)
         np.maximum.at(mx, inv, x)
         return pa.table(
@@ -415,9 +420,10 @@ def length_outliers(ds, k_sigma: int = 3):
         n, s, s2 = int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(s2)"])
         mx = int(r["max(mx)"])
         thr = k_sigma * k_sigma * (n * s2 - s * s)
-        # |d| = |n*x - S| <= n*mx, so d*d needs (n*mx)^2 < 2^62 — bound
-        # on the ACTUAL per-source max, not an assumed token ceiling
-        assert thr < (1 << 62) and n * mx < (1 << 31), (
+        # |d| = |n*x - S| <= n*mx, so d*d needs (n*mx)^2 < 2^62; the
+        # s2 partial itself needs n*mx*mx < 2^62 per block — bound on
+        # the ACTUAL per-source max, not an assumed token ceiling
+        assert thr < (1 << 62) and n * mx < (1 << 31) and n * mx * mx < (1 << 62), (
             f"int64 bound exceeded for {r['source']} (n={n}, max n_tok={mx})"
         )
         stats[r["source"]] = (n, s, thr)

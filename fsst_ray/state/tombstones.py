@@ -66,20 +66,23 @@ def delete_docs(out_dir: str, doc_ids) -> dict:
     return {"deleted": len(ids), "batch_file": name}
 
 
-def load_tombstones(out_dir: str) -> np.ndarray:
-    """Sorted unique doc_id array of every delete batch (empty when
-    none). Driver-side and broadcast once per job — delete-set-sized,
-    never corpus-sized."""
+def _tombstone_batches(out_dir: str) -> list[pathlib.Path]:
+    tdir = tombstones_dir(out_dir)
+    return sorted(tdir.glob("del_*.parquet")) if tdir.exists() else []
+
+
+def load_tombstones(out_dir: str, files: list[pathlib.Path] | None = None) -> np.ndarray:
+    """Sorted unique doc_id array of the given delete batches (default:
+    all current ones). Driver-side and broadcast once per job —
+    delete-set-sized, never corpus-sized."""
     import pyarrow.parquet as pq
 
-    tdir = tombstones_dir(out_dir)
-    if not tdir.exists():
-        return np.array([], dtype=str)
+    files = _tombstone_batches(out_dir) if files is None else files
     parts = [
         pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
             zero_copy_only=False
         )
-        for f in sorted(tdir.glob("del_*.parquet"))
+        for f in files
     ]
     if not parts:
         return np.array([], dtype=str)
@@ -115,8 +118,8 @@ def _all_states(out_dir: str) -> dict:
 
     from ..pipelines.encode_job import _append_generations, _append_plan_path
 
-    states, _, _, _ = mf.load_plan(out_dir)
-    states = dict(states)
+    base_states, _, _, _ = mf.load_plan(out_dir)
+    states = dict(base_states)
     for gen in _append_generations(out_dir):
         gstates, _, _, _ = mf.load_plan(
             out_dir, path=_append_plan_path(out_dir, gen)
@@ -149,17 +152,22 @@ def _entry_from_chunks(key: str, old: dict, chunks: pa.Table) -> dict:
             else doc_lists
         ).flatten()
         if len(flat):
-            ids = sorted(flat.to_pylist())
-            new_e["doc_min"], new_e["doc_max"] = ids[0], ids[-1]
+            mm = pa.compute.min_max(flat)
+            new_e["doc_min"] = mm["min"].as_py()
+            new_e["doc_max"] = mm["max"].as_py()
     return new_e
 
 
 def purge_deletes(out_dir: str) -> dict:
     """Materialize tombstones (see module docstring): zone-pruned,
     Ray-parallel per-file decode -> filter -> re-encode; a fully
-    tombstoned file is unlinked and its entry dropped; entries of every
-    zone-hit file are recomputed from current content (crash
-    convergence). Returns counts."""
+    tombstoned file becomes an EMPTY chunk file (its part key stays in
+    the manifest, preserving the corpus-completeness invariant, and the
+    tmp+rename keeps the path crash-convergent); entries of every
+    zone-hit file are recomputed from current content. Only the delete
+    batches snapshotted at the start are cleared — a concurrent
+    delete_docs landing mid-purge survives for the next one. Returns
+    counts."""
     import json
 
     import ray
@@ -175,10 +183,13 @@ def purge_deletes(out_dir: str) -> dict:
     # manifest-driven purge would miss (their deleted rows would
     # resurrect when the tombstones clear) — refuse both
     assert_readable(out_dir)
-    dead = load_tombstones(out_dir)
+    # snapshot the batch files NOW: a delete_docs that lands after this
+    # point is NOT part of this purge and must survive the cleanup
+    batch_files = _tombstone_batches(out_dir)
+    dead = load_tombstones(out_dir, files=batch_files)
     if len(dead) == 0:
         return {"purged_rows": 0, "files_rewritten": 0}
-    states, bucket_plan, _, config = mf.load_plan(out_dir)
+    _, bucket_plan, _, config = mf.load_plan(out_dir)
     _assert_corpus_complete(out_dir, bucket_plan)
     states = _all_states(out_dir)
     entries = mf.load_manifest(out_dir)
@@ -197,7 +208,7 @@ def purge_deletes(out_dir: str) -> dict:
         if may_hit(e)
     ]
     if not victims:
-        for f in tombstones_dir(out_dir).glob("del_*.parquet"):
+        for f in batch_files:
             f.unlink()
         return {"purged_rows": 0, "files_rewritten": 0}
     states_ref = ray.put(states)
@@ -234,16 +245,16 @@ def purge_deletes(out_dir: str) -> dict:
                 continue
             keep = rows.filter(pa.array(~hit))
             if keep.num_rows == 0:
-                # every row tombstoned: drop the file and its entry
-                path.unlink()
-                out_rows.append(
-                    {"key": key, "entry_json": "", "purged": int(hit.sum()),
-                     "action": "drop"}
+                # every row tombstoned: the file becomes an EMPTY chunk
+                # file (schema preserved via slice(0)) rather than being
+                # unlinked — the part key stays in the manifest so the
+                # corpus-completeness invariant holds for resume/compact,
+                # and the tmp+rename keeps this path crash-convergent
+                chunks = raw.slice(0, 0)
+            else:
+                chunks = encode_rows_to_chunks(
+                    keep, ray.get(states_ref), None, chunk_tokens, codecs
                 )
-                continue
-            chunks = encode_rows_to_chunks(
-                keep, ray.get(states_ref), None, chunk_tokens, codecs
-            )
             n = chunks.num_rows
             chunks = chunks.set_column(
                 chunks.schema.get_field_index("part_key"),
@@ -277,10 +288,7 @@ def purge_deletes(out_dir: str) -> dict:
     rewritten = 0
     for r in results:
         purged_rows += int(r["purged"])
-        if r["action"] == "drop":
-            entries.pop(r["key"], None)
-            rewritten += 1
-        elif r["entry_json"]:
+        if r["entry_json"]:
             entries[r["key"]] = json.loads(r["entry_json"])
             if r["action"] == "rewrite":
                 rewritten += 1
@@ -288,8 +296,9 @@ def purge_deletes(out_dir: str) -> dict:
     for p2 in mf.manifest_dir(out_dir).glob("*.json"):
         if p2.name != mf.compact_path(out_dir).name:
             p2.unlink()
-    for f in tombstones_dir(out_dir).glob("del_*.parquet"):
-        f.unlink()
+    for f in batch_files:
+        if f.exists():
+            f.unlink()
     return {"purged_rows": purged_rows, "files_rewritten": rewritten}
 
 

@@ -43,7 +43,11 @@ def _snapshot(out) -> dict[str, list[int]]:
     rows = pa.concat_tables(
         pa.table(b) for b in decode_dataset(out).iter_batches(batch_format="pyarrow")
     )
-    return dict(zip(rows["doc_id"].to_pylist(), rows["tokens"].to_pylist()))
+    ids = rows["doc_id"].to_pylist()
+    # duplicate-blindness guard: a dict would silently collapse a
+    # double-decoded row — assert id uniqueness before keying
+    assert len(ids) == len(set(ids)), "duplicate doc_ids decoded"
+    return dict(zip(ids, rows["tokens"].to_pylist()))
 
 
 @pytest.mark.parametrize("seed", [101, 202])

@@ -183,9 +183,11 @@ def test_upsert_replaces_and_inserts(corpus, ray_session, tmp_path):
     assert len(load_tombstones(out)) == 0  # purge cleared before append
 
 
-def test_purge_drops_fully_tombstoned_file(corpus, ray_session, tmp_path):
-    """Deleting EVERY row of a bucket file must unlink the file and
-    drop its manifest entry — not crash re-encoding an empty table."""
+def test_purge_empties_fully_tombstoned_file(corpus, ray_session, tmp_path):
+    """Deleting EVERY row of a bucket file must leave an EMPTY chunk
+    file with its manifest entry at rows=0 — not crash, and not drop
+    the part key (dropping it bricked every later purge/compact behind
+    the corpus-completeness check)."""
     import ray.data as rd
 
     _, full, _ = corpus
@@ -201,11 +203,21 @@ def test_purge_drops_fully_tombstoned_file(corpus, ray_session, tmp_path):
     res = purge_deletes(out)
     assert res["purged_rows"] == len(dead)
     after = mf.load_manifest(out)
-    assert not any(k.startswith("constant") for k in after)
-    cdir = mf.chunks_dir(out)
-    assert not any(f.name.startswith("constant") for f in cdir.glob("*.parquet"))
+    # entries survive at rows=0, files exist but hold no chunks
+    for k in victim_keys:
+        assert after[k]["rows"] == 0 and after[k]["chunks"] == 0
+        assert (mf.chunks_dir(out) / after[k]["file"]).exists()
     # corpus still decodes to exactly the survivors
     assert decode_dataset(out).count() == full.num_rows - len(dead)
+
+    # THE REGRESSION: later lifecycle ops must still work (previously
+    # the dropped key tripped the base-completeness guard forever)
+    live = next(i for i in full["doc_id"].to_pylist() if not i.startswith("constant"))
+    delete_docs(out, [live])
+    res2 = purge_deletes(out)
+    assert res2["purged_rows"] == 1
+    compact_res = __import__("fsst_ray").compact_corpus(out, target_bytes=512 << 20)
+    assert decode_dataset(out).count() == full.num_rows - len(dead) - 1
 
 
 def test_purge_uses_append_generation_states(corpus, ray_session, tmp_path):
