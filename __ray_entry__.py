@@ -537,6 +537,35 @@ def _q_order_priority_rollup(sf_dir: str):
     return order_priority_rollup(li, od)
 
 
+def _q_csv_ingest(sf_dir: str):
+    """CSV source end-to-end: export the documents table to CSV once
+    (cached per scale), re-ingest through the shared normalizer, run
+    word_stats — landing on the parquet oracle proves the CSV path
+    lossless. Text is embedded-newline/quote-safe via csv.writer."""
+    import csv as _csv
+    import pathlib as _pl
+
+    from fsst_ray.functions.textstats import word_stats_batch
+    from fsst_ray.sources.documents import read_documents_csv
+
+    tag = _pl.Path(sf_dir).name
+    cdir = _pl.Path(f"/tmp/fsst_ray_runs/docs_csv_{tag}")
+    marker = cdir / "_done"
+    if not marker.exists():
+        cdir.mkdir(parents=True, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        with open(cdir / "docs.csv", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["doc_id", "text"])
+            for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                w.writerow([did, txt])
+        marker.write_text("ok")
+    ds = read_documents_csv(str(cdir / "docs.csv"))
+    return ds.map_batches(word_stats_batch, batch_format="pyarrow")
+
+
 def _q_jsonl_ingest(sf_dir: str):
     """JSONL source end-to-end: export the documents table to JSONL
     once (cached per scale), re-ingest it through the normalizing
@@ -1202,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "length_outliers": _q_length_outliers,
         "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1280,6 +1310,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": (
             "SELECT substring(text, 1, 40) AS prefix_key, MIN(doc_id) AS doc_id, "
             "COUNT(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "csv_ingest": (
+            # identical to word_stats — the CSV round trip must be lossless
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents"
         ),
         "jsonl_ingest": (
             # identical to word_stats — the JSONL round trip must be

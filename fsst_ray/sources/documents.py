@@ -1,4 +1,4 @@
-"""Document-corpus sources beyond parquet: JSONL ingestion.
+"""Document-corpus sources beyond parquet: JSONL and CSV ingestion.
 
 JSONL is the de-facto interchange format for web-scale text corpora;
 this reader normalizes it to the documents schema the operators in
@@ -28,15 +28,19 @@ def read_documents_jsonl(path: str, text_key: str = "text", id_key: str = "doc_i
     DOCUMENTS_SCHEMA. Missing doc_ids get a deterministic 63-bit
     content hash (stable across reruns and repartitioning); missing
     lang/source become empty strings."""
-    import polars as pl
     import ray.data as rd
 
     ds = rd.read_json(path, file_extensions=["jsonl", "json"])
+    return _normalized(ds, text_key, id_key)
+
+
+def _normalized(ds, text_key: str, id_key: str):
+    import polars as pl
 
     def normalize(batch: pa.Table) -> pa.Table:
         names = set(batch.schema.names)
         if text_key not in names:
-            raise ValueError(f"jsonl rows lack a '{text_key}' field: {sorted(names)}")
+            raise ValueError(f"rows lack a '{text_key}' field: {sorted(names)}")
         text = batch[text_key]
         text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
         if text.type != pa.string():
@@ -66,3 +70,14 @@ def read_documents_jsonl(path: str, text_key: str = "text", id_key: str = "doc_i
         )
 
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def read_documents_csv(path: str, text_key: str = "text", id_key: str = "doc_id"):
+    """Ray Dataset over CSV document files, normalized to
+    DOCUMENTS_SCHEMA with the same rules as the JSONL reader (shared
+    normalizer: content-hash ids when absent, empty lang/source).
+    Reading streams through ray.data.read_csv."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path, file_extensions=["csv"])
+    return _normalized(ds, text_key, id_key)

@@ -1207,3 +1207,21 @@ def test_length_outliers_exact_flags(ray_session):
         x = group["n_tok"].to_numpy(dtype=np.float64)
         z = (x - x.mean()) / max(x.std(), 1e-12)
         assert (np.abs(z) > 3).tolist() == group["is_outlier"].tolist()
+
+
+def test_csv_source_normalizes_like_jsonl(ray_session, tmp_path):
+    import csv
+
+    from fsst_ray.sources.documents import read_documents_csv
+
+    f = tmp_path / "docs.csv"
+    with open(f, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["doc_id", "text"])
+        w.writerow([1, "hello world"])
+        w.writerow([2, 'embedded "quotes" and, commas'])
+        w.writerow([3, "line\nbreak survives csv quoting"])
+    out = read_documents_csv(str(f)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert out["text"].iloc[2] == "line\nbreak survives csv quoting"
+    assert (out["lang"] == "").all() and (out["source"] == "").all()
