@@ -537,63 +537,62 @@ def _q_order_priority_rollup(sf_dir: str):
     return order_priority_rollup(li, od)
 
 
-def _q_csv_ingest(sf_dir: str):
-    """CSV source end-to-end: export the documents table to CSV once
-    (cached per scale), re-ingest through the shared normalizer, run
-    word_stats — landing on the parquet oracle proves the CSV path
-    lossless. Text is embedded-newline/quote-safe via csv.writer."""
-    import csv as _csv
+def _docs_export_once(sf_dir: str, tag: str, filename: str, write_rows):
+    """Export the documents table to an alternate format once per
+    scale (cached under /tmp with a _done marker); returns the file
+    path. `write_rows(f, pairs)` writes the (doc_id, text) rows."""
     import pathlib as _pl
+
+    d = _pl.Path(f"/tmp/fsst_ray_runs/docs_{tag}_{_pl.Path(sf_dir).name}")
+    marker = d / "_done"
+    if not marker.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        with open(d / filename, "w", newline="") as f:
+            write_rows(f, zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        marker.write_text("ok")
+    return str(d / filename)
+
+
+def _q_csv_ingest(sf_dir: str):
+    """CSV source end-to-end: export the documents table to CSV once,
+    re-ingest through the shared normalizer, run word_stats — landing
+    on the parquet oracle proves the CSV path lossless. Text is
+    embedded-newline/quote-safe via csv.writer."""
+    import csv as _csv
 
     from fsst_ray.functions.textstats import word_stats_batch
     from fsst_ray.sources.documents import read_documents_csv
 
-    tag = _pl.Path(sf_dir).name
-    cdir = _pl.Path(f"/tmp/fsst_ray_runs/docs_csv_{tag}")
-    marker = cdir / "_done"
-    if not marker.exists():
-        cdir.mkdir(parents=True, exist_ok=True)
-        import pyarrow.parquet as _pq
+    def write_rows(f, pairs):
+        w = _csv.writer(f)
+        w.writerow(["doc_id", "text"])
+        w.writerows(pairs)
 
-        t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        with open(cdir / "docs.csv", "w", newline="") as f:
-            w = _csv.writer(f)
-            w.writerow(["doc_id", "text"])
-            for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                w.writerow([did, txt])
-        marker.write_text("ok")
-    ds = read_documents_csv(str(cdir / "docs.csv"))
-    return ds.map_batches(word_stats_batch, batch_format="pyarrow")
+    path = _docs_export_once(sf_dir, "csv", "docs.csv", write_rows)
+    return read_documents_csv(path).map_batches(
+        word_stats_batch, batch_format="pyarrow"
+    )
 
 
 def _q_jsonl_ingest(sf_dir: str):
-    """JSONL source end-to-end: export the documents table to JSONL
-    once (cached per scale), re-ingest it through the normalizing
-    JSONL reader, and run word_stats over the result — landing on the
-    parquet-oracle numbers proves the alternate source format feeds
-    the operator suite losslessly."""
+    """JSONL source end-to-end: same lossless proof as csv_ingest,
+    through the JSONL reader."""
     import json as _json
-    import pathlib as _pl
 
     from fsst_ray.functions.textstats import word_stats_batch
     from fsst_ray.sources.documents import read_documents_jsonl
 
-    tag = _pl.Path(sf_dir).name
-    jdir = _pl.Path(f"/tmp/fsst_ray_runs/docs_jsonl_{tag}")
-    marker = jdir / "_done"
-    if not marker.exists():
-        jdir.mkdir(parents=True, exist_ok=True)
-        import pyarrow.parquet as _pq
+    def write_rows(f, pairs):
+        for did, txt in pairs:
+            f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
 
-        t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        with open(jdir / "docs.jsonl", "w") as f:
-            for did, txt in zip(
-                t["doc_id"].to_pylist(), t["text"].to_pylist()
-            ):
-                f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
-        marker.write_text("ok")
-    ds = read_documents_jsonl(str(jdir / "docs.jsonl"))
-    return ds.map_batches(word_stats_batch, batch_format="pyarrow")
+    path = _docs_export_once(sf_dir, "jsonl", "docs.jsonl", write_rows)
+    return read_documents_jsonl(path).map_batches(
+        word_stats_batch, batch_format="pyarrow"
+    )
 
 
 def _q_length_outliers(sf_dir: str):

@@ -181,15 +181,16 @@ def _merge_group(cdir: pathlib.Path, group: dict) -> None:
 
 
 def _install_manifest(out_dir: str, journal: dict) -> None:
+    # sidecars snapshotted BEFORE the load: an entry a concurrent
+    # append writes after this point survives consolidation and
+    # overlays the new map on the next load (newest wins)
+    sidecars = mf.manifest_sidecars(out_dir)
     entries = mf.load_manifest(out_dir)
     for g in journal["groups"]:
         for k in g["old_keys"]:
             entries.pop(k, None)
         entries[g["new_key"]] = g["entry"]
-    mf.write_json_atomic(mf.compact_path(out_dir), entries)
-    for p in mf.manifest_dir(out_dir).glob("*.json"):
-        if p.name != mf.compact_path(out_dir).name:
-            p.unlink()
+    mf.consolidate_manifest(out_dir, entries, sidecars)
 
 
 def repair_compaction(out_dir: str) -> dict | None:

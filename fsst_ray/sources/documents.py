@@ -46,11 +46,23 @@ def _normalized(ds, text_key: str, id_key: str):
         if text.type != pa.string():
             text = text.cast(pa.string())
         n = batch.num_rows
+        hashed = (
+            pl.from_arrow(text).hash(seed=17).to_numpy().astype(np.uint64)
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
         if id_key in names:
-            ids = batch[id_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            col = batch[id_key]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            # null ids (e.g. an empty CSV field) would round-trip
+            # through float NaN to INT64_MIN and collide — fall back to
+            # the content hash per-row instead
+            ids = np.where(
+                np.asarray(col.is_null()),
+                hashed,
+                col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64),
+            )
         else:
-            h = pl.from_arrow(text).hash(seed=17).to_numpy().astype(np.uint64)
-            ids = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            ids = hashed
 
         def opt(col: str) -> pa.Array:
             if col in names:

@@ -189,3 +189,27 @@ def summarize_by_source(entries: dict[str, dict]) -> dict[str, dict]:
             s["bytes_per_token"] = s["bytes_out"] / s["tokens"]
             s["compression_ratio"] = s["bytes_in"] / max(s["bytes_out"], 1)
     return {k: out[k] for k in sorted(out)}
+
+
+def manifest_sidecars(out_dir: str) -> list[pathlib.Path]:
+    """The per-part entry files currently on disk (excluding the
+    compacted map) — snapshot this BEFORE load_manifest when a later
+    consolidation will delete sidecars, so entries written concurrently
+    in between survive as overlays."""
+    mdir = manifest_dir(out_dir)
+    if not mdir.exists():
+        return []
+    return [p for p in mdir.glob("*.json") if p.name != _COMPACT_NAME]
+
+
+def consolidate_manifest(out_dir: str, entries: dict, sidecars: list) -> None:
+    """Write the full entry map as _compact.json and remove ONLY the
+    given sidecar files (the ones whose content the map includes): a
+    sidecar written after the snapshot overlays the new map on the next
+    load (newest wins), so concurrent appends are never lost."""
+    write_json_atomic(compact_path(out_dir), entries)
+    for p in sidecars:
+        try:
+            p.unlink()
+        except FileNotFoundError:
+            pass

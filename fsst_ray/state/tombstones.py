@@ -155,6 +155,11 @@ def _entry_from_chunks(key: str, old: dict, chunks: pa.Table) -> dict:
             mm = pa.compute.min_max(flat)
             new_e["doc_min"] = mm["min"].as_py()
             new_e["doc_max"] = mm["max"].as_py()
+        else:
+            # emptied file: "" (below any real doc_id) is the explicit
+            # NEVER-HIT zone — absent fields mean always-scan, and the
+            # stale range would keep attracting pointless decodes
+            new_e["doc_min"] = new_e["doc_max"] = ""
     return new_e
 
 
@@ -192,6 +197,9 @@ def purge_deletes(out_dir: str) -> dict:
     _, bucket_plan, _, config = mf.load_plan(out_dir)
     _assert_corpus_complete(out_dir, bucket_plan)
     states = _all_states(out_dir)
+    # snapshot the sidecar list BEFORE loading: a concurrent append's
+    # entry written after this point must survive the consolidation
+    sidecars = mf.manifest_sidecars(out_dir)
     entries = mf.load_manifest(out_dir)
     cdir = mf.chunks_dir(out_dir)
 
@@ -209,7 +217,7 @@ def purge_deletes(out_dir: str) -> dict:
     ]
     if not victims:
         for f in batch_files:
-            f.unlink()
+            f.unlink(missing_ok=True)
         return {"purged_rows": 0, "files_rewritten": 0}
     states_ref = ray.put(states)
     dead_ref = ray.put(dead)
@@ -292,13 +300,9 @@ def purge_deletes(out_dir: str) -> dict:
             entries[r["key"]] = json.loads(r["entry_json"])
             if r["action"] == "rewrite":
                 rewritten += 1
-    mf.write_json_atomic(mf.compact_path(out_dir), entries)
-    for p2 in mf.manifest_dir(out_dir).glob("*.json"):
-        if p2.name != mf.compact_path(out_dir).name:
-            p2.unlink()
+    mf.consolidate_manifest(out_dir, entries, sidecars)
     for f in batch_files:
-        if f.exists():
-            f.unlink()
+        f.unlink(missing_ok=True)
     return {"purged_rows": purged_rows, "files_rewritten": rewritten}
 
 

@@ -343,3 +343,22 @@ def test_reads_refused_during_interrupted_compaction(
     repair_compaction(out)
     after = verify_roundtrip(full_ds, out)
     assert after["match"] and after["decoded"] == before["decoded"]
+
+
+def test_consolidation_preserves_concurrent_sidecars(tmp_path):
+    """An entry written AFTER the consolidation snapshot must survive
+    (it overlays the compacted map on the next load) — the concurrent
+    append-vs-purge/compact window."""
+    out = str(tmp_path / "m")
+    e1 = {"part_key": "a:00000", "file": "a_00000.parquet", "status": "done",
+          "rows": 1, "tokens": 1, "chunks": 1, "bytes_in": 1, "bytes_out": 1,
+          "codecs": {}}
+    mf.write_part_entry(out, e1)
+    sidecars = mf.manifest_sidecars(out)
+    entries = mf.load_manifest(out)
+    # concurrent append lands after the snapshot
+    e2 = dict(e1, part_key="b:g1-00000", file="b_g1-00000.parquet")
+    mf.write_part_entry(out, e2)
+    mf.consolidate_manifest(out, entries, sidecars)
+    after = mf.load_manifest(out)
+    assert "a:00000" in after and "b:g1-00000" in after

@@ -1225,3 +1225,23 @@ def test_csv_source_normalizes_like_jsonl(ray_session, tmp_path):
     assert list(out["doc_id"]) == [1, 2, 3]
     assert out["text"].iloc[2] == "line\nbreak survives csv quoting"
     assert (out["lang"] == "").all() and (out["source"] == "").all()
+
+
+def test_csv_null_doc_id_falls_back_to_content_hash(ray_session, tmp_path):
+    import csv
+
+    from fsst_ray.sources.documents import read_documents_csv
+
+    f = tmp_path / "null_ids.csv"
+    with open(f, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["doc_id", "text"])
+        w.writerow([7, "has an id"])
+        w.writerow(["", "first null id text"])
+        w.writerow(["", "second null id text"])
+    out = read_documents_csv(str(f)).to_pandas()
+    ids = dict(zip(out["text"], out["doc_id"]))
+    assert ids["has an id"] == 7
+    # null ids hash the content: distinct, positive, never INT64_MIN
+    a, b = ids["first null id text"], ids["second null id text"]
+    assert a != b and a > 0 and b > 0
