@@ -132,6 +132,18 @@ def _q_langid(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (winnowing, MOSS): every
+    char 8-gram md5-hashed, each 16-window contributes its minimum,
+    per-doc distinct set summarized as (n_fp, fp_sum mod 2^61-1) —
+    integers the SQL oracle recomputes with the identical hash."""
+    from fsst_ray.functions.textstats import winnow_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        winnow_batch, batch_format="pyarrow"
+    )
+
+
 def _q_fingerprint(sf_dir: str):
     from fsst_ray.functions.textstats import fingerprint_batch
 
@@ -1197,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "shuffle_order": _q_shuffle_order,
@@ -1789,6 +1802,21 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             f"'{_TOKEN_REGEX}')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "winnow_fingerprints": (
+            # same gram hash (md5_number_upper & mask), same clamped
+            # sliding-window MIN (prefix minima in the head), same mod
+            "WITH pos AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 1024) t(i)), "
+            "g AS (SELECT d.doc_id, pos.i, "
+            "CAST(md5_number_upper(substring(d.text, CAST(pos.i AS INTEGER), 8)) "
+            "& 9223372036854775807 AS BIGINT) AS h "
+            "FROM documents d, pos WHERE pos.i <= len(d.text) - 7), "
+            "wm AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp FROM g), "
+            "sel AS (SELECT DISTINCT doc_id, fp FROM wm) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, "
+            "CAST(SUM(fp) % 2305843009213693951 AS BIGINT) AS fp_sum "
+            "FROM sel GROUP BY doc_id"
         ),
         "fingerprint": (
             "SELECT doc_id, CAST(md5_number_upper(text) & 9223372036854775807 "

@@ -449,3 +449,90 @@ def length_outliers(ds, k_sigma: int = 3):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+_WINNOW_P = (1 << 61) - 1
+
+
+def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16, max_len: int = 1024) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): the
+    rolling-hash fingerprint family — every character k-gram is hashed
+    (DuckDB md5, the oracle-parity hash this module already uses for
+    `fingerprint`), and each sliding window of w consecutive gram
+    hashes contributes its MINIMUM; the doc's fingerprint is the
+    distinct set of selected minima. Robust to insertions/deletions:
+    an edit perturbs only the windows it touches.
+
+    Vectorized end to end: one DuckDB cross-join computes every gram
+    hash of the batch at once; the sliding minimum is a clamped
+    doubling scan (log2 w passes over the flat gram array, lookback
+    clamped to each doc's start so partial head windows take prefix
+    minima and docs never leak into each other); distinct-per-doc via
+    lexsort + boundary dedup + reduceat. Emits
+    (doc_id, n_fp, fp_sum = sum of distinct minima mod 2^61-1) —
+    integers the SQL oracle recomputes exactly. Docs shorter than k
+    emit nothing."""
+    con = _fp_con()
+    sub = batch.select(["doc_id", "text"])
+    con.register("_wf_batch", sub)
+    grams = con.execute(
+        f"SELECT doc_id, t.i, "
+        f"CAST(md5_number_upper(substring(text, CAST(t.i AS INTEGER), {k})) "
+        f"& 9223372036854775807 AS BIGINT) AS h "
+        f"FROM _wf_batch, range(1, {max_len}) t(i) "
+        f"WHERE t.i <= len(text) - {k} + 1 "
+        f"ORDER BY doc_id, t.i"
+    ).arrow()
+    con.unregister("_wf_batch")
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "n_fp": pa.array([], pa.int64()),
+            "fp_sum": pa.array([], pa.int64()),
+        }
+    )
+    n = grams.num_rows
+    if n == 0:
+        return empty
+    doc = grams["doc_id"].to_numpy(zero_copy_only=False)
+    h = grams["h"].to_numpy(zero_copy_only=False).copy()
+    # longest doc must fit the static position table (mirrors the
+    # split_windows oracle-cap guard: fail loudly, never diverge)
+    starts = np.concatenate([[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1])
+    gid = np.cumsum(np.concatenate([[False], doc[1:] != doc[:-1]]))
+    counts = np.diff(np.concatenate([starts, [n]]))
+    assert counts.max() <= max_len - 1, "doc exceeds winnow position table"
+    doc_start = starts[gid]
+    # clamped doubling: after passes 1,2,4,8 (w=16), h[j] = min over
+    # [max(doc_start, j-15) .. j] — exact windows past the head,
+    # prefix minima inside it
+    idx = np.arange(n)
+    shift = 1
+    while shift < w:
+        back = np.maximum(idx - shift, doc_start)
+        h = np.minimum(h, h[back])
+        shift <<= 1
+    # distinct (doc, min) pairs: sort within doc groups, boundary dedup
+    order = np.lexsort((h, gid))
+    g_s, h_s = gid[order], h[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = (g_s[1:] != g_s[:-1]) | (h_s[1:] != h_s[:-1])
+    g_u, h_u = g_s[first], h_s[first]
+    u_starts = np.concatenate([[0], np.flatnonzero(g_u[1:] != g_u[:-1]) + 1])
+    n_fp = np.diff(np.concatenate([u_starts, [len(g_u)]]))
+    # exact mod-P sums without int64 overflow: split each fp into
+    # 32-bit halves (reduceat-exact), recombine per doc in Python ints
+    # — a per-DOC list comp (hundreds), never per-gram
+    lo = np.add.reduceat(h_u & 0xFFFFFFFF, u_starts)
+    hi = np.add.reduceat(h_u >> 32, u_starts)
+    fp_sum = [
+        int((int(a) * (1 << 32) + int(b)) % _WINNOW_P) for a, b in zip(hi, lo)
+    ]
+    doc_ids = grams["doc_id"].take(pa.array(starts[g_u[u_starts]]))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_fp": pa.array(n_fp.astype(np.int64)),
+            "fp_sum": pa.array(fp_sum, pa.int64()),
+        }
+    )

@@ -1245,3 +1245,50 @@ def test_csv_null_doc_id_falls_back_to_content_hash(ray_session, tmp_path):
     # null ids hash the content: distinct, positive, never INT64_MIN
     a, b = ids["first null id text"], ids["second null id text"]
     assert a != b and a > 0 and b > 0
+
+
+def test_winnow_batch_matches_reference(ray_session):
+    import hashlib
+
+    from fsst_ray.functions.textstats import _WINNOW_P, winnow_batch
+
+    k, w = 8, 16
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",  # < k: no grams, emits nothing
+        "a" * 20,  # degenerate: all grams identical
+        "the quick brown fox jumps over the lazy dog again and AGAIN",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+            "text": pa.array(texts),
+        }
+    )
+    got = winnow_batch(batch, k=k, w=w)
+    out = {
+        d: (int(a), int(b))
+        for d, a, b in zip(
+            got["doc_id"].to_pylist(), got["n_fp"].to_pylist(), got["fp_sum"].to_pylist()
+        )
+    }
+
+    def md5h(s: str) -> int:
+        # DuckDB md5_number_upper = first 8 digest bytes little-endian
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") & (
+            (1 << 63) - 1
+        )
+
+    for i, t in enumerate(texts):
+        grams = [md5h(t[j : j + k]) for j in range(len(t) - k + 1)]
+        if not grams:
+            assert f"d{i}" not in out
+            continue
+        mins = {
+            min(grams[max(0, j - w + 1) : j + 1]) for j in range(len(grams))
+        }
+        assert out[f"d{i}"] == (len(mins), sum(mins) % _WINNOW_P), f"d{i}"
+
+    # edit-locality: one changed word perturbs few fingerprints
+    g0 = winnow_batch(batch.slice(0, 1), k=k, w=w)["n_fp"][0].as_py()
+    assert out["d3"][0] >= g0 - 6  # doc d3 differs from d0 by one word
