@@ -472,8 +472,19 @@ def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16, max_len: int = 1024) 
     (doc_id, n_fp, fp_sum = sum of distinct minima mod 2^61-1) —
     integers the SQL oracle recomputes exactly. Docs shorter than k
     emit nothing."""
+    assert w > 0 and (w & (w - 1)) == 0, "winnow window must be a power of two"
     con = _fp_con()
     sub = batch.select(["doc_id", "text"])
+    # the guard must run on the TEXT, not the gram counts — the SQL's
+    # static position table would silently truncate longer docs first
+    if batch.num_rows:
+        longest = int(
+            pa.compute.max(pa.compute.utf8_length(sub["text"])).as_py() or 0
+        )
+        assert longest <= max_len + k - 2, (
+            f"doc of {longest} chars exceeds the winnow position table "
+            f"(max {max_len + k - 2}); raise max_len"
+        )
     con.register("_wf_batch", sub)
     grams = con.execute(
         f"SELECT doc_id, t.i, "
@@ -486,7 +497,7 @@ def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16, max_len: int = 1024) 
     con.unregister("_wf_batch")
     empty = pa.table(
         {
-            "doc_id": pa.array([], pa.string()),
+            "doc_id": pa.array([], batch.schema.field("doc_id").type),
             "n_fp": pa.array([], pa.int64()),
             "fp_sum": pa.array([], pa.int64()),
         }
@@ -500,8 +511,6 @@ def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16, max_len: int = 1024) 
     # split_windows oracle-cap guard: fail loudly, never diverge)
     starts = np.concatenate([[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1])
     gid = np.cumsum(np.concatenate([[False], doc[1:] != doc[:-1]]))
-    counts = np.diff(np.concatenate([starts, [n]]))
-    assert counts.max() <= max_len - 1, "doc exceeds winnow position table"
     doc_start = starts[gid]
     # clamped doubling: after passes 1,2,4,8 (w=16), h[j] = min over
     # [max(doc_start, j-15) .. j] — exact windows past the head,

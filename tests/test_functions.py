@@ -1290,5 +1290,22 @@ def test_winnow_batch_matches_reference(ray_session):
         assert out[f"d{i}"] == (len(mins), sum(mins) % _WINNOW_P), f"d{i}"
 
     # edit-locality: one changed word perturbs few fingerprints
-    g0 = winnow_batch(batch.slice(0, 1), k=k, w=w)["n_fp"][0].as_py()
-    assert out["d3"][0] >= g0 - 6  # doc d3 differs from d0 by one word
+    assert out["d3"][0] >= out["d0"][0] - 6  # d3 differs from d0 by one word
+
+    # the truncation guard is LIVE: an over-long doc fails loudly
+    import pytest as _pytest
+
+    long_batch = pa.table(
+        {"doc_id": pa.array(["big"]), "text": pa.array(["x" * 2000])}
+    )
+    with _pytest.raises(AssertionError, match="position table"):
+        winnow_batch(long_batch, k=k, w=w)
+    # non-power-of-two windows are rejected, not silently widened
+    with _pytest.raises(AssertionError, match="power of two"):
+        winnow_batch(batch, k=k, w=10)
+    # int64 doc_id schema: an all-short block keeps the input id type
+    short64 = pa.table(
+        {"doc_id": pa.array([5], pa.int64()), "text": pa.array(["tiny"])}
+    )
+    et = winnow_batch(short64, k=k, w=w)
+    assert et.num_rows == 0 and et.schema.field("doc_id").type == pa.int64()
