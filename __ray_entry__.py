@@ -1539,10 +1539,14 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": (
             # integer-cents running sum so the cumulative aggregate is
             # associative-exact (bit-equal under DuckDB's segment-tree
-            # window association and our sequential np.cumsum)
+            # window association and our sequential np.cumsum); the
+            # outer CAST matters: DuckDB SUM(BIGINT) returns HUGEINT
+            # (arrow decimal128), which value-equals our int64 but
+            # hash-mismatches the driver's dtype-sensitive compare
             "SELECT event_id, user_id, "
             "ROW_NUMBER() OVER w AS rn, "
-            "SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS cum_cents "
+            "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS cum_cents "
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING)"

@@ -205,3 +205,85 @@ def test_retention_cohorts_dedups_cross_block_pairs(ray_session):
         (r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()
     }
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_windowed_ops_have_no_per_group_dispatch(ray_session):
+    """running_totals and session_windows must be sort + one vectorized
+    per-block pass, never `groupby(user_id).map_groups` — that shape
+    dispatches the group fn once per user (10^8 Python calls at 10^8
+    users; VERDICT r4 item 2). Guard: the executed plan contains no
+    MapGroups/Aggregate operator, and many-users-few-blocks output is
+    exact."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import running_totals
+    from fsst_ray.functions.windows import session_windows
+
+    n_users, per_user = 500, 4
+    t0 = 1_700_000_000_000_000
+    uid = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+    seq = np.tile(np.arange(per_user, dtype=np.int64), n_users)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(uid), dtype=np.int64)),
+            "ts": pa.array(t0 + seq * 60_000_000 + uid).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid),
+            "value": pa.array(np.full(len(uid), 1.0)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    rt = running_totals(ds).materialize()
+    assert "MapGroups" not in rt.stats() and "Aggregate" not in rt.stats()
+    df = rt.to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True)
+    assert len(df) == n_users * per_user
+    assert df["rn"].tolist() == list(np.tile(np.arange(1, per_user + 1), n_users))
+    assert df["cum_cents"].tolist() == list(np.tile(np.arange(1, per_user + 1) * 100, n_users))
+
+    sw = session_windows(ds, gap_minutes=30).materialize()
+    assert "MapGroups" not in sw.stats() and "Aggregate" not in sw.stats()
+    sdf = sw.to_pandas()
+    # 1-minute spacing, 30-minute gap -> exactly one session per user
+    assert len(sdf) == n_users
+    assert sorted(sdf["user_id"].tolist()) == list(range(n_users))
+    assert (sdf["n_events"] == per_user).all()
+
+
+def test_session_windows_gap_split_across_users(ray_session):
+    """Gap splits are per-user even when two users' streams interleave
+    in one block: adjacent rows from DIFFERENT users never merge, and a
+    within-user gap > threshold opens a new session."""
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import session_windows
+
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+    gap = 30 * 60 * us
+    rows = [
+        # user 1: two sessions (second starts after a 31-min gap)
+        (1, t0),
+        (1, t0 + 60 * us),
+        (1, t0 + 60 * us + gap + us),
+        # user 2: starts 2 h after user 1 ends - must NOT merge with u1
+        (2, t0 + 2 * 3600 * us),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+        }
+    )
+    out = (
+        session_windows(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["session_start"].tolist() == [
+        t0 // us,
+        (t0 + 60 * us + gap + us) // us,
+        (t0 + 2 * 3600 * us) // us,
+    ]
