@@ -1198,57 +1198,29 @@ def _q_encode_metrics(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver gate verifies roughly the first 50
+    # entries per round (CORRECTNESS_r04 covered exactly positions
+    # 0-49). Every query below has an oracle and ALL 72 are checked
+    # value-exactly by tests/test_queries_oracle.py each run; the dict
+    # order only decides which ones get a driver row this round.
+    # Block 1: the 22 queries with no driver row in any prior round
+    # (the whole corpus lifecycle, kmv, curate/decontaminate, ...).
+    # Block 2: previously-green queries whose code paths changed in
+    # round 5 (window rewrite, CC default flip, hash-join guard,
+    # quantize schema fix, assert->ValueError) plus one representative
+    # per operator family. Block 3: previously-green, code untouched
+    # this round, redundant siblings last (e.g. 5 of the 6 ANN
+    # variants; ann_topk represents the family).
     return {
-        "fsst_text_roundtrip": _q_fsst_text_roundtrip,
-        "codec_numeric_roundtrip": _q_codec_numeric_roundtrip,
-        "codec_float_roundtrip": _q_codec_float_roundtrip,
-        "codec_decimal_roundtrip": _q_codec_decimal_roundtrip,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_prefix": _q_dedup_prefix,
-        "word_stats": _q_word_stats,
-        "quality_score": _q_quality,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "redact_pii": _q_redact_pii,
-        "repetition_stats": _q_repetition_stats,
-        "shuffle_order": _q_shuffle_order,
-        "events_window": _q_events_window,
-        "hopping_window": _q_hopping_window,
-        "session_windows": _q_session_windows,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_lsh_exhaustive": _q_ann_lsh_exhaustive,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
-        "ann_ivf_disk": _q_ann_ivf_disk,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "embedding_quantize": _q_embedding_quantize,
-        "kmeans_codes": _q_kmeans_codes,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "consistent_sample": _q_consistent_sample,
-        "minhash_recall": _q_minhash_recall,
-        "minhash_exact_clusters": _q_minhash_exact_clusters,
-        "minhash_cc_clusters": _q_minhash_cc_clusters,
-        "connected_components": _q_connected_components,
-        "simhash_recall": _q_simhash_recall,
-        "simhash_exact_pairs": _q_simhash_exact_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "token_count": _q_token_count,
-        "lineitem_pricing": _q_lineitem_pricing,
-        "supplier_nation_rollup": _q_supplier_nation_rollup,
-        "order_priority_rollup": _q_order_priority_rollup,
-        "customer_orders_left": _q_customer_orders_left,
-        "funnel_stages": _q_funnel_stages,
-        "retention_cohorts": _q_retention_cohorts,
-        "length_outliers": _q_length_outliers,
-        "jsonl_ingest": _q_jsonl_ingest,
-        "csv_ingest": _q_csv_ingest,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "running_totals": _q_running_totals,
-        "top_n_per_group": _q_top_n_per_group,
-        "distinctive_terms": _q_distinctive_terms,
+        # -- block 1: never driver-verified before round 5 ------------
+        "tokens_roundtrip": _q_tokens_roundtrip,
+        "append_roundtrip": _q_append_roundtrip,
+        "delete_roundtrip": _q_delete_roundtrip,
+        "upsert_roundtrip": _q_upsert_roundtrip,
+        "decode_point_lookup": _q_decode_point_lookup,
+        "decode_source": _q_decode_source,
+        "decode_ntok_range": _q_decode_ntok_range,
+        "encode_metrics": _q_encode_metrics,
         "kmv_distinct": _q_kmv_distinct,
         "kmv_distinct_exact": _q_kmv_distinct_exact,
         "top_quality_docs": _q_top_quality,
@@ -1263,14 +1235,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
-        "tokens_roundtrip": _q_tokens_roundtrip,
-        "append_roundtrip": _q_append_roundtrip,
-        "encode_metrics": _q_encode_metrics,
-        "decode_point_lookup": _q_decode_point_lookup,
-        "decode_source": _q_decode_source,
-        "delete_roundtrip": _q_delete_roundtrip,
-        "upsert_roundtrip": _q_upsert_roundtrip,
-        "decode_ntok_range": _q_decode_ntok_range,
+        # -- block 2: round-5-changed paths + family representatives --
+        "running_totals": _q_running_totals,
+        "session_windows": _q_session_windows,
+        "minhash_exact_clusters": _q_minhash_exact_clusters,
+        "minhash_cc_clusters": _q_minhash_cc_clusters,
+        "connected_components": _q_connected_components,
+        "customer_orders_left": _q_customer_orders_left,
+        "order_priority_rollup": _q_order_priority_rollup,
+        "supplier_nation_rollup": _q_supplier_nation_rollup,
+        "embedding_quantize": _q_embedding_quantize,
+        "kmeans_codes": _q_kmeans_codes,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "consistent_sample": _q_consistent_sample,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "repetition_stats": _q_repetition_stats,
+        "redact_pii": _q_redact_pii,
+        "length_outliers": _q_length_outliers,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel_stages": _q_funnel_stages,
+        "fsst_text_roundtrip": _q_fsst_text_roundtrip,
+        "codec_numeric_roundtrip": _q_codec_numeric_roundtrip,
+        "codec_float_roundtrip": _q_codec_float_roundtrip,
+        "dedup_exact": _q_dedup_exact,
+        "events_window": _q_events_window,
+        "ann_topk": _q_ann_topk,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "top_n_per_group": _q_top_n_per_group,
+        "distinctive_terms": _q_distinctive_terms,
+        # -- block 3: green in r4, untouched, siblings covered above --
+        "codec_decimal_roundtrip": _q_codec_decimal_roundtrip,
+        "dedup_prefix": _q_dedup_prefix,
+        "word_stats": _q_word_stats,
+        "quality_score": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "shuffle_order": _q_shuffle_order,
+        "hopping_window": _q_hopping_window,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_exhaustive": _q_ann_lsh_exhaustive,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
+        "ann_ivf_disk": _q_ann_ivf_disk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "minhash_recall": _q_minhash_recall,
+        "simhash_recall": _q_simhash_recall,
+        "simhash_exact_pairs": _q_simhash_exact_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_count": _q_token_count,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
     }
 
 
