@@ -1010,7 +1010,8 @@ def _q_split_windows(sf_dir: str):
     # the oracle's dims table caps windows per doc at 4096 — make any
     # corpus/stride change that could exceed it fail LOUDLY here
     # instead of silently diverging from the oracle
-    assert ds.max("n_tok") <= 384 * 4096, "oracle window cap exceeded"
+    if ds.max("n_tok") > 384 * 4096:
+        raise ValueError("oracle window cap exceeded")
     return split_windows(ds, seq_len=512, stride=384)
 
 

@@ -299,8 +299,12 @@ def retention_cohorts(events_ds, week_s: int = 7 * 24 * 3600):
         # loudly rather than silently corrupting the matrix for
         # snowflake-scale ids or pre-1970 timestamps
         if len(users):
-            assert users.min() >= 0 and users.max() < (1 << 43), "user_id exceeds 43-bit pack"
-            assert week.min() >= 0 and week.max() < (1 << 20), "week exceeds 20-bit pack"
+            # ValueError, not assert: survives `python -O` — silent
+            # key-pack corruption would miscount whole cohort cells
+            if not (users.min() >= 0 and users.max() < (1 << 43)):
+                raise ValueError("user_id exceeds 43-bit pack")
+            if not (week.min() >= 0 and week.max() < (1 << 20)):
+                raise ValueError("week exceeds 20-bit pack")
         key = np.unique(users * np.int64(1 << 20) + week)
         return pa.table(
             {

@@ -450,19 +450,33 @@ def _remap_assign(remap: dict[int, int]):
     return assign
 
 
-def minhash_dedup(ds, jaccard_threshold: float = 0.7):
+def minhash_dedup(
+    ds, jaccard_threshold: float = 0.7, driver_edge_limit: int = 2_000_000
+):
     """MinHash-LSH near-duplicate clustering.
 
     shingle -> 64-perm minhash -> 16 bands -> bucket groupby ->
     signature-estimated Jaccard verification inside each bucket (each
-    pair emitted once) -> union-find over the small edge list on the
-    driver -> the remap broadcast back; assignments are emitted
-    distributed (no doc_id materialization on the driver). Returns a
-    Dataset of (doc_id, cluster_id); cluster_id = min doc_id of the
-    component.
+    pair emitted once) -> transitive closure -> per-batch assignment.
+    Returns a Dataset of (doc_id, cluster_id); cluster_id = min doc_id
+    of the component.
+
+    The closure is SIZE-GATED (VERDICT r4 item 4): the verified edge
+    list is materialized (it is pair-sized, far below the corpus) and
+    counted; at or below `driver_edge_limit` edges a driver union-find
+    + broadcast remap is the fast path, above it the distributed
+    large-star/small-star connected-components job
+    (`graph.assign_components`, pinned bit-identical to the union-find
+    in tests/test_graph.py) takes over — the edge list never needs to
+    fit the driver.
     """
-    remap = _components(minhash_pairs(ds, jaccard_threshold))
-    return ds.map_batches(_remap_assign(remap), batch_format="pyarrow")
+    pairs = minhash_pairs(ds, jaccard_threshold).materialize()
+    if pairs.count() <= driver_edge_limit:
+        remap = _components(pairs)
+        return ds.map_batches(_remap_assign(remap), batch_format="pyarrow")
+    from fsst_ray.functions.graph import assign_components
+
+    return assign_components(ds, pairs)
 
 
 def plant_dup_docs(ds, mod: int = 7, offset: int = 1_000_000):
@@ -922,8 +936,13 @@ def _bucket_cross_pairs(threshold: float):
         )
         doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sides = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # first occurrence per (side, doc_id) — ids may collide across sides
-        _, first_idx = np.unique(doc_ids * 2 + sides, return_index=True)
+        # first occurrence per (side, doc_id) — ids may collide across
+        # sides. 2-column unique, NOT an arithmetic `id*2+side` packed
+        # key: that wraps for |id| near 2^62 and a negative id can
+        # collide with a positive one, silently dropping a row
+        _, first_idx = np.unique(
+            np.stack([sides, doc_ids]), axis=1, return_index=True
+        )
         if len(first_idx) < 2:
             return empty
         band = int(group["band"][0].as_py())

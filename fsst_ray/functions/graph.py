@@ -179,19 +179,65 @@ def connected_components(
     return min_per_key(labels, "doc_id", "cluster_id")
 
 
-def assign_components(ds, pairs, max_rounds: int = 64):
+def assign_components(
+    ds, pairs, max_rounds: int = 64, broadcast_bytes: int = 256 << 20
+):
     """Full-corpus cluster assignment: (doc_id, cluster_id) for EVERY
     row of `ds` — component-minimum for nodes in `pairs`, identity for
-    the rest. The distributed replacement for
-    `minhash_dedup`'s driver union-find + broadcast remap: the corpus
-    contributes only a 16-byte identity projection to one final
-    min-per-key exchange."""
+    the rest. The distributed replacement for `minhash_dedup`'s driver
+    union-find + broadcast remap.
+
+    Two shapes, picked by the measured label size (labels = one row per
+    node of a non-trivial component, min-per-key'd by
+    `connected_components`):
+
+    - labels <= `broadcast_bytes` (the common dedup regime — duplicate
+      components are a fraction of the corpus): `ray.put` the sorted
+      (doc_id, cluster_id) arrays once and assign per corpus batch via
+      searchsorted lookup. ZERO corpus shuffle — strictly cheaper than
+      pushing a corpus-sized identity projection through an exchange.
+    - larger: one min-per-key exchange over the identity projection +
+      labels. The `Dataset.union` here feeds a materializing sort (the
+      exchange buffers its whole input regardless), so the BIGRUN_r4
+      union-pacing hazard — branches racing ahead of a STREAMING
+      consumer and defeating backpressure — does not apply: the store
+      holds at most the 16-byte/row projection the sort must hold
+      anyway, and spills under its cap. Documented here because the
+      default path no longer unions at all.
+    """
+    import ray
+
+    labels = connected_components(pairs, max_rounds=max_rounds).materialize()
+    if labels.size_bytes() <= broadcast_bytes:
+        blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            lt = pa.concat_tables([t.select(["doc_id", "cluster_id"]) for t in blocks])
+            keys = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lt["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # no non-trivial components: every row keeps its own id
+            keys = vals = np.empty(0, np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            from fsst_ray.functions.dedup import sorted_isin
+
+            k, v = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cluster = ids.copy()
+            hit = sorted_isin(k, ids)
+            if hit.any():
+                cluster[hit] = v[np.searchsorted(k, ids[hit])]
+            return pa.table(
+                {"doc_id": pa.array(ids), "cluster_id": pa.array(cluster)}
+            )
+
+        return ds.map_batches(assign, batch_format="pyarrow")
 
     def identity(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"doc_id": pa.array(ids), "cluster_id": pa.array(ids)})
 
-    labels = connected_components(pairs, max_rounds=max_rounds)
     ident = ds.map_batches(identity, batch_format="pyarrow")
     return min_per_key(ident.union(labels), "doc_id", "cluster_id")
 

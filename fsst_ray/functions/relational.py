@@ -100,7 +100,7 @@ def dim_lookup_rollup(fact_ds, supplier: pa.Table, nation: pa.Table, region: pa.
 
 
 def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 1 << 20,
-              how: str = "inner"):
+              how: str = "inner", max_group_rows: int = 1 << 26):
     """Distributed equi-join (`how` = "inner" | "left"): one exchange of the two tagged
     projections (a range sort on the key — equal keys never straddle a
     block boundary, the same property ngram_jaccard's streaming group
@@ -118,6 +118,13 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
     read-time projection first — only the columns you keep move).
     Partitioning assumption (documented): all rows of ONE key fit one
     worker's block — bounded by key multiplicity, not corpus size.
+
+    Skew guard (VERDICT r4 item 6): a hot key whose within-group cross
+    product exceeds `max_group_rows` raises ValueError naming the key
+    and both side counts — a loud, immediate error instead of a silent
+    worker OOM (the per-block output index arrays are total-sized, so
+    one 10^6 x 10^6 key would allocate 10^12-element arrays). Callers
+    with a known-hot key should pre-aggregate or salt/split it.
     """
 
     def _tag(side: int, key_name: str, other_schema: pa.Schema):
@@ -187,6 +194,15 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
         # rows once (right columns null)
         nr_eff = np.maximum(nr, 1) if how == "left" else nr
         m = nl * nr_eff  # out rows per group
+        if m.size and int(m.max()) > max_group_rows:
+            g = int(np.argmax(m))
+            raise ValueError(
+                f"hash_join: key {keys[starts[g]]!r} would emit "
+                f"{int(m[g])} rows (left {int(nl[g])} x right "
+                f"{int(nr_eff[g])}), over the max_group_rows="
+                f"{max_group_rows} skew bound; pre-aggregate, salt, or "
+                "split the hot key"
+            )
         total = int(m.sum())
         if total == 0:
             yield _empty(block.schema)

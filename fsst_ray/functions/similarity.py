@@ -633,7 +633,10 @@ def quantize_embeddings(ds):
         mat, ids = _embedding_matrix(batch)
         b_mn, b_scale = ray.get(ref)
         if mat.size == 0:
-            codes = np.zeros((len(ids), 0), dtype=np.uint8)
+            # placeholder sized to the CORPUS dim (len(b_mn)), not 1 —
+            # every block must emit the same fixed_size_binary width or
+            # downstream block concatenation breaks on mixed schemas
+            codes = np.zeros((len(ids), max(len(b_mn), 1)), dtype=np.uint8)
         else:
             safe = np.where(b_scale > 0, b_scale, 1.0)
             q = np.floor((mat - b_mn) / safe + 0.5)

@@ -423,9 +423,13 @@ def length_outliers(ds, k_sigma: int = 3):
         # |d| = |n*x - S| <= n*mx, so d*d needs (n*mx)^2 < 2^62; the
         # s2 partial itself needs n*mx*mx < 2^62 per block — bound on
         # the ACTUAL per-source max, not an assumed token ceiling
-        assert thr < (1 << 62) and n * mx < (1 << 31) and n * mx * mx < (1 << 62), (
-            f"int64 bound exceeded for {r['source']} (n={n}, max n_tok={mx})"
-        )
+        # ValueError, not assert: a data-dependent bound must still
+        # fail loudly under `python -O` (asserts strip; silent int64
+        # overflow would return wrong outlier flags)
+        if not (thr < (1 << 62) and n * mx < (1 << 31) and n * mx * mx < (1 << 62)):
+            raise ValueError(
+                f"int64 bound exceeded for {r['source']} (n={n}, max n_tok={mx})"
+            )
         stats[r["source"]] = (n, s, thr)
     ref = ray.put(stats)
 
@@ -481,10 +485,13 @@ def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16, max_len: int = 1024) 
         longest = int(
             pa.compute.max(pa.compute.utf8_length(sub["text"])).as_py() or 0
         )
-        assert longest <= max_len + k - 2, (
-            f"doc of {longest} chars exceeds the winnow position table "
-            f"(max {max_len + k - 2}); raise max_len"
-        )
+        # ValueError, not assert: survives `python -O` — a stripped
+        # assert here silently truncates long docs' gram streams
+        if longest > max_len + k - 2:
+            raise ValueError(
+                f"doc of {longest} chars exceeds the winnow position table "
+                f"(max {max_len + k - 2}); raise max_len"
+            )
     con.register("_wf_batch", sub)
     grams = con.execute(
         f"SELECT doc_id, t.i, "

@@ -37,17 +37,25 @@ def read_encoded(out_dir: str):
     )
 
 
-def decode_dataset(encoded_or_dir):
+def decode_dataset(encoded_or_dir, out_dir: str | None = None):
     """Encoded chunks -> original (doc_id, tokens, n_tok, source) rows.
-    Tombstoned rows (see state/tombstones.py) never surface."""
-    encoded = (
-        read_encoded(encoded_or_dir) if isinstance(encoded_or_dir, str) else encoded_or_dir
-    )
+
+    Tombstone contract (state/tombstones.py: "EVERY decode path
+    filters"): given a directory — or a Dataset plus `out_dir` — the
+    corpus tombstone set is applied and deleted rows never surface. A
+    bare Dataset carries no pointer to its corpus directory, so callers
+    composing `read_encoded(d)` with `decode_dataset(ds)` MUST pass
+    `out_dir=d`, otherwise deleted rows resurrect."""
+    if isinstance(encoded_or_dir, str):
+        out_dir = encoded_or_dir
+        encoded = read_encoded(encoded_or_dir)
+    else:
+        encoded = encoded_or_dir
     rows = encoded.map_batches(
         decode_chunks_batch, batch_format="pyarrow", batch_size=None
     )
-    if isinstance(encoded_or_dir, str):
-        rows = _apply_tombstones(encoded_or_dir, rows)
+    if out_dir is not None:
+        rows = _apply_tombstones(out_dir, rows)
     return rows
 
 

@@ -306,24 +306,127 @@ def purge_deletes(out_dir: str) -> dict:
     return {"purged_rows": purged_rows, "files_rewritten": rewritten}
 
 
+def _upsert_dir(out_dir: str) -> pathlib.Path:
+    return pathlib.Path(out_dir) / "upserts"
+
+
+def _upsert_intent(out_dir: str) -> pathlib.Path:
+    return _upsert_dir(out_dir) / "intent.json"
+
+
+def _latest_generation(out_dir: str) -> int:
+    from ..pipelines.encode_job import _append_generations
+
+    gens = _append_generations(out_dir)
+    return gens[-1] if gens else 0
+
+
+def _finish_upsert(out_dir: str, n_ids: int, purged: dict, res) -> dict:
+    import shutil
+
+    _upsert_intent(out_dir).unlink(missing_ok=True)
+    shutil.rmtree(_upsert_dir(out_dir) / "staging", ignore_errors=True)
+    return {
+        "upserted": n_ids,
+        "replaced_rows": purged["purged_rows"],
+        "files_rewritten": purged["files_rewritten"],
+        "generation": res.metrics["generation"],
+    }
+
+
 def upsert_docs(ds, out_dir: str) -> dict:
     """Replace-or-insert: delete any existing rows with the incoming
     doc_ids, MATERIALIZE the deletion (purge — required because a
     tombstone would hide the re-appended id, see the module contract),
     then append the new rows as a fresh generation. Cost: one
-    zone-pruned purge over the hit files + O(appended bytes) encode.
-    Returns the combined metrics."""
+    zone-pruned purge over the hit files + O(appended bytes) staging
+    write + O(appended bytes) encode. Returns the combined metrics.
+
+    CRASH-CONVERGENT via a journal (the purge->append window would
+    otherwise lose the replaced rows forever: the old copies are
+    materialized away and the new ones never landed). The incoming
+    rows are staged to `<out>/upserts/staging/` and an intent file
+    recording the pre-upsert append generation is written BEFORE any
+    delete; only after the append lands are both removed. A rerun
+    after any interruption goes through `resume_upsert`, which
+    replays the not-yet-done phases idempotently (delete+purge of
+    already-purged ids is a no-op; a half-done append resumes its
+    generation; a fully-landed append is detected by the completed
+    generation > base and only the journal is cleared). Single
+    writer assumed, same as append/compaction."""
+    import json
+
+    import ray.data as rd
+
+    intent = _upsert_intent(out_dir)
+    if intent.exists():
+        raise RuntimeError(
+            f"interrupted upsert pending at {intent}; call "
+            "resume_upsert(out_dir) before starting a new one"
+        )
+    import shutil
+
+    staging = _upsert_dir(out_dir) / "staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.mkdir(parents=True)
+    ds.write_parquet(str(staging))
+    staged = rd.read_parquet(str(staging))
     ids = []
-    for b in ds.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
+    for b in staged.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
         ids += pa.table(b)["doc_id"].to_pylist()
+    tmp = intent.with_suffix(".tmp")
+    tmp.write_text(json.dumps({"base_generation": _latest_generation(out_dir),
+                               "n_ids": len(ids)}))
+    os.replace(tmp, intent)
+
     from ..pipelines.encode_job import append_dataset
 
     delete_docs(out_dir, ids)
     purged = purge_deletes(out_dir)
-    res = append_dataset(ds, out_dir)
-    return {
-        "upserted": len(ids),
-        "replaced_rows": purged["purged_rows"],
-        "files_rewritten": purged["files_rewritten"],
-        "generation": res.metrics["generation"],
-    }
+    res = append_dataset(staged, out_dir, input_path=str(staging))
+    return _finish_upsert(out_dir, len(ids), purged, res)
+
+
+def resume_upsert(out_dir: str) -> dict | None:
+    """Complete an interrupted `upsert_docs`. Returns the upsert
+    metrics (replaced_rows reflects only work done by THIS call), or
+    None when no upsert journal is pending."""
+    import json
+
+    import ray.data as rd
+
+    intent = _upsert_intent(out_dir)
+    if not intent.exists():
+        return None
+    meta = json.loads(intent.read_text())
+    base_gen = int(meta["base_generation"])
+    staging = _upsert_dir(out_dir) / "staging"
+    staged = rd.read_parquet(str(staging))
+
+    from ..pipelines.encode_job import _append_generations, _append_plan_path, append_dataset
+
+    gens = [g for g in _append_generations(out_dir) if g > base_gen]
+    no_purge = {"purged_rows": 0, "files_rewritten": 0}
+    if gens:
+        # delete+purge finished before the append started (sequential
+        # phases); never re-delete here — the new generation may hold
+        # the replacement rows and a fresh tombstone would hide them
+        plan = json.loads(_append_plan_path(out_dir, gens[-1]).read_text())
+        if plan.get("completed"):
+
+            class _Done:  # append landed; only the journal is stale
+                metrics = {"generation": gens[-1]}
+
+            return _finish_upsert(out_dir, int(meta["n_ids"]), no_purge, _Done())
+        res = append_dataset(staged, out_dir, resume=True, input_path=str(staging))
+        return _finish_upsert(out_dir, int(meta["n_ids"]), no_purge, res)
+
+    # crashed at/before delete+purge: replay both (idempotent — ids
+    # already purged simply hit nothing), then append
+    ids = []
+    for b in staged.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
+        ids += pa.table(b)["doc_id"].to_pylist()
+    delete_docs(out_dir, ids)
+    purged = purge_deletes(out_dir)
+    res = append_dataset(staged, out_dir, input_path=str(staging))
+    return _finish_upsert(out_dir, len(ids), purged, res)

@@ -1298,7 +1298,8 @@ def test_winnow_batch_matches_reference(ray_session):
     long_batch = pa.table(
         {"doc_id": pa.array(["big"]), "text": pa.array(["x" * 2000])}
     )
-    with _pytest.raises(AssertionError, match="position table"):
+    # ValueError (not assert) so the guard survives `python -O`
+    with _pytest.raises(ValueError, match="position table"):
         winnow_batch(long_batch, k=k, w=w)
     # non-power-of-two windows are rejected, not silently widened
     with _pytest.raises(AssertionError, match="power of two"):
@@ -1309,3 +1310,37 @@ def test_winnow_batch_matches_reference(ray_session):
     )
     et = winnow_batch(short64, k=k, w=w)
     assert et.num_rows == 0 and et.schema.field("doc_id").type == pa.int64()
+
+
+def test_hash_join_skew_guard_raises_on_hot_key(ray_session):
+    """A key whose cross product exceeds max_group_rows must fail
+    LOUDLY (ValueError naming the key), not OOM a worker building
+    total-sized index arrays (VERDICT r4 item 6)."""
+    import ray
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([7] * 50 + [8], type=pa.int64()),
+            "lv": pa.array(list(range(50)) + [0], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([7] * 50 + [8], type=pa.int64()),
+            "rv": pa.array(list(range(50)) + [0], type=pa.int64()),
+        }
+    )
+    joined = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", max_group_rows=100
+    )
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        joined.materialize()
+    assert "max_group_rows" in str(ei.value)
+    # under the bound the same join succeeds (50*50 + 1 rows)
+    ok = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", max_group_rows=2500
+    ).to_pandas()
+    assert len(ok) == 50 * 50 + 1

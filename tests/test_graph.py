@@ -229,3 +229,40 @@ def test_star_steps_property_vs_union_find():
         assert _simulate_cc(edges) == want
 
     prop()
+
+
+def test_minhash_dedup_size_gate_paths_identical(ray_session, planted_docs):
+    """driver_edge_limit=0 forces the distributed-CC branch inside
+    minhash_dedup itself; labels must be bit-identical to the
+    union-find fast path (VERDICT r4 item 4: the gate, not the caller,
+    picks the closure)."""
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    want = (
+        minhash_dedup(planted_docs, jaccard_threshold=0.6)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        minhash_dedup(planted_docs, jaccard_threshold=0.6, driver_edge_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_assign_components_exchange_path_matches_broadcast(ray_session):
+    """broadcast_bytes=0 forces the min-per-key exchange fallback; the
+    default broadcast-lookup path must agree with it row-for-row."""
+    import ray.data as rd
+
+    from fsst_ray.functions.graph import assign_components
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(20), pa.int64())}))
+    pairs = _pairs_ds([(1, 5), (5, 9), (12, 13)])
+    a = assign_components(docs, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        assign_components(docs, pairs, broadcast_bytes=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    got = dict(zip(a["doc_id"], a["cluster_id"]))
+    assert got == {i: i for i in range(20)} | {5: 1, 9: 1, 13: 12}

@@ -264,3 +264,110 @@ def test_purge_uses_append_generation_states(corpus, ray_session, tmp_path):
         codecs_before, after["codecs"],
     )
     assert after["bytes_out"] <= bytes_before
+
+
+def _mini_upsert_corpus(full, tmp_path, name):
+    import ray.data as rd
+
+    out = str(tmp_path / name)
+    base = full.slice(0, 120)
+    encode_dataset(
+        rd.from_arrow(base), out, chunk_tokens=1 << 14, bucket_tokens=1 << 15
+    )
+    victims = base.slice(0, 2)
+    up = pa.table(
+        {
+            "doc_id": pa.concat_arrays(
+                [victims["doc_id"].combine_chunks(), pa.array(["up-new-1"])]
+            ),
+            "tokens": pa.array([[4, 4], [5], [6, 6, 6]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 3], pa.int32()),
+            "source": pa.concat_arrays(
+                [victims["source"].combine_chunks(), pa.array(["english"])]
+            ),
+        }
+    )
+    return out, base, up, victims
+
+
+def test_upsert_crash_between_purge_and_append_resumes(corpus, ray_session, tmp_path):
+    """The ADVICE r4 window: a crash after purge_deletes but before
+    append_dataset must NOT lose the replacement rows — the journal
+    (staged rows + intent) lets resume_upsert land them."""
+    import ray.data as rd
+
+    from fsst_ray.state.tombstones import (
+        _upsert_dir,
+        _upsert_intent,
+        resume_upsert,
+        upsert_docs,
+    )
+
+    _, full, _ = corpus
+    out, base, up, victims = _mini_upsert_corpus(full, tmp_path, "enc_crash1")
+
+    # simulate upsert_docs up to the crash point: stage + intent +
+    # delete + purge, then "crash" before the append
+    import json as _json
+
+    staging = _upsert_dir(out) / "staging"
+    staging.mkdir(parents=True)
+    rd.from_arrow(up).write_parquet(str(staging))
+    _upsert_intent(out).write_text(
+        _json.dumps({"base_generation": 0, "n_ids": 3})
+    )
+    ids = up["doc_id"].to_pylist()[:2]
+    delete_docs(out, ids)
+    purge_deletes(out)
+    # rows are gone, replacements not yet landed -> journal saves us
+    assert decode_dataset(out).count() == 118
+
+    with pytest.raises(RuntimeError, match="interrupted upsert"):
+        upsert_docs(rd.from_arrow(up), out)
+
+    res = resume_upsert(out)
+    assert res is not None and res["generation"] == 1
+    assert not _upsert_intent(out).exists()
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in decode_dataset(out).iter_batches(batch_format="pyarrow")
+    )
+    assert rows.num_rows == 121  # 120 - 2 + 3
+    by_id = dict(zip(rows["doc_id"].to_pylist(), rows["tokens"].to_pylist()))
+    vid = victims["doc_id"].to_pylist()
+    assert by_id[vid[0]] == [4, 4] and by_id[vid[1]] == [5]
+    assert by_id["up-new-1"] == [6, 6, 6]
+    assert resume_upsert(out) is None  # journal cleared, nothing pending
+
+
+def test_upsert_stale_journal_after_landed_append(corpus, ray_session, tmp_path):
+    """Crash AFTER the append landed but before the journal cleared:
+    resume must detect the completed generation and only clear the
+    journal — never append the staged rows twice."""
+    import json as _json
+
+    import ray.data as rd
+
+    from fsst_ray.state.tombstones import (
+        _upsert_dir,
+        _upsert_intent,
+        resume_upsert,
+        upsert_docs,
+    )
+
+    _, full, _ = corpus
+    out, base, up, victims = _mini_upsert_corpus(full, tmp_path, "enc_crash2")
+    res = upsert_docs(rd.from_arrow(up), out)
+    assert res["generation"] == 1 and not _upsert_intent(out).exists()
+
+    # recreate the journal as if the final cleanup never ran
+    staging = _upsert_dir(out) / "staging"
+    staging.mkdir(parents=True, exist_ok=True)
+    rd.from_arrow(up).write_parquet(str(staging))
+    _upsert_intent(out).write_text(
+        _json.dumps({"base_generation": 0, "n_ids": 3})
+    )
+    res2 = resume_upsert(out)
+    assert res2 is not None and res2["generation"] == 1
+    assert not _upsert_intent(out).exists()
+    assert decode_dataset(out).count() == 121  # unchanged: no duplicates
