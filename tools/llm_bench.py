@@ -1,0 +1,238 @@
+"""Scale benchmark for the LLM-data-operator suite (VERDICT r4 item 7).
+
+BENCH_r*.json times only the codec pipelines; this tool times the
+text-curation operators at a documents volume hundreds of times the
+driver's sf0.1 table (5,000 docs): a synthetic multi-language corpus
+with planted exact duplicates and near-duplicates, streamed through
+
+  1. `curate`        — quality + langid filter + exact-dedup winners
+  2. `minhash_dedup` — forced onto the distributed-CC closure path
+                       (driver_edge_limit=0), i.e. shingle -> 64-perm
+                       minhash -> banded LSH buckets -> in-bucket
+                       verification -> large-star/small-star connected
+                       components -> cluster assignment
+
+and records wall time, rows in/out, text bytes, docs/sec, peak machine
+memory (MemSampler from tools/bigrun.py), and the host window probes
+(this VM has multi-hour degraded tmpfs windows; a probe next to every
+number keeps it honest — see BASELINE.md "Round-3 finding").
+
+The corpus is deterministic (seeded per shard, cached under /tmp and
+keyed by a generation version + doc count), so reruns are comparable.
+Planted structure: every 97th doc has an exact copy, every 40th a
+near-copy (one word changed), both at id + 100M — so exact-dedup and
+near-dedup both do real work and output sizes are checkable.
+
+Usage:  python tools/llm_bench.py            # one JSON line
+Env:    FSST_LLMBENCH_DOCS  (default 2,400,000 base docs = 480x sf0.1)
+        RAY_GRAFT_CPUS      (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from tools.bigrun import MemSampler  # noqa: E402
+
+_GEN_VERSION = 1
+_DUP_OFFSET = 100_000_000
+_SHARD_DOCS = 100_000
+
+# per-language word pools: that language's stopwords dominate so the
+# stopword-vote langid has real signal, plus a shared content vocab
+_CONTENT_VOCAB = [f"w{i:04d}" for i in range(4000)]
+
+
+def docs_dir(n_docs: int) -> pathlib.Path:
+    return pathlib.Path(f"/tmp/fsst_ray_docs/v{_GEN_VERSION}_n{n_docs}")
+
+
+def _gen_shard(shard: int, n: int, start_id: int):
+    """Deterministic shard: numpy-seeded by shard index alone."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fsst_ray.functions.textstats import LANGS, STOPWORDS
+
+    rng = np.random.default_rng(1_000_003 + shard)
+    ids = np.arange(start_id, start_id + n, dtype=np.int64)
+    # 60% en, 10% each other language
+    lang_idx = rng.choice(
+        len(LANGS), size=n, p=[0.1 if l != "en" else 0.6 for l in LANGS]
+    )
+    lengths = rng.integers(40, 120, size=n)
+    # zipf-ish content word draw shared across languages
+    zipf = rng.zipf(1.3, size=int(lengths.sum())) % len(_CONTENT_VOCAB)
+    texts = []
+    pos = 0
+    stop_lists = [list(STOPWORDS[l]) for l in LANGS]
+    for i in range(n):
+        L = int(lengths[i])
+        words = [_CONTENT_VOCAB[j] for j in zipf[pos : pos + L]]
+        pos += L
+        # interleave that doc's language stopwords at every 3rd slot
+        sw = stop_lists[lang_idx[i]]
+        for j in range(0, L, 3):
+            words[j] = sw[(i + j) % len(sw)]
+        texts.append(" ".join(words))
+    base = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[j] for j in lang_idx], pa.string()),
+        }
+    )
+    # planted copies land at id + _DUP_OFFSET (disjoint id space)
+    extra_ids, extra_text, extra_lang = [], [], []
+    for i in range(n):
+        did = int(ids[i])
+        if did % 97 == 0:  # exact duplicate
+            extra_ids.append(did + _DUP_OFFSET)
+            extra_text.append(texts[i])
+            extra_lang.append(LANGS[lang_idx[i]])
+        elif did % 40 == 0:  # near duplicate: one word changed
+            w = texts[i].split(" ")
+            w[-1] = "zzznear"
+            extra_ids.append(did + _DUP_OFFSET)
+            extra_text.append(" ".join(w))
+            extra_lang.append(LANGS[lang_idx[i]])
+    import pyarrow as pa2
+
+    extra = pa2.table(
+        {
+            "doc_id": pa2.array(extra_ids, pa2.int64()),
+            "text": pa2.array(extra_text, pa2.string()),
+            "lang": pa2.array(extra_lang, pa2.string()),
+        }
+    )
+    return pa.concat_tables([base, extra])
+
+
+def ensure_docs_parquet(n_docs: int) -> str:
+    """Generate (once, cached) the synthetic documents corpus; one
+    parquet file per shard, shards generated in parallel Ray tasks."""
+    import ray
+
+    out = docs_dir(n_docs)
+    done = out / "_COMPLETE"
+    if done.exists():
+        return str(out)
+    tmp = out.parent / (out.name + ".tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+
+    @ray.remote(num_cpus=1)
+    def write_shard(shard: int, n: int, start_id: int) -> int:
+        import pyarrow.parquet as pq
+
+        t = _gen_shard(shard, n, start_id)
+        pq.write_table(t, tmp / f"shard-{shard:05d}.parquet")
+        return t.num_rows
+
+    refs = []
+    shard = 0
+    for start in range(0, n_docs, _SHARD_DOCS):
+        n = min(_SHARD_DOCS, n_docs - start)
+        refs.append(write_shard.remote(shard, n, start))
+        shard += 1
+    total = sum(ray.get(refs))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    (out / "_COMPLETE").write_text(str(total))
+    return str(out)
+
+
+def main() -> None:
+    import ray
+
+    from bench import _window_probe
+
+    n_docs = int(os.environ.get("FSST_LLMBENCH_DOCS", str(2_400_000)))
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    probe_before = _window_probe()
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data as rd
+
+    path = ensure_docs_parquet(n_docs)
+    files = sorted(str(p) for p in pathlib.Path(path).glob("*.parquet"))
+    text_bytes = sum(os.path.getsize(f) for f in files)
+
+    sampler = MemSampler()
+    sampler.start()
+    results = {}
+
+    # -- leg 1: curate ------------------------------------------------
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    total_rows = ds.count()
+    t0 = time.monotonic()
+    from fsst_ray.functions.curate import curate
+
+    kept = curate(ds).count()
+    curate_s = time.monotonic() - t0
+    results["curate"] = {
+        "wall_sec": round(curate_s, 2),
+        "rows_in": total_rows,
+        "rows_out": kept,
+        "docs_per_sec": round(total_rows / curate_s),
+    }
+
+    # -- leg 2: minhash near-dedup on the distributed-CC path ---------
+    ds2 = rd.read_parquet(files, columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    labels = minhash_dedup(ds2, jaccard_threshold=0.7, driver_edge_limit=0)
+    import pyarrow.compute as pc
+
+    def clustered(batch):
+        import pyarrow as pa
+
+        neq = pc.sum(
+            pc.cast(
+                pc.not_equal(batch["doc_id"], batch["cluster_id"]), "int64"
+            )
+        ).as_py() or 0
+        return pa.table({"n": pa.array([batch.num_rows]), "moved": pa.array([neq])})
+
+    agg = labels.map_batches(clustered, batch_format="pyarrow").take_all()
+    minhash_s = time.monotonic() - t0
+    n_out = sum(r["n"] for r in agg)
+    n_moved = sum(r["moved"] for r in agg)
+    results["minhash_dedup_cc"] = {
+        "wall_sec": round(minhash_s, 2),
+        "rows_in": total_rows,
+        "rows_labeled": n_out,
+        "rows_in_nontrivial_cluster": n_moved,
+        "docs_per_sec": round(total_rows / minhash_s),
+    }
+
+    peak_gb = sampler.stop()
+    probe_after = _window_probe()
+    out = {
+        "metric": "llm_suite_scale_bench",
+        "n_docs": total_rows,
+        "base_docs": n_docs,
+        "scale_vs_sf0.1_documents": round(n_docs / 5000),
+        "text_parquet_bytes": text_bytes,
+        "num_cpus": num_cpus,
+        "peak_machine_mem_gb": round(peak_gb, 2),
+        "legs": results,
+        "window_probe_before": probe_before,
+        "window_probe_after": probe_after,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
