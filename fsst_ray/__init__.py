@@ -21,7 +21,7 @@ from .pipelines import (
     read_encoded,
     verify_roundtrip,
 )
-from .state.tombstones import delete_docs, purge_deletes, upsert_docs
+from .state.tombstones import delete_docs, purge_deletes, resume_upsert, upsert_docs
 from .sources import ensure_tokens_parquet, read_tokens_dataset, tokens_table
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "compact_corpus",
     "delete_docs",
     "purge_deletes",
+    "resume_upsert",
     "upsert_docs",
     "decode_dataset",
     "decode_select",

@@ -4,6 +4,7 @@
                                [--chunk-tokens N] [--bucket-tokens N] [--resume]
                                [--append]   # incremental ingest into --output
                                [--upsert]   # replace-or-insert into --output
+                               [--upsert --resume]  # finish an interrupted upsert
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
     python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
                                [--ntok-range LO:HI] [--source S[,S...]]
@@ -115,7 +116,14 @@ def main(argv=None):
             ds = read_parquet_bundled(args.input)
             if args.upsert:
                 from fsst_ray import upsert_docs
+                from fsst_ray.state.tombstones import resume_upsert
 
+                if args.resume:
+                    res = resume_upsert(args.output)
+                    print(json.dumps(res if res is not None
+                                     else {"resumed": False,
+                                           "reason": "no upsert journal pending"}))
+                    return 0
                 print(json.dumps(upsert_docs(ds, args.output)))
                 return 0
             if args.append:
