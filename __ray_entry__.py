@@ -1864,10 +1864,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {corpus} WHERE doc_id LIKE '%00'"
         ),
         "upsert_roundtrip": (
+            # n_tok as INTEGER, not BIGINT: the engine decodes int32
+            # (corpus schema) and the driver value-hash is
+            # dtype-sensitive — same class of red as running_totals r4
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id LIKE '%3' "
             "THEN list_append(tokens, 0) ELSE tokens END AS tokens "
             f"FROM {corpus}) "
-            "SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok, "
+            "SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tok, "
             "CAST(COALESCE(list_sum(list_transform(tokens, "
             "(x, i) -> (CAST(x AS BIGINT) + 1) * i)), 0) AS BIGINT) AS checksum "
             "FROM m"

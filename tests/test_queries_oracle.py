@@ -36,6 +36,18 @@ def _to_df(result) -> pd.DataFrame:
     return result.to_pandas()  # ray Dataset
 
 
+def _arrow_types(result) -> dict[str, str]:
+    """Column -> Arrow type of a query result, without re-executing a
+    Dataset pipeline (schema() resolves from the lazy plan)."""
+    if isinstance(result, pa.Table):
+        return {f.name: str(f.type) for f in result.schema}
+    if isinstance(result, pd.DataFrame):
+        t = pa.Table.from_pandas(result, preserve_index=False)
+        return {f.name: str(f.type) for f in t.schema}
+    s = result.schema()  # ray Dataset
+    return dict(zip(s.names, [str(t) for t in s.types]))
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -53,7 +65,21 @@ def test_every_oracle_has_query():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, duck, ray_session):
-    got = _canon(_to_df(QUERIES[name](SF_DIR)))
+    result = QUERIES[name](SF_DIR)
+    # dtype-strict BEFORE the value compare: the driver's value hash is
+    # dtype-sensitive (r4's running_totals red row was int64 vs the
+    # oracle's HUGEINT with identical values), while the pandas compare
+    # below is not — without this check a dtype-only red can pass here
+    # and fail the driver
+    got_types = _arrow_types(result)
+    want_types = {
+        f.name: str(f.type) for f in duck.execute(ORACLES[name]).arrow().schema
+    }
+    assert got_types == want_types, (
+        f"{name}: arrow dtypes differ (query vs oracle): "
+        f"{ {c: (got_types.get(c), want_types.get(c)) for c in set(got_types) | set(want_types) if got_types.get(c) != want_types.get(c)} }"
+    )
+    got = _canon(_to_df(result))
     want = _canon(duck.execute(ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
