@@ -2,10 +2,13 @@
 n-gram Jaccard.
 
 Scale notes (100 TB): exact/prefix dedup shuffle only a (hash, doc_id)
-projection plus the winning rows; MinHash emits (band, band_hash,
-doc_id, sig) rows — the groupby co-locates candidate buckets only, and
-each verified pair is emitted exactly once (by its lowest matching
-band), so no cross-bucket dedup pass is needed. Connected components
+projection plus the winning rows; MinHash emits (bucket, doc_id, sig)
+rows keyed by ONE int64 (band in the top 4 bits) — a range sort
+co-locates candidate buckets and one vectorized pass per sorted block
+extracts + verifies pairs (zero per-bucket Python dispatch; buckets
+are overwhelmingly singletons), each verified pair emitted exactly
+once (by its lowest matching band), so no cross-bucket dedup pass is
+needed. Connected components
 run on the verified-pair edge list, which is orders of magnitude
 smaller than the corpus (union-find on the driver here; label
 propagation would replace it if the edge list itself were huge); the
@@ -277,10 +280,17 @@ def _band_buckets(sig: np.ndarray) -> np.ndarray:
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """Explode each doc into (bucket, band, doc_id, signature) rows —
-    one per LSH band; the signature rides along so candidate
-    verification inside the bucket groupby needs no second pass over
-    the corpus."""
+    """Explode each doc into (bucket, doc_id, signature) rows — one per
+    LSH band; the signature rides along so candidate verification in
+    the bucket exchange needs no second pass over the corpus.
+
+    The bucket key is ONE int64: band number in the top 4 bits
+    (exact band separation, like the old "band:hash" string key) over
+    the top 60 bits of the band hash — an 8-byte sort key instead of a
+    ~25-byte string, and the band is recoverable as `bucket >> 60`.
+    The signature column is fixed_size_binary built zero-copy from the
+    signature matrix's flat buffer (the old per-row bytes-slicing loop
+    was the only Python-per-row work left in this path)."""
     n_docs = batch.num_rows
     shingles, offsets = _batch_shingles(batch)
     sig = _minhash_signatures(shingles, offsets)
@@ -299,21 +309,18 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
         digest[nonempty] = sums
     sig = np.hstack([sig, digest[:, None]])
 
-    band_no = np.tile(np.arange(_LSH_BANDS, dtype=np.int64), n_docs)
-    bucket_strs = np.char.add(
-        np.char.add(band_no.astype(str), ":"), buckets.reshape(-1).astype(str)
-    )
-    sig_bytes = sig.tobytes()
+    band_no = np.tile(np.arange(_LSH_BANDS, dtype=np.uint64), n_docs)
+    key = (band_no << np.uint64(60)) | (buckets.reshape(-1) >> np.uint64(4))
     row_bytes = (_MINHASH_PERMS + 1) * 8
-    sig_col = pa.array(
-        [sig_bytes[i * row_bytes : (i + 1) * row_bytes] for i in range(n_docs)],
-        type=pa.large_binary(),
+    sig_col = pa.Array.from_buffers(
+        pa.binary(row_bytes),
+        n_docs,
+        [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())],
     )
     rep = np.repeat(np.arange(n_docs), _LSH_BANDS)
     return pa.table(
         {
-            "bucket": pa.array(bucket_strs, type=pa.string()),
-            "band": pa.array(band_no, type=pa.int64()),
+            "bucket": pa.array(key.view(np.int64), type=pa.int64()),
             "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
             "sig": sig_col.take(pa.array(rep)),
         }
@@ -328,6 +335,13 @@ def _sig_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    if pa.types.is_fixed_size_binary(col.type):
+        w = col.type.byte_width
+        if w % 8 != 0:
+            return np.stack([np.frombuffer(s, dtype=np.uint64) for s in col.to_pylist()])
+        data = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        flat = data[col.offset * w : (col.offset + n) * w]
+        return flat.reshape(n, w).view(np.uint64)
     # Offsets width follows the Arrow type: large_binary carries int64
     # offsets, binary carries int32. Reading large_binary offsets as
     # int32 interleaves lo/hi words, widths never look constant, and
@@ -344,54 +358,169 @@ def _sig_matrix(col) -> np.ndarray:
     return np.stack([np.frombuffer(s, dtype=np.uint64) for s in col.to_pylist()])
 
 
-def _bucket_verified_pairs(threshold: float):
-    """In-bucket verification: estimated Jaccard (signature agreement)
-    >= threshold. Each pair is emitted by exactly one bucket — the one
-    for its LOWEST matching band — so no cross-bucket dedup is needed."""
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+_PAIR_EMPTY_AB = pa.table(
+    {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+)
 
-    def fn(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
-        )
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        _, first_idx = np.unique(doc_ids, return_index=True)
-        if len(first_idx) < 2:
-            return empty
-        band = int(group["band"][0].as_py())
-        g = group.take(pa.array(np.sort(first_idx)))
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        sigs = _sig_matrix(g["sig"])[order]
-        n = len(ids)
-        digests = sigs[:, _MINHASH_PERMS]
-        sigs = sigs[:, :_MINHASH_PERMS]
-        bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
-        out_a, out_b = [], []
-        for ia, ib in _pair_blocks(n):
-            agree = (sigs[ia] == sigs[ib]).mean(axis=1)
-            keep = agree >= threshold
-            if threshold >= 1.0:
-                # exact mode: require set-digest equality, not just
-                # full signature agreement (see minhash_bands_batch)
-                keep &= digests[ia] == digests[ib]
-            if band > 0 and keep.any():
-                # drop pairs that an earlier band already emitted
-                earlier = (
-                    (bands[ia[keep], :band] == bands[ib[keep], :band])
-                    .all(axis=2)
-                    .any(axis=1)
-                )
-                kidx = np.flatnonzero(keep)
-                keep[kidx[earlier]] = False
-            out_a.append(ids[ia[keep]])
-            out_b.append(ids[ib[keep]])
+
+def _verify_pair_chunk(sigs, digests, pb, ia, ib, threshold):
+    """Vectorized verification of one chunk of candidate pairs (ia, ib
+    index into the row arrays): estimated Jaccard (signature agreement)
+    >= threshold, set-digest equality in exact mode, and lowest-
+    matching-band single emission (`pb` = each pair's bucket band; a
+    pair whose sub-signatures also match in any EARLIER band is dropped
+    — that band's bucket emits it). Returns the surviving (ia, ib)."""
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    eq = sigs[ia] == sigs[ib]  # (P, PERMS) — one gather, reused below
+    keep = eq.mean(axis=1) >= threshold
+    if threshold >= 1.0:
+        # exact mode: require set-digest equality, not just full
+        # signature agreement (see minhash_bands_batch)
+        keep &= digests[ia] == digests[ib]
+    band_match = eq.reshape(-1, _LSH_BANDS, rows_per_band).all(axis=2)
+    keep &= ~(
+        band_match & (np.arange(_LSH_BANDS)[None, :] < pb[:, None])
+    ).any(axis=1)
+    return ia[keep], ib[keep]
+
+
+def _dedup_sorted_bucket_rows(block: pa.Table, cross: bool):
+    """Shared prep for the sorted-block pair extractors: lexsort the
+    block's rows by (bucket[, side], doc_id), drop duplicate doc
+    occurrences per bucket (per (bucket, side, doc) when cross — ids
+    may collide across sides), drop singleton buckets (almost every
+    row), and compute group structure.
+
+    Returns None when no bucket has two rows, else
+    (rows, b_m, i_m, s_m, sz_m, sizes, bounds, multi) where `rows`
+    indexes the surviving rows in the ORIGINAL block, b_m/i_m/s_m/sz_m
+    are their bucket/doc_id/side/group-size arrays, and sizes/bounds/
+    multi describe all groups over the deduped (pre-singleton-drop)
+    ordering — what the flood-group fallback needs."""
+    n = block.num_rows
+    if n < 2:
+        return None
+    bucket = block["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = block["doc_id"].to_numpy(zero_copy_only=False)
+    if cross:
+        sd_all = block["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sd_all, bucket))
+    else:
+        order = np.lexsort((ids, bucket))
+    b_s, i_s = bucket[order], ids[order]
+    keep = np.ones(n, dtype=bool)
+    same_key = (b_s[1:] == b_s[:-1]) & (i_s[1:] == i_s[:-1])
+    if cross:
+        s_s = sd_all[order]
+        same_key &= s_s[1:] == s_s[:-1]
+    keep[1:] = ~same_key
+    order, b_s, i_s = order[keep], b_s[keep], i_s[keep]
+    s_s = s_s[keep] if cross else None
+    m = len(order)
+    bounds = np.concatenate([[0], np.flatnonzero(b_s[1:] != b_s[:-1]) + 1, [m]])
+    sizes = np.diff(bounds)
+    row_sz = np.repeat(sizes, sizes)
+    multi = np.flatnonzero(row_sz >= 2)
+    if len(multi) == 0:
+        return None
+    return (
+        order[multi],
+        b_s[multi],
+        i_s[multi],
+        s_s[multi] if cross else None,
+        row_sz[multi],
+        sizes,
+        bounds,
+        multi,
+    )
+
+
+def _bucket_candidate_chunks(
+    b_m, sz_m, sizes, bounds, multi, s_m=None, big_group=256, chunk=1 << 20
+):
+    """Yield candidate (ia, ib) index chunks into the multi-bucket row
+    arrays, covering every within-bucket pair exactly once (cross-side
+    pairs only when `s_m` is given): SMALL groups all at once via a
+    stride loop (pairs (i, i+d) sharing a bucket, d = 1..max group
+    size — O(max_size × multi-bucket rows), no per-group Python);
+    groups larger than `big_group` (pathological near-identical
+    floods) via the per-group blocked `_pair_blocks` path."""
+    small = sz_m <= big_group
+    if small.any():
+        idx = np.flatnonzero(small)
+        bs = b_m[idx]
+        ss = s_m[idx] if s_m is not None else None
+        for d in range(1, int(sz_m[idx].max())):
+            cand = bs[d:] == bs[:-d]
+            if ss is not None:
+                cand &= ss[d:] != ss[:-d]
+            if cand.any():
+                j = np.flatnonzero(cand)
+                for c0 in range(0, len(j), chunk):
+                    jj = j[c0 : c0 + chunk]
+                    yield idx[jj], idx[jj + d]
+    if not small.all():
+        big_groups = np.flatnonzero(sizes > big_group)
+        starts = bounds[:-1][big_groups]
+        for g, s0 in zip(big_groups, starts):
+            # position of the group's first row inside the multi-row
+            # arrays (its rows are contiguous there)
+            base = int(np.searchsorted(multi, s0))
+            for ia, ib in _pair_blocks(int(sizes[g])):
+                ia, ib = base + ia, base + ib
+                if s_m is not None:
+                    cm = s_m[ia] != s_m[ib]
+                    ia, ib = ia[cm], ib[cm]
+                yield ia, ib
+
+
+def _sorted_bucket_pairs_block(
+    threshold: float,
+    cross: bool = False,
+    big_group: int = 256,
+    verify_chunk: int = 1 << 20,
+):
+    """Per-sorted-block verified-pair extraction — the map_batches UDF
+    behind `minhash_pairs` / `cross_minhash_pairs`.
+
+    The band rows arrive range-sorted on the int64 bucket key (equal
+    keys never straddle a block boundary — the `min_per_key` /
+    `_sorted_group_map_streaming` property), so ONE vectorized pass per
+    block replaces the old `groupby("bucket").map_groups` dispatch: at
+    ~16 band rows/doc the buckets are overwhelmingly singletons, and
+    map_groups paid one Python call per bucket (~40M calls on the
+    llm_bench corpus — the pattern `min_per_key`'s docstring forbids).
+
+    cross=True restricts candidates to side 0 × side 1 (train × eval)
+    pairs; within a bucket rows sort side-0-first, so (i, i+d) pairs
+    orient doc_a=train, doc_b=eval directly. With cross=False, ids sort
+    ascending within the bucket, giving doc_a < doc_b."""
+
+    def fn(block: pa.Table) -> pa.Table:
+        prep = _dedup_sorted_bucket_rows(block, cross)
+        if prep is None:
+            return _PAIR_EMPTY_AB
+        rows, b_m, i_m, s_m, sz_m, sizes, bounds, multi = prep
+        full = _sig_matrix(block["sig"])[rows]
+        digests = full[:, _MINHASH_PERMS]
+        sigs = full[:, :_MINHASH_PERMS]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for ia, ib in _bucket_candidate_chunks(
+            b_m, sz_m, sizes, bounds, multi, s_m, big_group, verify_chunk
+        ):
+            for c0 in range(0, len(ia), verify_chunk):
+                ca, cb = ia[c0 : c0 + verify_chunk], ib[c0 : c0 + verify_chunk]
+                pb = (b_m[ca] >> np.uint64(60)).astype(np.int64)
+                ka, kb = _verify_pair_chunk(sigs, digests, pb, ca, cb, threshold)
+                if len(ka):
+                    out_a.append(i_m[ka])
+                    out_b.append(i_m[kb])
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_a": pa.array(cat(out_a), type=pa.int64()),
-                "doc_b": pa.array(cat(out_b), type=pa.int64()),
+                "doc_a": pa.array(cat(out_a).astype(np.int64), type=pa.int64()),
+                "doc_b": pa.array(cat(out_b).astype(np.int64), type=pa.int64()),
             }
         )
 
@@ -400,11 +529,17 @@ def _bucket_verified_pairs(threshold: float):
 
 def minhash_pairs(ds, jaccard_threshold: float = 0.7):
     """Verified near-duplicate pair Dataset (doc_a < doc_b), each pair
-    emitted exactly once. Only (bucket, doc_id, 512-byte signature)
-    rows shuffle — never the documents."""
+    emitted exactly once (by its lowest matching band). Only (bucket,
+    doc_id, 520-byte signature) rows shuffle — never the documents —
+    and the exchange is a range sort on the int64 bucket key followed
+    by one vectorized pass per block (zero per-bucket Python dispatch;
+    see `_sorted_bucket_pairs_block`)."""
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    return bands.groupby("bucket").map_groups(
-        _bucket_verified_pairs(jaccard_threshold), batch_format="pyarrow"
+    return bands.sort("bucket").map_batches(
+        _sorted_bucket_pairs_block(jaccard_threshold),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -455,9 +590,10 @@ def minhash_dedup(
 ):
     """MinHash-LSH near-duplicate clustering.
 
-    shingle -> 64-perm minhash -> 16 bands -> bucket groupby ->
-    signature-estimated Jaccard verification inside each bucket (each
-    pair emitted once) -> transitive closure -> per-batch assignment.
+    shingle -> 64-perm minhash -> 16 bands -> bucket range sort ->
+    signature-estimated Jaccard verification, one vectorized pass per
+    sorted block (each pair emitted once) -> transitive closure ->
+    per-batch assignment.
     Returns a Dataset of (doc_id, cluster_id); cluster_id = min doc_id
     of the component.
 
@@ -619,21 +755,21 @@ _SIMHASH_BANDS = 4  # 16 bits each over the 63-bit stored hash
 
 
 def _simhash_explode(batch: pa.Table) -> pa.Table:
+    """One (bucket, doc_id, simhash, digest) row per 16-bit SimHash
+    band. The bucket is ONE int64 — band number << 16 | band value
+    (exact band separation; band recoverable as `bucket >> 16`)."""
     sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     n = len(sh)
-    band_no = np.tile(np.arange(_SIMHASH_BANDS, dtype=np.int64), n)
+    band_no = np.tile(np.arange(_SIMHASH_BANDS, dtype=np.uint64), n)
     vals = np.empty((n, _SIMHASH_BANDS), dtype=np.uint64)
     for b in range(_SIMHASH_BANDS):
         vals[:, b] = (sh >> np.uint64(b * 16)) & np.uint64(0xFFFF)
-    bucket = np.char.add(
-        np.char.add(band_no.astype(str), ":"), vals.reshape(-1).astype(str)
-    )
+    bucket = (band_no << np.uint64(16)) | vals.reshape(-1)
     rep = np.repeat(np.arange(n), _SIMHASH_BANDS)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {
-            "bucket": pa.array(bucket, type=pa.string()),
-            "band": pa.array(band_no, type=pa.int64()),
+            "bucket": pa.array(bucket.view(np.int64), type=pa.int64()),
             "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
             "simhash": pa.array(sh[rep].astype(np.int64), type=pa.int64()),
             "digest": pa.array(
@@ -649,43 +785,55 @@ def _hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCOUNT8[x].sum(axis=-1).astype(np.int64)
 
 
-def _simhash_bucket_pairs(max_hamming: int, exact: bool = False):
-    def fn(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "hamming": pa.array([], type=pa.int64()),
-            }
-        )
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        _, first_idx = np.unique(doc_ids, return_index=True)
-        if len(first_idx) < 2:
+def _simhash_pairs_block(
+    max_hamming: int,
+    exact: bool = False,
+    big_group: int = 256,
+    verify_chunk: int = 1 << 20,
+):
+    """Per-sorted-block SimHash pair extraction (same shape as
+    `_sorted_bucket_pairs_block`, sharing its prep and candidate
+    machinery): Hamming distance <= max_hamming, set-digest equality in
+    exact mode, lowest-matching-band single emission via 16-bit band
+    masks on the rides-along simhash itself."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+    band_masks = np.array(
+        [0xFFFF << (b * 16) for b in range(_SIMHASH_BANDS)], dtype=np.uint64
+    )
+
+    def fn(block: pa.Table) -> pa.Table:
+        prep = _dedup_sorted_bucket_rows(block, cross=False)
+        if prep is None:
             return empty
-        band = int(group["band"][0].as_py())
-        g = group.take(pa.array(np.sort(first_idx)))
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
-        dg = g["digest"].to_numpy(zero_copy_only=False)[order]
+        rows, b_m, i_m, _s_m, sz_m, sizes, bounds, multi = prep
+        sh = block["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[rows]
+        dg = block["digest"].to_numpy(zero_copy_only=False)[rows]
         out_a, out_b, out_h = [], [], []
-        for ia, ib in _pair_blocks(len(ids)):
+        for ia, ib in _bucket_candidate_chunks(
+            b_m, sz_m, sizes, bounds, multi, None, big_group, verify_chunk
+        ):
+            x = sh[ia] ^ sh[ib]
             ham = _hamming_matrix(sh[ia], sh[ib])
             keep = ham <= max_hamming
             if exact:
                 keep &= dg[ia] == dg[ib]
-            if band > 0 and keep.any():
-                # emitted by the lowest matching band only
-                earlier = np.zeros(int(keep.sum()), dtype=bool)
-                for b in range(band):
-                    mask = np.uint64(0xFFFF) << np.uint64(b * 16)
-                    earlier |= (sh[ia[keep]] & mask) == (sh[ib[keep]] & mask)
-                kidx = np.flatnonzero(keep)
-                keep[kidx[earlier]] = False
-            out_a.append(ids[ia[keep]])
-            out_b.append(ids[ib[keep]])
-            out_h.append(ham[keep])
+            # emitted by the lowest matching band only: a band matches
+            # iff its 16 bits of the XOR are all zero
+            pb = (b_m[ia] >> np.uint64(16)).astype(np.int64)
+            band_zero = (x[:, None] & band_masks[None, :]) == 0
+            keep &= ~(
+                band_zero & (np.arange(_SIMHASH_BANDS)[None, :] < pb[:, None])
+            ).any(axis=1)
+            if keep.any():
+                out_a.append(i_m[ia[keep]])
+                out_b.append(i_m[ib[keep]])
+                out_h.append(ham[keep])
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
         return pa.table(
             {
@@ -700,13 +848,17 @@ def _simhash_bucket_pairs(max_hamming: int, exact: bool = False):
 
 def simhash_near_pairs(ds, max_hamming: int = 6):
     """Candidate near-dup pairs: equal 16-bit SimHash band -> verify
-    Hamming distance <= max_hamming, all inside a distributed bucket
-    groupby (each pair emitted by its lowest matching band only).
+    Hamming distance <= max_hamming, via a range sort on the int64
+    bucket key + one vectorized pass per block (each pair emitted by
+    its lowest matching band only; zero per-bucket Python dispatch).
     Returns a Dataset of (doc_a, doc_b, hamming)."""
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
     exploded = sigs.map_batches(_simhash_explode, batch_format="pyarrow")
-    return exploded.groupby("bucket").map_groups(
-        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    return exploded.sort("bucket").map_batches(
+        _simhash_pairs_block(max_hamming),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -717,8 +869,11 @@ def simhash_exact_pairs(ds):
     list."""
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
     exploded = sigs.map_batches(_simhash_explode, batch_format="pyarrow")
-    pairs = exploded.groupby("bucket").map_groups(
-        _simhash_bucket_pairs(0, exact=True), batch_format="pyarrow"
+    pairs = exploded.sort("bucket").map_batches(
+        _simhash_pairs_block(0, exact=True),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return pairs.map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
@@ -921,89 +1076,24 @@ def _tag_side(side: int):
     return fn
 
 
-def _bucket_cross_pairs(threshold: float):
-    """In-bucket verification restricted to CROSS-SIDE pairs (side 0 =
-    train, side 1 = eval): same estimated-Jaccard test, digest check at
-    threshold 1.0, and lowest-matching-band single emission as
-    `_bucket_verified_pairs` — but train×train and eval×eval pairs are
-    never materialized, which is what makes this viable when the train
-    side is the 100-TB corpus. Emits (doc_a=train id, doc_b=eval id)."""
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-
-    def fn(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
-        )
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sides = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # first occurrence per (side, doc_id) — ids may collide across
-        # sides. 2-column unique, NOT an arithmetic `id*2+side` packed
-        # key: that wraps for |id| near 2^62 and a negative id can
-        # collide with a positive one, silently dropping a row
-        _, first_idx = np.unique(
-            np.stack([sides, doc_ids]), axis=1, return_index=True
-        )
-        if len(first_idx) < 2:
-            return empty
-        band = int(group["band"][0].as_py())
-        g = group.take(pa.array(np.sort(first_idx)))
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        sd = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, sd))
-        ids, sd = ids[order], sd[order]
-        if sd[0] == sd[-1]:  # single-sided bucket: no cross pairs
-            return empty
-        sigs = _sig_matrix(g["sig"].combine_chunks() if isinstance(g["sig"], pa.ChunkedArray) else g["sig"])[order]
-        n = len(ids)
-        digests = sigs[:, _MINHASH_PERMS]
-        sigs = sigs[:, :_MINHASH_PERMS]
-        bands = sigs.reshape(n, _LSH_BANDS, rows_per_band)
-        out_a, out_b = [], []
-        for ia, ib in _pair_blocks(n):
-            keep = sd[ia] != sd[ib]
-            if not keep.any():
-                continue
-            agree = (sigs[ia] == sigs[ib]).mean(axis=1)
-            keep &= agree >= threshold
-            if threshold >= 1.0:
-                keep &= digests[ia] == digests[ib]
-            if band > 0 and keep.any():
-                earlier = (
-                    (bands[ia[keep], :band] == bands[ib[keep], :band])
-                    .all(axis=2)
-                    .any(axis=1)
-                )
-                kidx = np.flatnonzero(keep)
-                keep[kidx[earlier]] = False
-            # orient: doc_a = train (side 0), doc_b = eval (side 1)
-            a_is_train = sd[ia[keep]] == 0
-            ka, kb = ia[keep], ib[keep]
-            out_a.append(np.where(a_is_train, ids[ka], ids[kb]))
-            out_b.append(np.where(a_is_train, ids[kb], ids[ka]))
-        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
-        return pa.table(
-            {
-                "doc_a": pa.array(cat(out_a).astype(np.int64), type=pa.int64()),
-                "doc_b": pa.array(cat(out_b).astype(np.int64), type=pa.int64()),
-            }
-        )
-
-    return fn
-
-
 def cross_minhash_pairs(train_ds, eval_ds, jaccard_threshold: float = 0.7):
-    """Near-duplicate pairs BETWEEN two corpora (train doc, eval doc):
-    both sides band into the same LSH bucket space with a side tag;
-    verification emits cross-side pairs only. The eval side is
-    benchmark-sized, so buckets stay dominated by their train rows and
-    no train×train pair ever materializes."""
+    """Near-duplicate pairs BETWEEN two corpora (doc_a = train id,
+    doc_b = eval id): both sides band into the same LSH bucket space
+    with a side tag; the sorted-block pass emits CROSS-SIDE pairs only
+    (`_sorted_bucket_pairs_block(cross=True)`), so train×train and
+    eval×eval pairs are never materialized — which is what makes this
+    viable when the train side is the 100-TB corpus. The eval side is
+    benchmark-sized, so buckets stay dominated by their train rows."""
     bands_t = train_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
     bands_e = eval_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
     tagged = bands_t.map_batches(_tag_side(0), batch_format="pyarrow").union(
         bands_e.map_batches(_tag_side(1), batch_format="pyarrow")
     )
-    return tagged.groupby("bucket").map_groups(
-        _bucket_cross_pairs(jaccard_threshold), batch_format="pyarrow"
+    return tagged.sort("bucket").map_batches(
+        _sorted_bucket_pairs_block(jaccard_threshold, cross=True),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

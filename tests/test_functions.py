@@ -150,6 +150,98 @@ def test_minhash_pairs_emitted_once(docs_with_dups):
     assert (0, 101) in set(keys)
 
 
+def test_minhash_pairs_no_per_bucket_dispatch(docs_with_dups):
+    """The bucket exchange is a range sort + one vectorized pass per
+    block — buckets are overwhelmingly singletons, so a per-bucket
+    `map_groups` would pay one Python call per band row (the pattern
+    min_per_key's docstring forbids). Pin the executed plan."""
+    from fsst_ray.functions.dedup import minhash_pairs
+
+    pairs = minhash_pairs(docs_with_dups, jaccard_threshold=0.6).materialize()
+    stats = pairs.stats()
+    assert "MapGroups" not in stats and "Aggregate" not in stats, stats
+
+
+def test_simhash_pairs_no_per_bucket_dispatch(docs_with_dups):
+    """Same plan pin for the SimHash band exchange."""
+    from fsst_ray.functions.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs_with_dups, max_hamming=8).materialize()
+    stats = pairs.stats()
+    assert "MapGroups" not in stats and "Aggregate" not in stats, stats
+
+
+def _sorted_block(bands: pa.Table) -> pa.Table:
+    order = np.argsort(bands["bucket"].to_numpy())
+    return bands.take(pa.array(order))
+
+
+def test_sorted_bucket_pairs_big_group_route_identical():
+    """A flood bucket (hundreds of identical docs) routes through the
+    per-group `_pair_blocks` fallback; its pairs must be identical to
+    the all-small d-loop route, and complete (n*(n-1)/2)."""
+    from fsst_ray.functions import dedup
+
+    rows = [{"doc_id": i, "text": "a b c d e f g h i j"} for i in range(300)]
+    rows += [{"doc_id": 1000 + i, "text": f"x{i} y{i} z{i} q{i}"} for i in range(20)]
+    t = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    blk = _sorted_block(dedup.minhash_bands_batch(t))
+    via_big = dedup._sorted_bucket_pairs_block(1.0, big_group=64)(blk)
+    via_small = dedup._sorted_bucket_pairs_block(1.0, big_group=1 << 30)(blk)
+    pb = set(zip(via_big["doc_a"].to_pylist(), via_big["doc_b"].to_pylist()))
+    ps = set(zip(via_small["doc_a"].to_pylist(), via_small["doc_b"].to_pylist()))
+    assert pb == ps
+    assert len(pb) == 300 * 299 // 2  # every identical pair, exactly once
+    assert via_big.num_rows == len(pb), "duplicate emission"
+
+
+def test_sorted_bucket_pairs_dedups_doc_occurrences():
+    """The same (bucket, doc_id) row appearing twice (duplicate corpus
+    doc_id) must not pair with itself."""
+    from fsst_ray.functions import dedup
+
+    rows = [
+        {"doc_id": 7, "text": "a b c d e f"},
+        {"doc_id": 7, "text": "a b c d e f"},
+        {"doc_id": 9, "text": "p q r s t u"},
+    ]
+    t = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    blk = _sorted_block(dedup.minhash_bands_batch(t))
+    out = dedup._sorted_bucket_pairs_block(0.6)(blk)
+    got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert got == set(), got  # no self pair, no cross pair
+
+
+def test_sorted_bucket_pairs_cross_orientation_and_sides():
+    """cross=True: only side0xside1 pairs, oriented doc_a=train,
+    doc_b=eval, even when ids collide across sides."""
+    from fsst_ray.functions import dedup
+
+    text = "m n o p q r s t u v"
+    train = pa.Table.from_pylist(
+        [{"doc_id": 3, "text": text}, {"doc_id": 4, "text": text}],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    ev = pa.Table.from_pylist(
+        [{"doc_id": 3, "text": text}],  # id collides with train's
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    bt = dedup.minhash_bands_batch(train)
+    be = dedup.minhash_bands_batch(ev)
+    tagged = pa.concat_tables(
+        [dedup._tag_side(0)(bt), dedup._tag_side(1)(be)]
+    )
+    blk = _sorted_block(tagged)
+    out = dedup._sorted_bucket_pairs_block(1.0, cross=True)(blk)
+    got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    # train 3 x eval 3 and train 4 x eval 3 — never train 3 x train 4
+    assert got == {(3, 3), (4, 3)}, got
+
+
 def test_ivf_disk_index_partition_pruned_search(embeddings_ds, tmp_path):
     from fsst_ray.functions.similarity import brute_force_topk, ivf_build, ivf_search
 
