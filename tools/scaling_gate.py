@@ -39,6 +39,12 @@ def main() -> int:
     ap.add_argument("--out", default=str(REPO / "SCALING_r4.json"))
     ap.add_argument("--memcpy-gbps", type=float, default=30.0)
     ap.add_argument("--tmpfs-gbps", type=float, default=8.0)
+    # 0 disables; the r5 attempt-1 lesson is that memcpy/tmpfs alone
+    # miss a *compute*-degraded window: that run launched at
+    # memcpy 54.9 / tmpfs 10.3 but the matmul probe fell 1720 -> 1222
+    # across reps (hw_ceiling 0.833 vs r4's 1.004) and raw efficiency
+    # landed at 0.724 vs 0.906 over the two healthy reps
+    ap.add_argument("--matmul-agg", type=float, default=0.0)
     ap.add_argument("--poll-secs", type=float, default=300.0)
     ap.add_argument("--max-hours", type=float, default=6.0)
     args = ap.parse_args()
@@ -52,6 +58,7 @@ def main() -> int:
         healthy = (
             probe.get("memcpy_gbps", 0.0) >= args.memcpy_gbps
             and probe.get("tmpfs_gbps", 0.0) >= args.tmpfs_gbps
+            and probe.get("matmul_agg", 0.0) >= args.matmul_agg
         )
         with log.open("a") as f:
             f.write(json.dumps({"t": time.time(), "probe": probe, "healthy": healthy}) + "\n")
