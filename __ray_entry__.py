@@ -409,6 +409,21 @@ def _q_minhash_cc_clusters(sf_dir: str):
     return minhash_dedup_cc(_read(sf_dir, "documents"), jaccard_threshold=1.0)
 
 
+def _q_minhash_lean_clusters(sf_dir: str):
+    """`minhash_exact_clusters` over the LEAN band exchange
+    (`minhash_pairs_lean`): 16 B/row (bucket, doc_id) band rows through
+    the range sort, candidate pairs extracted unverified, signatures
+    recomputed for candidate docs only in a second projected corpus
+    pass, then the identical verification rule. Same oracle as the
+    carry-path siblings, so the two exchange shapes are pinned
+    identical end-to-end."""
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _read(sf_dir, "documents"), jaccard_threshold=1.0, lean_exchange=True
+    )
+
+
 def _q_connected_components(sf_dir: str):
     """Distributed connected components on a deterministic multi-hop
     graph over the documents doc_ids (consecutive runs + skip links —
@@ -1241,6 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
         "minhash_cc_clusters": _q_minhash_cc_clusters,
+        "minhash_lean_clusters": _q_minhash_lean_clusters,
         "connected_components": _q_connected_components,
         "customer_orders_left": _q_customer_orders_left,
         "order_priority_rollup": _q_order_priority_rollup,
@@ -1740,6 +1756,19 @@ def oracle_sql() -> dict[str, str]:
             # is an equivalence relation, so transitive closure over the
             # exact pair set reproduces the same-set clusters — the CC
             # path must land bit-identical to the union-find sibling
+            "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_sort(list_distinct("
+            "CASE WHEN len(ws) < 3 THEN [text] "
+            "ELSE list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh FROM w) "
+            "SELECT a.doc_id, m.cid AS cluster_id FROM s a "
+            "JOIN (SELECT sh, MIN(doc_id) AS cid FROM s GROUP BY sh) m "
+            "ON a.sh = m.sh"
+        ),
+        "minhash_lean_clusters": (
+            # identical to minhash_exact_clusters: the lean exchange
+            # must land bit-identical to the carry-path siblings
             "WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws "
             "FROM documents), "
             "s AS (SELECT doc_id, list_sort(list_distinct("

@@ -8,7 +8,11 @@ co-locates candidate buckets and one vectorized pass per sorted block
 extracts + verifies pairs (zero per-bucket Python dispatch; buckets
 are overwhelmingly singletons), each verified pair emitted exactly
 once (by its lowest matching band), so no cross-bucket dedup pass is
-needed. Connected components
+needed. When the signature ride-along dominates the exchange (520 B
+on each of a doc's 16 band rows), `minhash_pairs_lean` ships 16 B/row
+band rows instead and recomputes signatures for candidate docs only
+in a second projected corpus pass — bit-identical output, pinned in
+tests. Connected components
 run on the verified-pair edge list, which is orders of magnitude
 smaller than the corpus (union-find on the driver here; label
 propagation would replace it if the edge list itself were huge); the
@@ -279,6 +283,49 @@ def _band_buckets(sig: np.ndarray) -> np.ndarray:
     return out
 
 
+def _minhash_batch_state(batch: pa.Table):
+    """Shared per-batch MinHash state: returns ``(sig65, keys, doc_ids)``
+    where ``sig65`` is the (n_docs, PERMS+1) uint64 signature matrix
+    with the exact set digest appended as the last word, ``keys`` the
+    flat (n_docs * BANDS,) uint64 bucket keys (band number in the top
+    4 bits over the top 60 bits of the band hash — the band is
+    recoverable as ``bucket >> 60``), and ``doc_ids`` int64.
+
+    The digest is the wrapping sum of the doc's distinct shingle
+    hashes: signature agreement == 1.0 only means set equality with
+    probability J^perms (near-dup sets leak through at threshold 1.0 —
+    observed 10/500 on real documents), so exact-mode verification
+    compares this digest."""
+    n_docs = batch.num_rows
+    shingles, offsets = _batch_shingles(batch)
+    sig = _minhash_signatures(shingles, offsets)
+    buckets = _band_buckets(sig)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    digest = np.zeros(n_docs, dtype=np.uint64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if len(shingles):
+        sums = np.add.reduceat(shingles, offsets[:-1][nonempty])
+        digest[nonempty] = sums
+    sig65 = np.hstack([sig, digest[:, None]])
+
+    band_no = np.tile(np.arange(_LSH_BANDS, dtype=np.uint64), n_docs)
+    key = (band_no << np.uint64(60)) | (buckets.reshape(-1) >> np.uint64(4))
+    return sig65, key, doc_ids
+
+
+def _sig65_column(sig65: np.ndarray) -> pa.Array:
+    """fixed-width binary column built zero-copy from the signature
+    matrix's flat buffer (the old per-row bytes-slicing loop was the
+    only Python-per-row work left in this path)."""
+    row_bytes = (_MINHASH_PERMS + 1) * 8
+    return pa.Array.from_buffers(
+        pa.binary(row_bytes),
+        sig65.shape[0],
+        [None, pa.py_buffer(np.ascontiguousarray(sig65).tobytes())],
+    )
+
+
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """Explode each doc into (bucket, doc_id, signature) rows — one per
     LSH band; the signature rides along so candidate verification in
@@ -287,42 +334,33 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     The bucket key is ONE int64: band number in the top 4 bits
     (exact band separation, like the old "band:hash" string key) over
     the top 60 bits of the band hash — an 8-byte sort key instead of a
-    ~25-byte string, and the band is recoverable as `bucket >> 60`.
-    The signature column is fixed_size_binary built zero-copy from the
-    signature matrix's flat buffer (the old per-row bytes-slicing loop
-    was the only Python-per-row work left in this path)."""
+    ~25-byte string. See `minhash_band_rows_batch` for the lean
+    sibling that drops the signature column entirely."""
+    sig65, key, doc_ids = _minhash_batch_state(batch)
     n_docs = batch.num_rows
-    shingles, offsets = _batch_shingles(batch)
-    sig = _minhash_signatures(shingles, offsets)
-    buckets = _band_buckets(sig)
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    # exact order-independent set digest (wrapping sum of the distinct
-    # shingle hashes), appended as a 65th signature word: signature
-    # agreement == 1.0 only means set equality with probability J^perms
-    # (near-dup sets leak through at threshold 1.0 — observed 10/500 on
-    # real documents), so exact-mode verification compares this digest
-    digest = np.zeros(n_docs, dtype=np.uint64)
-    nonempty = offsets[:-1] < offsets[1:]
-    if len(shingles):
-        sums = np.add.reduceat(shingles, offsets[:-1][nonempty])
-        digest[nonempty] = sums
-    sig = np.hstack([sig, digest[:, None]])
-
-    band_no = np.tile(np.arange(_LSH_BANDS, dtype=np.uint64), n_docs)
-    key = (band_no << np.uint64(60)) | (buckets.reshape(-1) >> np.uint64(4))
-    row_bytes = (_MINHASH_PERMS + 1) * 8
-    sig_col = pa.Array.from_buffers(
-        pa.binary(row_bytes),
-        n_docs,
-        [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())],
-    )
+    sig_col = _sig65_column(sig65)
     rep = np.repeat(np.arange(n_docs), _LSH_BANDS)
     return pa.table(
         {
             "bucket": pa.array(key.view(np.int64), type=pa.int64()),
             "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
             "sig": sig_col.take(pa.array(rep)),
+        }
+    )
+
+
+def minhash_band_rows_batch(batch: pa.Table) -> pa.Table:
+    """Lean band explosion: (bucket, doc_id) only — 16 bytes/row
+    instead of ~536 (the 520-byte signature otherwise rides every one
+    of a doc's BANDS rows through the bucket exchange). Candidate
+    verification then needs the signatures fetched separately — see
+    `minhash_pairs_lean` for the two-exchange shape this enables."""
+    _, key, doc_ids = _minhash_batch_state(batch)
+    rep = np.repeat(np.arange(batch.num_rows), _LSH_BANDS)
+    return pa.table(
+        {
+            "bucket": pa.array(key.view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(doc_ids[rep], type=pa.int64()),
         }
     )
 
@@ -543,6 +581,206 @@ def minhash_pairs(ds, jaccard_threshold: float = 0.7):
     )
 
 
+_CAND_EMPTY = pa.table(
+    {
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "band": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _sorted_bucket_candidates_block(big_group: int = 256, chunk: int = 1 << 20):
+    """Per-sorted-block CANDIDATE extraction (no verification — the
+    lean band rows carry no signatures): same group machinery as
+    `_sorted_bucket_pairs_block`, emitting (doc_a, doc_b, band) for
+    every within-bucket pair. Within a band a pair shares at most one
+    bucket, so per band each pair appears at most once; the same pair
+    CAN appear under several bands — `minhash_pairs_lean`'s verifier
+    applies the identical lowest-matching-band rule per candidate, so
+    the emitted pair set is bit-identical to the carry path's."""
+
+    def fn(block: pa.Table) -> pa.Table:
+        prep = _dedup_sorted_bucket_rows(block, cross=False)
+        if prep is None:
+            return _CAND_EMPTY
+        rows, b_m, i_m, s_m, sz_m, sizes, bounds, multi = prep
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_band: list[np.ndarray] = []
+        for ia, ib in _bucket_candidate_chunks(
+            b_m, sz_m, sizes, bounds, multi, None, big_group, chunk
+        ):
+            out_a.append(i_m[ia])
+            out_b.append(i_m[ib])
+            out_band.append((b_m[ia] >> np.uint64(60)).astype(np.int64))
+        if not out_a:
+            return _CAND_EMPTY
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "band": pa.array(np.concatenate(out_band), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _candidate_sig_rows(ids_ref):
+    """map_batches UDF for the lean path's second corpus pass:
+    recompute (doc_id, sig) for ONLY the docs named in the broadcast
+    sorted candidate-id array (`ray.put` once, zero-copy `ray.get`
+    per batch). The signature math is deterministic in the text, so
+    the recomputed rows are bit-identical to what the carry path
+    would have shipped."""
+    import ray
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "sig": pa.array([], type=pa.binary((_MINHASH_PERMS + 1) * 8)),
+        }
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = sorted_isin(wanted, ids)
+        if not hit.any():
+            return empty
+        sub = batch.take(pa.array(np.flatnonzero(hit)))
+        sig65, _, sub_ids = _minhash_batch_state(sub)
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids, type=pa.int64()),
+                "sig": _sig65_column(sig65),
+            }
+        )
+
+    return fn
+
+
+def minhash_pairs_lean(
+    ds, jaccard_threshold: float = 0.7, max_candidate_docs: int = 1_000_000
+):
+    """`minhash_pairs` with the signature ride-along traded for a
+    second (tiny) corpus pass — the 100-TB shape when the band
+    exchange dominates.
+
+    The carry path ships the 520-byte signature on every one of a
+    doc's 16 band rows (~536 B/row through the range sort; the
+    llm_bench corpus moved ~550 B × 39.7M rows and spilled ~33 GB).
+    Here the exchange rows are (bucket, doc_id) — 16 B/row, a ~33×
+    lighter sort — and verification is deferred:
+
+    1. lean band rows -> range sort on the int64 bucket key -> one
+       vectorized pass per block emits CANDIDATE (doc_a, doc_b, band)
+       rows (candidates are pair-sized: buckets are overwhelmingly
+       singletons and get dropped in-block);
+    2. the distinct candidate doc ids (driver-bounded by
+       `max_candidate_docs`, loud ValueError above it — use the carry
+       path for pathological corpora) broadcast via `ray.put`, and a
+       projected second pass over the corpus recomputes signatures for
+       exactly those docs (deterministic => bit-identical);
+    3. the candidate rows are verified per batch against the broadcast
+       signature matrix with the SAME `_verify_pair_chunk` rule
+       (estimated-Jaccard threshold, exact-mode digest, lowest-
+       matching-band single emission), so the output pair set is
+       bit-identical to `minhash_pairs` (pinned in
+       tests/test_functions.py).
+
+    Assumes `doc_id` uniquely identifies a document (the corpus
+    contract everywhere else); with duplicated ids the carry path
+    verifies against the signature each band row carried, while this
+    path verifies against the first corpus row with that id."""
+    import ray
+    import ray.data as rd
+
+    bands = ds.map_batches(minhash_band_rows_batch, batch_format="pyarrow")
+    cands = (
+        bands.sort("bucket")
+        .map_batches(
+            _sorted_bucket_candidates_block(),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    id_parts: list[np.ndarray] = []
+    for b in cands.select_columns(["doc_a", "doc_b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            id_parts.append(
+                np.unique(
+                    np.concatenate(
+                        [
+                            b["doc_a"].to_numpy(zero_copy_only=False),
+                            b["doc_b"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            )
+    if not id_parts:
+        return rd.from_arrow(_PAIR_EMPTY_AB)
+    cand_ids = np.unique(np.concatenate(id_parts)).astype(np.int64)
+    if len(cand_ids) > max_candidate_docs:
+        raise ValueError(
+            f"minhash_pairs_lean: {len(cand_ids)} candidate docs exceed "
+            f"max_candidate_docs={max_candidate_docs}; the broadcast "
+            "signature table would not be driver-bounded — use "
+            "minhash_pairs (carry path) for this corpus"
+        )
+    ids_ref = ray.put(cand_ids)
+
+    id_parts, sig_parts = [], []
+    for b in ds.select_columns(["doc_id", "text"]).map_batches(
+        _candidate_sig_rows(ids_ref), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            id_parts.append(
+                b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            sig_parts.append(_sig_matrix(b["sig"]))
+    sig_ids = np.concatenate(id_parts)
+    sigm = np.vstack(sig_parts)
+    order = np.argsort(sig_ids, kind="stable")
+    sig_ids, sigm = sig_ids[order], sigm[order]
+    first = np.ones(len(sig_ids), dtype=bool)
+    first[1:] = sig_ids[1:] != sig_ids[:-1]
+    sig_ids, sigm = sig_ids[first], sigm[first]
+    if not np.array_equal(sig_ids, cand_ids):
+        raise RuntimeError(
+            "minhash_pairs_lean: signature fetch did not cover every "
+            "candidate doc id — corpus changed between passes?"
+        )
+    sig_ref = ray.put((sig_ids, np.ascontiguousarray(sigm)))
+    thr = jaccard_threshold
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAIR_EMPTY_AB
+        ids_s, m = ray.get(sig_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = np.searchsorted(ids_s, a)
+        ib = np.searchsorted(ids_s, b)
+        ka, kb = _verify_pair_chunk(
+            m[:, :_MINHASH_PERMS], m[:, _MINHASH_PERMS], pb, ia, ib, thr
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(ids_s[ka], type=pa.int64()),
+                "doc_b": pa.array(ids_s[kb], type=pa.int64()),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
 def _components(pairs) -> dict[int, int]:
     """Union-find over the (small) verified edge list; returns the
     remap {doc_id: cluster_id} for docs in non-trivial components."""
@@ -586,7 +824,10 @@ def _remap_assign(remap: dict[int, int]):
 
 
 def minhash_dedup(
-    ds, jaccard_threshold: float = 0.7, driver_edge_limit: int = 2_000_000
+    ds,
+    jaccard_threshold: float = 0.7,
+    driver_edge_limit: int = 2_000_000,
+    lean_exchange: bool = False,
 ):
     """MinHash-LSH near-duplicate clustering.
 
@@ -605,8 +846,15 @@ def minhash_dedup(
     (`graph.assign_components`, pinned bit-identical to the union-find
     in tests/test_graph.py) takes over — the edge list never needs to
     fit the driver.
+
+    `lean_exchange=True` swaps the pair extraction to
+    `minhash_pairs_lean` (16 B/row band exchange + candidate-only
+    signature recompute, bit-identical pairs) — the shape to prefer
+    when the band exchange's signature ride-along dominates (it spills)
+    and the candidate set is driver-bounded.
     """
-    pairs = minhash_pairs(ds, jaccard_threshold).materialize()
+    pair_fn = minhash_pairs_lean if lean_exchange else minhash_pairs
+    pairs = pair_fn(ds, jaccard_threshold).materialize()
     if pairs.count() <= driver_edge_limit:
         remap = _components(pairs)
         return ds.map_batches(_remap_assign(remap), batch_format="pyarrow")

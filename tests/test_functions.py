@@ -162,6 +162,90 @@ def test_minhash_pairs_no_per_bucket_dispatch(docs_with_dups):
     assert "MapGroups" not in stats and "Aggregate" not in stats, stats
 
 
+def _pair_set(pairs_ds) -> set:
+    t = pairs_ds.to_pandas()
+    return set(zip(t["doc_a"], t["doc_b"]))
+
+
+@pytest.mark.parametrize("threshold", [0.6, 1.0])
+def test_minhash_pairs_lean_parity(docs_with_dups, threshold):
+    """The lean exchange (16 B/row band rows + candidate-only
+    signature recompute) must emit the bit-identical pair set as the
+    carry path, at both near-dup and exact thresholds."""
+    from fsst_ray.functions.dedup import minhash_pairs, minhash_pairs_lean
+
+    carry = _pair_set(minhash_pairs(docs_with_dups, threshold))
+    lean = _pair_set(minhash_pairs_lean(docs_with_dups, threshold))
+    assert lean == carry
+    if threshold == 0.6:
+        assert (0, 101) in lean  # non-vacuous: planted dup found
+
+
+def test_minhash_pairs_lean_parity_flood_and_random(ray_session):
+    """Lean-vs-carry parity on a corpus with a 300-doc identical flood
+    (exercises the _pair_blocks fallback inside candidate extraction)
+    plus random docs and planted near-dups."""
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import minhash_pairs, minhash_pairs_lean
+
+    rng = np.random.default_rng(5150)
+    vocab = [f"t{i}" for i in range(300)]
+    rows = [{"doc_id": i, "text": "a b c d e f g h i j"} for i in range(300)]
+    for i in range(300, 380):
+        words = [vocab[j] for j in rng.integers(0, 300, size=50)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 9 == 0:  # planted near-dup of the random doc
+            rows.append({"doc_id": i + 1000, "text": " ".join(words[:-1] + ["q"])})
+    t = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    ds = rd.from_arrow(t)
+    carry = _pair_set(minhash_pairs(ds, 0.7))
+    lean = _pair_set(minhash_pairs_lean(ds, 0.7))
+    assert lean == carry
+    assert len(lean) >= 300 * 299 // 2  # the flood pairs all verified
+
+
+def test_minhash_pairs_lean_no_candidates(ray_session):
+    """All-unique corpus: zero candidate pairs -> empty result, no
+    second pass, no error."""
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import minhash_pairs_lean
+
+    rows = [{"doc_id": i, "text": f"u{i} v{i} w{i} x{i} y{i}"} for i in range(30)]
+    t = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    out = minhash_pairs_lean(rd.from_arrow(t), 0.7)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_a", "doc_b"}
+
+
+def test_minhash_pairs_lean_candidate_cap(docs_with_dups):
+    """Candidate-doc count above max_candidate_docs raises the loud
+    documented error instead of an unbounded broadcast."""
+    from fsst_ray.functions.dedup import minhash_pairs_lean
+
+    with pytest.raises(ValueError, match="max_candidate_docs"):
+        minhash_pairs_lean(docs_with_dups, 0.6, max_candidate_docs=1)
+
+
+def test_minhash_dedup_lean_exchange_identical(docs_with_dups):
+    """minhash_dedup(lean_exchange=True) lands bit-identical cluster
+    assignments to the default carry path."""
+    from fsst_ray.functions.dedup import minhash_dedup
+
+    base = minhash_dedup(docs_with_dups, jaccard_threshold=0.6).to_pandas()
+    lean = minhash_dedup(
+        docs_with_dups, jaccard_threshold=0.6, lean_exchange=True
+    ).to_pandas()
+    b = base.sort_values("doc_id").reset_index(drop=True)
+    l = lean.sort_values("doc_id").reset_index(drop=True)
+    assert b.equals(l)
+
+
 def test_simhash_pairs_no_per_bucket_dispatch(docs_with_dups):
     """Same plan pin for the SimHash band exchange."""
     from fsst_ray.functions.dedup import simhash_near_pairs

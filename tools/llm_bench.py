@@ -216,6 +216,30 @@ def main() -> None:
         "docs_per_sec": round(total_rows / minhash_s),
     }
 
+    # -- leg 3: same dedup over the LEAN band exchange -----------------
+    # (16 B/row band rows + candidate-only signature recompute; output
+    # pinned bit-identical in tests — here the cluster summary must
+    # match leg 2 exactly)
+    if os.environ.get("FSST_LLMBENCH_SKIP_LEAN", "0") != "1":
+        ds3 = rd.read_parquet(files, columns=["doc_id", "text"])
+        t0 = time.monotonic()
+        labels3 = minhash_dedup(
+            ds3, jaccard_threshold=0.7, driver_edge_limit=0, lean_exchange=True
+        )
+        agg3 = labels3.map_batches(clustered, batch_format="pyarrow").take_all()
+        lean_s = time.monotonic() - t0
+        results["minhash_dedup_cc_lean"] = {
+            "wall_sec": round(lean_s, 2),
+            "rows_in": total_rows,
+            "rows_labeled": sum(r["n"] for r in agg3),
+            "rows_in_nontrivial_cluster": sum(r["moved"] for r in agg3),
+            "docs_per_sec": round(total_rows / lean_s),
+            "matches_carry_leg": (
+                sum(r["n"] for r in agg3) == n_out
+                and sum(r["moved"] for r in agg3) == n_moved
+            ),
+        }
+
     peak_gb = sampler.stop()
     probe_after = _window_probe()
     out = {
