@@ -108,6 +108,23 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents"))
 
 
+def _q_segment_dedup(sf_dir: str):
+    """Paragraph-level exact dedup at 10-word-window granularity
+    (`segment_dedup`): first occurrence of each distinct segment wins,
+    later occurrences are dropped and documents are rebuilt from their
+    kept segments (docs fully covered by earlier text disappear). The
+    sf0.01 documents table has ~151 naturally duplicated 10-word
+    segments across 500 docs, so the query does real work."""
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import segment_dedup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return segment_dedup(ds, segment_words=10)
+
+
 def _q_dedup_prefix(sf_dir: str):
     from fsst_ray.functions.dedup import prefix_dedup
 
@@ -1251,6 +1268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
+        # new in round 5 — never driver-verified, so it joins block 1
+        # (displacing one r4-green sibling from the ~50-query window)
+        "segment_dedup": _q_segment_dedup,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1352,6 +1372,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "segment_dedup": (
+            # 10-word-window segments (DuckDB list slices are 1-based,
+            # end-inclusive, clamped — ws[i*10+1 : (i+1)*10] is window
+            # i); first (doc_id, seg_idx) occurrence of each distinct
+            # segment wins; docs rebuilt from kept segments in order,
+            # fully-covered docs vanish via the HAVING
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "seg AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx, "
+            "array_to_string(ws[(i*10+1):((i+1)*10)], ' ') AS seg "
+            "FROM w, UNNEST(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)), "
+            "r AS (SELECT doc_id, seg_idx, seg, "
+            "ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn "
+            "FROM seg) "
+            "SELECT doc_id, COUNT(*) AS n_seg, "
+            "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1) AS text "
+            "FROM r GROUP BY doc_id "
+            "HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0"
+        ),
         "dedup_prefix": (
             "SELECT substring(text, 1, 40) AS prefix_key, MIN(doc_id) AS doc_id, "
             "COUNT(*) AS n_dups FROM documents GROUP BY 1"

@@ -211,6 +211,211 @@ def prefix_dedup(ds, prefix_chars: int = 40):
     return min_per_key(keyed, "prefix_key", "doc_id", counts_col="n_dups")
 
 
+# ---------------- segment-level exact dedup ----------------
+
+_SEG_PAIR_DT = np.dtype([("d", np.int64), ("i", np.int32)])
+
+
+def _seg_pairs(doc_ids: np.ndarray, seg_idx: np.ndarray) -> np.ndarray:
+    """(doc_id, seg_idx) pairs as a structured array so membership
+    tests are a single sorted searchsorted over the lexicographic
+    order — no arithmetic key packing (ADVICE r4: packed int keys
+    overflow/collide for extreme ids)."""
+    out = np.empty(len(doc_ids), dtype=_SEG_PAIR_DT)
+    out["d"] = doc_ids
+    out["i"] = seg_idx
+    return out
+
+
+def _segment_views(batch: pa.Table, segment_words: int):
+    """Vectorized fixed-word-window segmentation of a text batch:
+    returns (seg_str, row, seg_idx) where ``seg_str`` is a StringArray
+    of every document's consecutive ``segment_words``-word windows
+    (last window partial; a doc of n words emits ceil(n/W) segments,
+    n >= 1 because ''.split(' ') == ['']), ``row`` the batch row each
+    segment came from and ``seg_idx`` its 0-based index within the
+    doc. Zero per-row Python: word splitting is one Arrow kernel, the
+    window offsets are repeat/arange index math (the `split_windows`
+    idiom), and the segment strings come from ONE `binary_join` over a
+    ListArray built on the flat word values — segments tile each doc
+    contiguously, so the list offsets are just every window start plus
+    the final end."""
+    lists = _word_lists(batch)
+    flat, offsets = _flat_offsets(lists)
+    n_words = np.diff(offsets)
+    n_seg = -(-n_words // segment_words)  # ceil; == 0 only for n_words == 0
+    total = int(n_seg.sum())
+    if total == 0:
+        empty_i = np.array([], dtype=np.int64)
+        return pa.array([], type=pa.string()), empty_i, empty_i
+    row = np.repeat(np.arange(len(n_seg)), n_seg)
+    base = np.concatenate([[0], np.cumsum(n_seg)])[:-1]
+    seg_idx = np.arange(total) - base[row]
+    starts = offsets[:-1][row] + seg_idx * segment_words
+    bounds = np.concatenate([starts, [offsets[-1]]]).astype(np.int32)
+    seg_list = pa.ListArray.from_arrays(pa.array(bounds, type=pa.int32()), flat)
+    seg_str = pc.binary_join(seg_list, " ")
+    return seg_str, row, seg_idx
+
+
+def segment_dedup(
+    ds,
+    segment_words: int = 20,
+    max_dup_segments: int = 10_000_000,
+):
+    """Paragraph-level exact dedup at fixed word-window granularity —
+    the segment-granularity form of exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"; Falcon/
+    RefinedWeb run the same idea with suffix arrays). Real corpora with
+    newline paragraphs would split on the separator upstream (one Arrow
+    kernel); the fixed word window is the separator-free equivalent and
+    what the synthetic word-stream corpus exercises.
+
+    Every document is cut into consecutive ``segment_words``-word
+    segments (last partial). The FIRST occurrence of each distinct
+    segment — ordered by (doc_id, seg_idx) — is kept; every later
+    occurrence (across docs or repeated within one doc) is dropped.
+    Output rows: (doc_id, n_seg, n_kept, text) with text rebuilt from
+    the kept segments in order; docs whose every segment was seen
+    before disappear (exactly like `exact_dedup` of a fully-covered
+    doc).
+
+    100-TB shape — the corpus text never shuffles:
+    1. map-side: (h1, h2, doc_id, seg_idx) projection rows, two
+       independently-seeded 64-bit content hashes (as `exact_dedup`);
+    2. range-sort on h1 alone (equal keys never straddle a block) +
+       one lexsort pass per block emits the LOSER occurrences — rows
+       that are not their (h1, h2) group's (doc_id, seg_idx) minimum.
+       The loser list is duplicate-sized, not corpus-sized;
+    3. losers broadcast via `ray.put` (driver-bounded by
+       ``max_dup_segments``, loud ValueError above — mirroring
+       `minhash_pairs_lean`'s candidate cap), and a second projected
+       corpus pass drops them map-side and rebuilds each doc's text
+       with one `binary_join` per batch."""
+    import ray
+    import ray.data as rd
+
+    if segment_words <= 0:
+        raise ValueError(f"segment_words must be positive, got {segment_words}")
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        seg_str, row, seg_idx = _segment_views(batch, segment_words)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(_pl_hash(seg_str, 1)),
+                "h2": pa.array(_pl_hash(seg_str, 2)),
+                "doc_id": pa.array(doc_ids[row], type=pa.int64()),
+                "seg_idx": pa.array(seg_idx.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def losers_block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "seg_idx": pa.array([], type=pa.int32()),
+            }
+        )
+        n = block.num_rows
+        if n == 0:
+            return empty
+        h1 = block["h1"].to_numpy(zero_copy_only=False)
+        h2 = block["h2"].to_numpy(zero_copy_only=False)
+        d = block["doc_id"].to_numpy(zero_copy_only=False)
+        i = block["seg_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, d, h2, h1))
+        first = np.ones(n, dtype=bool)
+        first[1:] = (h1[order][1:] != h1[order][:-1]) | (
+            h2[order][1:] != h2[order][:-1]
+        )
+        lose = order[~first]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[lose], type=pa.int64()),
+                "seg_idx": pa.array(i[lose], type=pa.int32()),
+            }
+        )
+
+    projected = ds.map_batches(seg_rows, batch_format="pyarrow")
+    losers = projected.sort("h1").map_batches(
+        losers_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts: list[np.ndarray] = []
+    n_losers = 0
+    for b in losers.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(
+                _seg_pairs(
+                    b["doc_id"].to_numpy(zero_copy_only=False),
+                    b["seg_idx"].to_numpy(zero_copy_only=False),
+                )
+            )
+            n_losers += b.num_rows
+            if n_losers > max_dup_segments:
+                raise ValueError(
+                    f"segment_dedup: more than max_dup_segments="
+                    f"{max_dup_segments} duplicate segment occurrences; "
+                    "the broadcast drop-list would not be driver-bounded "
+                    "— raise the cap or dedup at a coarser granularity"
+                )
+    drop = (
+        np.sort(np.concatenate(parts))
+        if parts
+        else np.array([], dtype=_SEG_PAIR_DT)
+    )
+    drop_ref = ray.put(drop)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_seg": pa.array([], type=pa.int64()),
+                "n_kept": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        dropped = ray.get(drop_ref)
+        seg_str, row, seg_idx = _segment_views(batch, segment_words)
+        if len(row) == 0:
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = _seg_pairs(doc_ids[row], seg_idx)
+        if len(dropped):
+            pos = np.clip(np.searchsorted(dropped, keys), 0, len(dropped) - 1)
+            keep = dropped[pos] != keys
+        else:
+            keep = np.ones(len(keys), dtype=bool)
+        n_seg = np.bincount(row, minlength=batch.num_rows).astype(np.int64)
+        n_kept = np.bincount(
+            row[keep], minlength=batch.num_rows
+        ).astype(np.int64)
+        kept_rows = np.flatnonzero(n_kept > 0)
+        if len(kept_rows) == 0:
+            return empty
+        kept_str = pa.concat_arrays(
+            [c for c in seg_str.chunks]
+        ) if isinstance(seg_str, pa.ChunkedArray) else seg_str
+        kept_str = kept_str.take(pa.array(np.flatnonzero(keep)))
+        bounds = np.concatenate([[0], np.cumsum(n_kept[kept_rows])])
+        doc_list = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32), type=pa.int32()), kept_str
+        )
+        text = pc.binary_join(doc_list, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[kept_rows], type=pa.int64()),
+                "n_seg": pa.array(n_seg[kept_rows], type=pa.int64()),
+                "n_kept": pa.array(n_kept[kept_rows], type=pa.int64()),
+                "text": text,
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
 # ---------------- MinHash + LSH ----------------
 
 _MINHASH_PERMS = 64

@@ -1520,3 +1520,102 @@ def test_hash_join_skew_guard_raises_on_hot_key(ray_session):
         rd.from_arrow(left), rd.from_arrow(right), "k", "rk", max_group_rows=2500
     ).to_pandas()
     assert len(ok) == 50 * 50 + 1
+
+
+# ---------------- segment-level exact dedup ----------------
+
+
+def _segment_dedup_ref(rows, W):
+    """Pure-python reference: global first-(doc_id, seg_idx) occurrence
+    of each distinct W-word segment wins; docs rebuilt from kept
+    segments; fully-covered docs vanish."""
+    seen = set()
+    out = {}
+    for d, t in sorted(rows):
+        ws = t.split(" ")
+        segs = [" ".join(ws[k * W : (k + 1) * W]) for k in range(-(-len(ws) // W))]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if kept:
+            out[d] = (len(segs), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("W", [1, 3, 10])
+def test_segment_dedup_matches_reference(ray_session, W):
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import segment_dedup
+
+    rng = np.random.default_rng(424)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> natural dup segments
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(1, 25))
+        rows.append((i, " ".join(vocab[j] for j in rng.integers(0, 12, size=n))))
+    rows.append((500, rows[3][1]))  # full-copy doc: must vanish
+    # within-doc repeated segment (doc repeats its own first W words)
+    ws = rows[7][1].split(" ")
+    rows.append((501, " ".join(ws[:W] + ws[:W] + ["tail501"])))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        )
+    )
+    got_ds = segment_dedup(ds, segment_words=W)
+    got = {
+        r["doc_id"]: (r["n_seg"], r["n_kept"], r["text"])
+        for r in got_ds.take_all()
+    }
+    exp = _segment_dedup_ref(rows, W)
+    assert got == exp
+    assert 500 not in got  # fully-covered doc vanished
+    # executed plan: range sort + vectorized blocks, no per-group dispatch
+    stats = got_ds.stats()
+    assert "MapGroups" not in stats and "Aggregate" not in stats, stats
+
+
+def test_segment_dedup_no_duplicates_is_identity(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import segment_dedup
+
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(30)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        )
+    )
+    out = segment_dedup(ds, segment_words=2).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [d for d, _ in rows]
+    assert list(out["text"]) == [t for _, t in rows]
+    assert (out["n_seg"] == out["n_kept"]).all()
+
+
+def test_segment_dedup_candidate_cap(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import segment_dedup
+
+    rows = [(0, "a b c d"), (1, "a b c d")]  # 2 dup segments at W=2
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_dup_segments"):
+        segment_dedup(ds, segment_words=2, max_dup_segments=1)
+    with pytest.raises(ValueError, match="segment_words"):
+        segment_dedup(ds, segment_words=0)

@@ -150,6 +150,28 @@ def ensure_docs_parquet(n_docs: int) -> str:
     return str(out)
 
 
+def _spilled_mb(session_dir: str) -> int:
+    """Cumulative object-store spill (MiB) for THIS bench's ray
+    session, parsed from the raylet's cumulative "Spilled N MiB"
+    progress lines. Returns 0 when nothing spilled (the line never
+    appears). The spill *directory* can't be used: ray deletes spill
+    files as objects are restored, so the log line is the only
+    cumulative record. The session dir must come from ray.init()'s
+    address_info — `session_latest` is a symlink any concurrent
+    session repoints (observed mid-bench). Sampled after each leg;
+    per-leg deltas quantify which exchange spilled."""
+    import re
+
+    best = 0
+    for f in pathlib.Path(session_dir, "logs").glob("raylet*"):
+        try:
+            for m in re.finditer(rb"Spilled (\d+) MiB", f.read_bytes()):
+                best = max(best, int(m.group(1)))
+        except OSError:
+            pass
+    return best
+
+
 def main() -> None:
     import ray
 
@@ -160,7 +182,10 @@ def main() -> None:
     probe_before = _window_probe()
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        ctx = ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        session_dir = ctx.address_info["session_dir"]
+    else:
+        session_dir = "/tmp/ray/ray/session_latest"
     import ray.data as rd
 
     path = ensure_docs_parquet(n_docs)
@@ -179,11 +204,13 @@ def main() -> None:
 
     kept = curate(ds).count()
     curate_s = time.monotonic() - t0
+    spill_after_curate = _spilled_mb(session_dir)
     results["curate"] = {
         "wall_sec": round(curate_s, 2),
         "rows_in": total_rows,
         "rows_out": kept,
         "docs_per_sec": round(total_rows / curate_s),
+        "spilled_mb": spill_after_curate,
     }
 
     # -- leg 2: minhash near-dedup on the distributed-CC path ---------
@@ -208,12 +235,14 @@ def main() -> None:
     minhash_s = time.monotonic() - t0
     n_out = sum(r["n"] for r in agg)
     n_moved = sum(r["moved"] for r in agg)
+    spill_after_carry = _spilled_mb(session_dir)
     results["minhash_dedup_cc"] = {
         "wall_sec": round(minhash_s, 2),
         "rows_in": total_rows,
         "rows_labeled": n_out,
         "rows_in_nontrivial_cluster": n_moved,
         "docs_per_sec": round(total_rows / minhash_s),
+        "spilled_mb": spill_after_carry - spill_after_curate,
     }
 
     # -- leg 3: same dedup over the LEAN band exchange -----------------
@@ -234,6 +263,7 @@ def main() -> None:
             "rows_labeled": sum(r["n"] for r in agg3),
             "rows_in_nontrivial_cluster": sum(r["moved"] for r in agg3),
             "docs_per_sec": round(total_rows / lean_s),
+            "spilled_mb": _spilled_mb(session_dir) - spill_after_carry,
             "matches_carry_leg": (
                 sum(r["n"] for r in agg3) == n_out
                 and sum(r["moved"] for r in agg3) == n_moved
