@@ -149,6 +149,20 @@ def _q_langid(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _q_score_documents(sf_dir: str):
+    """Batched linear-model inference (classify.py): hashed
+    bag-of-words classifier with the weight vector broadcast once via
+    ray.put and fetched per ACTOR (not per batch) — the model-scoring
+    stage shape. Buckets are md5-parity, weights integer, so the SQL
+    oracle recomputes every score bit-for-bit."""
+    import ray.data as rd
+
+    from fsst_ray.functions.classify import score_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return score_documents(ds)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Rolling-hash document fingerprints (winnowing, MOSS): every
     char 8-gram md5-hashed, each 16-window contributes its minimum,
@@ -1233,7 +1247,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 72 are checked
+    # 0-49). Every query below has an oracle and ALL 74 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1271,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 5 — never driver-verified, so it joins block 1
         # (displacing one r4-green sibling from the ~50-query window)
         "segment_dedup": _q_segment_dedup,
+        "score_documents": _q_score_documents,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1395,6 +1410,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": (
             "SELECT substring(text, 1, 40) AS prefix_key, MIN(doc_id) AS doc_id, "
             "COUNT(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "score_documents": (
+            # hashed-BoW linear model: bucket = md5_number_upper(word)
+            # % 4096 (bit-parity with the engine's worker-side DuckDB
+            # hashing); weight = (bucket*2654435761) % 1001 - 500 — the
+            # exact integer formula make_weights() vectorizes
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CAST(SUM("
+            "(CAST(md5_number_upper(w) % 4096 AS BIGINT) * 2654435761) % 1001 - 500"
+            ") AS BIGINT) AS score FROM w GROUP BY doc_id) "
+            "SELECT doc_id, score, CAST(score > 0 AS BIGINT) AS positive FROM s"
         ),
         "csv_ingest": (
             # identical to word_stats — the CSV round trip must be lossless

@@ -1619,3 +1619,72 @@ def test_segment_dedup_candidate_cap(ray_session):
         segment_dedup(ds, segment_words=2, max_dup_segments=1)
     with pytest.raises(ValueError, match="segment_words"):
         segment_dedup(ds, segment_words=0)
+
+
+def test_score_documents_matches_duckdb_and_batch_path(ray_session):
+    """Linear-model scoring: the distributed actor-pool result equals a
+    direct DuckDB recomputation of the oracle formula (md5 bucket ->
+    integer weight -> per-occurrence sum), including repeated words,
+    empty text, and whitespace-edge docs."""
+    import duckdb
+    import ray.data as rd
+
+    from fsst_ray.functions.classify import (
+        N_BUCKETS,
+        make_weights,
+        score_batch,
+        score_documents,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat the cat"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "one"},
+        {"doc_id": 4, "text": " leading and  double space"},
+        {"doc_id": 5, "text": "zebra " * 50 + "end"},
+    ]
+    tbl = pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    out = (
+        score_documents(rd.from_arrow(tbl).repartition(3), concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "s AS (SELECT doc_id, CAST(SUM("
+        "(CAST(md5_number_upper(w) % 4096 AS BIGINT) * 2654435761) % 1001 - 500"
+        ") AS BIGINT) AS score FROM w GROUP BY doc_id) "
+        "SELECT doc_id, score, CAST(score > 0 AS BIGINT) AS positive FROM s "
+        "ORDER BY doc_id"
+    ).df()
+    assert list(out["doc_id"]) == list(exp["doc_id"])
+    assert list(out["score"]) == list(exp["score"]), (out, exp)
+    assert list(out["positive"]) == list(exp["positive"])
+    # the single-batch path is the same function the actors run
+    direct = score_batch(tbl, make_weights(), N_BUCKETS)
+    assert direct["score"].to_pylist() == list(exp["score"])
+
+
+def test_linear_scorer_weights_fetched_once_per_actor(ray_session):
+    """The weight vector is broadcast via ray.put and resolved in
+    __init__ — scoring a multi-batch dataset must not re-fetch or
+    rebuild weights per batch (LinearScorer.__call__ takes no ref)."""
+    import ray
+
+    from fsst_ray.functions.classify import LinearScorer, make_weights
+
+    ref = ray.put(make_weights())
+    scorer = LinearScorer(ref)
+    assert isinstance(scorer.weights, np.ndarray)
+    b1 = pa.table({"doc_id": pa.array([7], pa.int64()), "text": pa.array(["a b"])})
+    r1 = scorer(b1)
+    r2 = scorer(b1)
+    assert r1.equals(r2)
+    with pytest.raises(ValueError, match="weight vector"):
+        LinearScorer(make_weights(8), n_buckets=16)
