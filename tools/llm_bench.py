@@ -11,6 +11,12 @@ with planted exact duplicates and near-duplicates, streamed through
                        minhash -> banded LSH buckets -> in-bucket
                        verification -> large-star/small-star connected
                        components -> cluster assignment
+  3. the same dedup over the LEAN band exchange (16 B/row band rows +
+     candidate-only signature recompute; summary must match leg 2)
+  4. `score_documents` — batched linear-model inference (broadcast
+     weights, autoscaling actor pool)
+  5. `segment_dedup`   — segment-level exact substring dedup (hashed
+     projection range sort + map-side rebuild)
 
 and records wall time, rows in/out, text bytes, docs/sec, peak machine
 memory (MemSampler from tools/bigrun.py), and the host window probes
@@ -269,6 +275,68 @@ def main() -> None:
                 and sum(r["moved"] for r in agg3) == n_moved
             ),
         }
+
+    # -- leg 4: batched linear-model scoring (model-inference shape) ---
+    spill_prev = _spilled_mb(session_dir)
+    ds4 = rd.read_parquet(files, columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    from fsst_ray.functions.classify import score_documents
+
+    def score_summary(batch):
+        import pyarrow as pa
+
+        pos = pc.sum(batch["positive"]).as_py() or 0
+        return pa.table({"n": pa.array([batch.num_rows]), "pos": pa.array([pos])})
+
+    agg4 = (
+        score_documents(ds4, concurrency=(1, num_cpus))
+        .map_batches(score_summary, batch_format="pyarrow")
+        .take_all()
+    )
+    score_s = time.monotonic() - t0
+    spill_now = _spilled_mb(session_dir)
+    results["score_documents"] = {
+        "wall_sec": round(score_s, 2),
+        "rows_in": total_rows,
+        "rows_scored": sum(r["n"] for r in agg4),
+        "rows_positive": sum(r["pos"] for r in agg4),
+        "docs_per_sec": round(total_rows / score_s),
+        "spilled_mb": spill_now - spill_prev,
+    }
+    spill_prev = spill_now
+
+    # -- leg 5: segment-level exact substring dedup ---------------------
+    ds5 = rd.read_parquet(files, columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    from fsst_ray.functions.dedup import segment_dedup
+
+    def seg_summary(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows]),
+                "seg": pa.array([pc.sum(batch["n_seg"]).as_py() or 0]),
+                "kept": pa.array([pc.sum(batch["n_kept"]).as_py() or 0]),
+            }
+        )
+
+    agg5 = (
+        segment_dedup(ds5, segment_words=10)
+        .map_batches(seg_summary, batch_format="pyarrow")
+        .take_all()
+    )
+    seg_s = time.monotonic() - t0
+    spill_now = _spilled_mb(session_dir)
+    results["segment_dedup"] = {
+        "wall_sec": round(seg_s, 2),
+        "rows_in": total_rows,
+        "rows_out": sum(r["n"] for r in agg5),
+        "segments_total": sum(r["seg"] for r in agg5),
+        "segments_kept": sum(r["kept"] for r in agg5),
+        "docs_per_sec": round(total_rows / seg_s),
+        "spilled_mb": spill_now - spill_prev,
+    }
 
     peak_gb = sampler.stop()
     probe_after = _window_probe()
