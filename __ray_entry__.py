@@ -893,6 +893,21 @@ def _q_token_histogram(sf_dir: str):
     return token_histogram(read_tokens_dataset(scale=_scale_for(sf_dir)), k=100)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 token ids via the Misra-Gries mergeable sketch +
+    candidate-only recount (sketch.py) — the sketch-sized-exchange
+    sibling of token_histogram, whose shuffle is vocabulary-sized. The
+    corpus has ~431k distinct tokens >> capacity=1024, so the sketch
+    genuinely compresses (nonzero undercount bound) and the exactness
+    guard (k-th count > undercount) proves the answer before returning."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.sketch import token_heavy_hitters
+
+    return token_heavy_hitters(
+        read_tokens_dataset(scale=_scale_for(sf_dir)), k=20, capacity=1024
+    )
+
+
 def _q_frame_sample(sf_dir: str):
     """Frame-sampling plumbing over documents-derived media payloads;
     the (media_id, frame_no, n_frames) projection is SQL-recomputable
@@ -1247,7 +1262,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 74 are checked
+    # 0-49). Every query below has an oracle and ALL 76 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1286,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (displacing one r4-green sibling from the ~50-query window)
         "segment_dedup": _q_segment_dedup,
         "score_documents": _q_score_documents,
+        "heavy_hitters": _q_heavy_hitters,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1999,6 +2015,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, n FROM (SELECT token, COUNT(*) AS n FROM "
             f"(SELECT unnest(tokens)::BIGINT AS token FROM {corpus}) "
             f"GROUP BY token ORDER BY n DESC, token LIMIT 100)"
+        ),
+        "heavy_hitters": (
+            f"SELECT token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM "
+            f"(SELECT unnest(tokens)::BIGINT AS token FROM {corpus}) "
+            f"GROUP BY token ORDER BY cnt DESC, token LIMIT 20)"
         ),
         "media_features": (
             "SELECT doc_id AS media_id, "

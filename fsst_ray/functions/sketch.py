@@ -1,14 +1,16 @@
-"""Distributed cardinality sketch: KMV (k-minimum-values / bottom-k).
+"""Distributed mergeable sketches: KMV cardinality and Misra-Gries
+heavy hitters.
 
-The classic distinct-count sketch (Bar-Yossef et al., "Counting
-distinct elements in a data stream"): keep the k smallest hash values
-of the key set; the k-th minimum estimates the distinct count as
-(k-1) * HASH_SPACE / kth_min. Bottom-k sets are trivially mergeable
-(union -> bottom-k), which is what makes the sketch distributed: each
-batch emits at most k (group, hash) rows, the shuffle is k x groups
-sized regardless of corpus size, and the merge is associative.
+KMV (k-minimum-values / bottom-k) is the classic distinct-count sketch
+(Bar-Yossef et al., "Counting distinct elements in a data stream"):
+keep the k smallest hash values of the key set; the k-th minimum
+estimates the distinct count as (k-1) * HASH_SPACE / kth_min. Bottom-k
+sets are trivially mergeable (union -> bottom-k), which is what makes
+the sketch distributed: each batch emits at most k (group, hash) rows,
+the shuffle is k x groups sized regardless of corpus size, and the
+merge is associative.
 
-Unlike most sketches this one is DETERMINISTIC given the hash — and the
+Unlike most sketches KMV here is DETERMINISTIC given the hash — and the
 hash is DuckDB's own (`hash(key)`, the murmur64 finalizer already used
 by corpus_split/stratified_sample) — so the oracle can recompute the
 sketch EXACTLY with window functions: every output row, including the
@@ -16,12 +18,18 @@ approximate estimate, is hash-checkable. When a group's true distinct
 count is under k the merged sketch holds every hash and the estimate
 degrades to the exact count (standard KMV behavior, matched by the
 oracle's CASE).
+
+`heavy_hitters` (bottom of file) is the frequent-items counterpart:
+Misra-Gries counter summaries merged through an arbitrary tree
+(Agarwal et al., "Mergeable Summaries", PODS 2012), then made EXACT by
+a candidate-only recount — see its docstring.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .curate import _murmur64
 
@@ -81,4 +89,226 @@ def kmv_distinct(ds, key_col: str, group_col: str, k: int = 16):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(group_col)
         .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# ---------------- Misra-Gries heavy hitters (exact via recount) --------
+
+def _mg_compress(values: pa.Array, counts: np.ndarray, m: int):
+    """Compress a counter set to <= m entries, Misra-Gries style: find
+    the (m+1)-th largest count t, drop every counter <= t and subtract
+    t from the survivors. Returns (values, counts, t) with t == 0 when
+    nothing was dropped. The decrement accounting is the whole sketch:
+    one compression lowers ANY value's effective counter by at most t
+    (survivors by exactly t, dropped counters were <= t, absent values
+    by 0), so summing every t along an arbitrary merge tree gives a
+    global undercount bound U with  est(v) <= true(v) <= est(v) + U
+    and, crucially, every value with true(v) > U still owns a counter
+    somewhere (Agarwal et al., "Mergeable Summaries", PODS 2012)."""
+    if len(counts) <= m:
+        return values, counts, 0
+    t = int(np.partition(counts, -(m + 1))[-(m + 1)])
+    keep = counts > t
+    return values.filter(pa.array(keep)), counts[keep] - t, t
+
+
+def _counter_table(vcol: str, values: pa.Array, counts: np.ndarray, dec: int) -> pa.Table:
+    """Counter rows plus ONE null-value sentinel row carrying the
+    summary's accumulated decrement (split-safe: Ray may split or
+    coalesce summary rows across merge blocks arbitrarily — counters
+    just add by value and sentinel decrements just add, so any
+    partitioning of the rows preserves the invariant)."""
+    out_vals = pa.concat_arrays([values, pa.array([None], type=values.type)])
+    out_cnt = np.concatenate([counts, [dec]]).astype(np.int64)
+    return pa.table({vcol: out_vals, "cnt": pa.array(out_cnt, type=pa.int64())})
+
+
+def heavy_hitters(
+    ds,
+    values_fn,
+    vcol: str,
+    value_type: pa.DataType,
+    k: int = 20,
+    capacity: int = 1024,
+    merge_partitions: int = 8,
+):
+    """EXACT top-k most frequent values of an unbounded-cardinality
+    stream with only sketch-sized exchanges — the scale-path sibling of
+    `token_histogram`, whose shuffle is vocabulary-sized (fine for a
+    tokenizer vocab, wrong for raw words / n-grams at 100 TB).
+
+    Three stages, none corpus-sized:
+    1. map: per-batch exact value counts (`pc.value_counts`) compressed
+       to `capacity` Misra-Gries counters; each batch emits <= capacity
+       counter rows + one sentinel row carrying its decrement.
+    2. tree merge: summaries repartitioned into `merge_partitions`
+       blocks; each block sums counters by value (`pa.Table.group_by`)
+       and re-compresses. The driver folds the <= partitions x
+       (capacity+1) surviving rows WITHOUT further compression and
+       accumulates the global undercount bound U = sum of every
+       decrement. Mergeable-summaries guarantee: every value with true
+       count > U is among the candidates.
+    3. exact recount: the candidate values broadcast via `ray.put`; a
+       second pass counts ONLY candidates per batch (`pc.index_in` +
+       bincount — nothing else leaves the map task), bucket-combined
+       exactly like token_histogram's merge.
+
+    The top-k by (count DESC, value ASC) is then PROVABLY exact iff the
+    k-th exact count > U (no non-candidate can reach it); otherwise a
+    loud ValueError says to raise `capacity`. U == 0 means no
+    compression ever fired (candidates == all distinct values) and the
+    result is exact trivially. Everything is deterministic, so the
+    DuckDB GROUP BY / ORDER BY / LIMIT oracle reproduces it bit-for-bit.
+
+    `values_fn(batch) -> pa.Array` extracts the flat value stream
+    (typed `value_type`; nulls dropped here). `vcol` names the output
+    value column; `value_type` pins the output schema even on an empty
+    corpus. Returns a pa.Table (vcol, cnt), min(k, n_distinct) rows.
+    """
+    import ray
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = values_fn(batch).drop_null()
+        if len(vals) == 0:
+            return _counter_table(vcol, vals, np.array([], np.int64), 0)
+        vc = pc.value_counts(vals)
+        v = vc.field("values")
+        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c, dec = _mg_compress(v, c, capacity)
+        return _counter_table(vcol, v, c, dec)
+
+    def merge_block(block: pa.Table) -> pa.Table:
+        null_mask = pc.is_null(block[vcol])
+        dec_in = int(pc.sum(pc.filter(block["cnt"], null_mask)).as_py() or 0)
+        real = block.filter(pc.invert(null_mask))
+        if real.num_rows:
+            comb = real.group_by(vcol).aggregate([("cnt", "sum")])
+            v = comb[vcol].combine_chunks()
+            c = comb["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v, c, dec_new = _mg_compress(v, c, capacity)
+        else:
+            v = pa.array([], type=value_type)
+            c = np.array([], np.int64)
+            dec_new = 0
+        return _counter_table(vcol, v, c, dec_in + dec_new)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(merge_partitions)
+        .map_batches(merge_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    undercount = 0
+    counters: dict = {}
+    for r in merged:
+        val = r[vcol]
+        cnt = int(r["cnt"])
+        if val is None:
+            undercount += cnt
+        else:
+            counters[val] = counters.get(val, 0) + cnt
+    # candidate set: NO driver compression — keeping every surviving
+    # counter only widens the candidate set under the same U
+    if not counters and undercount > 0:
+        raise ValueError(
+            "heavy_hitters: every counter was compressed away "
+            f"(undercount bound {undercount}); raise capacity={capacity}"
+        )
+    cand_list = sorted(counters)
+    # recount ONLY the candidates, exactly
+    cand_arr = pa.array(cand_list, type=value_type)
+    cand_ref = ray.put(cand_arr)
+    n_cand = len(cand_list)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vals = values_fn(batch).drop_null()
+        cand_vals = ray.get(cand_ref)
+        idx = pc.index_in(vals, value_set=cand_vals)
+        idx = pc.filter(idx, pc.is_valid(idx))
+        hits = np.bincount(
+            idx.to_numpy(zero_copy_only=False).astype(np.int64), minlength=n_cand
+        ) if len(idx) else np.zeros(n_cand, np.int64)
+        nz = np.flatnonzero(hits)
+        return pa.table(
+            {
+                "idx": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "cnt": pa.array(hits[nz].astype(np.int64), type=pa.int64()),
+                "part": pa.array((nz % merge_partitions).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        idx = group["idx"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        sums = np.bincount(idx, weights=cnt, minlength=n_cand).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "idx": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "cnt": pa.array(sums[nz], type=pa.int64()),
+            }
+        )
+
+    exact = np.zeros(n_cand, dtype=np.int64)
+    if n_cand:
+        rows = (
+            ds.map_batches(recount, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(combine, batch_format="pyarrow")
+            .take_all()
+        )
+        for r in rows:
+            exact[int(r["idx"])] += int(r["cnt"])
+    tbl = pa.table({vcol: cand_arr, "cnt": pa.array(exact, type=pa.int64())})
+    order = pc.sort_indices(
+        tbl, sort_keys=[("cnt", "descending"), (vcol, "ascending")]
+    )
+    topk = tbl.take(order[: min(k, tbl.num_rows)])
+    if undercount > 0:
+        kth = (
+            int(topk["cnt"][topk.num_rows - 1].as_py()) if topk.num_rows else 0
+        )
+        if topk.num_rows < k or kth <= undercount:
+            raise ValueError(
+                "heavy_hitters: cannot prove the top-k exact — k-th "
+                f"candidate count {kth} <= undercount bound {undercount} "
+                f"(candidates {n_cand}, k {k}); raise capacity={capacity}"
+            )
+    return topk
+
+
+def _token_values(batch: pa.Table) -> pa.Array:
+    """Flat int64 token stream of a tokens-table batch."""
+    from ..stages.serialize import tokens_views
+
+    values, _ = tokens_views(batch)
+    return pa.array(values.astype(np.int64), type=pa.int64())
+
+
+def _word_values(batch: pa.Table) -> pa.Array:
+    """Flat word stream of a documents batch (string_split parity)."""
+    from .textstats import _word_lists
+
+    flat = _word_lists(batch).flatten()
+    return flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+
+
+def token_heavy_hitters(ds, k: int = 20, capacity: int = 1024, merge_partitions: int = 8):
+    """Exact top-k token ids of a tokens corpus via the MG sketch."""
+    return heavy_hitters(
+        ds, _token_values, "token", pa.int64(),
+        k=k, capacity=capacity, merge_partitions=merge_partitions,
+    )
+
+
+def word_heavy_hitters(ds, k: int = 20, capacity: int = 1024, merge_partitions: int = 8):
+    """Exact top-k words of a documents corpus via the MG sketch."""
+    return heavy_hitters(
+        ds, _word_values, "word", pa.string(),
+        k=k, capacity=capacity, merge_partitions=merge_partitions,
     )

@@ -1688,3 +1688,133 @@ def test_linear_scorer_weights_fetched_once_per_actor(ray_session):
     assert r1.equals(r2)
     with pytest.raises(ValueError, match="weight vector"):
         LinearScorer(make_weights(8), n_buckets=16)
+
+
+# ---------------- Misra-Gries heavy hitters ----------------
+
+
+def _hh_tokens_ds(rd, rng, n=60_000, vocab=5_000, zipf=1.2, blocks=7):
+    toks = (rng.zipf(zipf, size=n) % vocab).astype(np.int32)
+    docs = [toks[i : i + 50] for i in range(0, n, 50)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(len(docs))]),
+            "tokens": pa.array(
+                [d.tolist() for d in docs], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+    return rd.from_arrow(tbl).repartition(blocks), toks
+
+
+def _exact_topk(toks: np.ndarray, k: int):
+    u, c = np.unique(toks, return_counts=True)
+    order = np.lexsort((u, -c))[:k]
+    return list(zip(u[order].astype(int).tolist(), c[order].astype(int).tolist()))
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    """Skewed stream with distinct >> capacity: compressions genuinely
+    fire and the sketch-backed answer still equals brute force exactly
+    (the whole point — candidate recount makes the MG output exact)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import token_heavy_hitters
+
+    ds, toks = _hh_tokens_ds(rd, np.random.default_rng(5))
+    assert len(np.unique(toks)) > 256  # capacity below forces compression
+    out = token_heavy_hitters(ds, k=15, capacity=256, merge_partitions=4)
+    got = list(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == _exact_topk(toks, 15)
+    assert out.schema.field("token").type == pa.int64()
+    assert out.schema.field("cnt").type == pa.int64()
+
+
+def test_heavy_hitters_repartition_invariant(ray_session):
+    """Block boundaries change which compressions fire, but the exact
+    recount makes the output independent of partitioning."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import token_heavy_hitters
+
+    ds1, toks = _hh_tokens_ds(rd, np.random.default_rng(9), blocks=3)
+    ds2, _ = _hh_tokens_ds(rd, np.random.default_rng(9), blocks=17)
+    out1 = token_heavy_hitters(ds1, k=10, capacity=200, merge_partitions=2)
+    out2 = token_heavy_hitters(ds2, k=10, capacity=200, merge_partitions=6)
+    assert out1.to_pydict() == out2.to_pydict() == {
+        "token": [t for t, _ in _exact_topk(toks, 10)],
+        "cnt": [c for _, c in _exact_topk(toks, 10)],
+    }
+
+
+def test_heavy_hitters_guard_trips_on_uniform(ray_session):
+    """Near-uniform stream + tiny capacity: the k-th count cannot beat
+    the undercount bound, so the sketch must REFUSE loudly instead of
+    returning a plausible-but-unprovable top-k."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import heavy_hitters, _token_values
+
+    rng = np.random.default_rng(3)
+    toks = rng.permutation(np.repeat(np.arange(2_000, dtype=np.int32), 10))
+    docs = [toks[i : i + 40] for i in range(0, len(toks), 40)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+            "tokens": pa.array([d.tolist() for d in docs], type=pa.list_(pa.int32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    with pytest.raises(ValueError, match="undercount"):
+        heavy_hitters(ds, _token_values, "token", pa.int64(), k=5, capacity=8)
+
+
+def test_heavy_hitters_no_compression_is_trivially_exact(ray_session):
+    """capacity >= global distinct: U == 0, candidates == full vocab,
+    result exact including a vocabulary smaller than k."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import token_heavy_hitters
+
+    toks = np.array([1, 1, 1, 2, 2, 3], dtype=np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array([toks[:3].tolist(), toks[3:].tolist()], type=pa.list_(pa.int32())),
+        }
+    )
+    out = token_heavy_hitters(rd.from_arrow(tbl), k=10, capacity=64)
+    assert out.to_pydict() == {"token": [1, 2, 3], "cnt": [3, 2, 1]}
+
+
+def test_word_heavy_hitters_ties_break_by_word(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import word_heavy_hitters
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["b a b c a", "c b z"], type=pa.string()),
+        }
+    )
+    out = word_heavy_hitters(rd.from_arrow(tbl), k=3, capacity=64)
+    # counts: b=3, a=2, c=2, z=1 -> tie a/c broken ascending
+    assert out.to_pydict() == {"word": ["b", "a", "c"], "cnt": [3, 2, 2]}
+
+
+def test_mg_compress_undercount_invariant():
+    """Property of one compression: every value's effective count drops
+    by at most t, and survivors keep count-t exactly."""
+    from fsst_ray.functions.sketch import _mg_compress
+
+    rng = np.random.default_rng(7)
+    vals = pa.array(np.arange(300, dtype=np.int64))
+    counts = rng.integers(1, 1000, size=300).astype(np.int64)
+    kept_v, kept_c, t = _mg_compress(vals, counts, 50)
+    assert len(kept_c) <= 50 and t > 0
+    orig = dict(zip(vals.to_pylist(), counts.tolist()))
+    for v, c in zip(kept_v.to_pylist(), kept_c.tolist()):
+        assert c == orig[v] - t and c > 0
+    dropped = set(orig) - set(kept_v.to_pylist())
+    assert all(orig[v] <= t for v in dropped)
