@@ -700,6 +700,59 @@ def _q_customer_orders_left(sf_dir: str):
     return hash_join(cust, od, "c_custkey", "o_custkey", how="left")
 
 
+def _q_orders_semi_lineitem(sf_dir: str):
+    """Semi join (orders ⋉ lineitem with l_quantity >= 45): orders that
+    shipped at least one high-quantity line. The right side moves as
+    map-side-deduped keys only (8 B/row); output is bounded by the
+    left row count — no cross product, no skew guard needed."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def hot_lines(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["l_quantity"], 45.0)).select(
+            ["l_orderkey"]
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(hot_lines, batch_format="pyarrow")
+    return existence_join(od, li, "o_orderkey", "l_orderkey", how="semi")
+
+
+def _q_customers_no_big_orders(sf_dir: str):
+    """Anti join (customer ▷ σ(orders)): customers that never placed a
+    high-value order — the NOT EXISTS shape. (In this testdata every
+    customer has SOME order, so the unfiltered anti-join would be
+    vacuous; the price filter keeps both branches populated: 68 of
+    1,500 customers qualify at sf0.01.)"""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def big_orders(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["o_totalprice"], 350000.0)).select(
+            ["o_custkey"]
+        )
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(big_orders, batch_format="pyarrow")
+    return existence_join(cust, od, "c_custkey", "o_custkey", how="anti")
+
+
 _RATE_BANDS = [(0, 0.0, 10.0), (1, 5.0, 25.0), (2, 20.0, 60.0), (3, 50.0, 1000.0)]
 
 
@@ -1302,6 +1355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": _q_segment_dedup,
         "score_documents": _q_score_documents,
         "heavy_hitters": _q_heavy_hitters,
+        "orders_semi_lineitem": _q_orders_semi_lineitem,
+        "customers_no_big_orders": _q_customers_no_big_orders,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1576,6 +1631,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "orders_semi_lineitem": (
+            "SELECT o_orderkey, o_orderpriority FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o.o_orderkey AND l_quantity >= 45)"
+        ),
+        "customers_no_big_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c.c_custkey AND o_totalprice >= 350000)"
         ),
         "asof_join": (
             # DuckDB's native ASOF JOIN is the oracle for the per-user

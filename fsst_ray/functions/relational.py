@@ -337,6 +337,99 @@ def range_join_bands(ds, bands: list[tuple[int, float, float]], value_col: str =
     return ds.map_batches(match, batch_format="pyarrow")
 
 
+def existence_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "semi"):
+    """Distributed semi / anti equi-join: left rows kept (semi) or
+    dropped (anti) by whether their key EXISTS on the right. Unlike
+    `hash_join` this never forms a cross product — the right side
+    contributes only key existence, so:
+
+    - the right side is projected to its KEY COLUMN ONLY and deduped
+      map-side per batch (`pc.unique`) before the exchange: at most
+      one 8-16 B row per distinct right key per input block moves,
+      regardless of right-side payload width or key multiplicity;
+    - output is bounded by the left row count, so no skew guard is
+      needed — a hot key costs O(group rows), not O(product).
+
+    Shape: tag both projections, ONE range sort on the key (equal keys
+    never straddle a block boundary — the same exchange hash_join
+    rides), then one vectorized pass per sorted block: group
+    boundaries via key diffs, `has_right` via bincount of right rows
+    per group, and a single boolean take of the surviving left rows.
+    Zero per-key Python dispatch.
+
+    Output: the left projection's columns, key named `left_on`.
+    Semantics match SQL EXISTS / NOT EXISTS (each left row emitted at
+    most once; right duplicates are irrelevant).
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"existence_join: how must be 'semi' or 'anti', got {how!r}")
+
+    lschema = left_ds.schema().base_schema
+    left_cols = [n for n in lschema.names if n != left_on]
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_join_key": batch[left_on],
+            "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()),
+        }
+        for name in left_cols:
+            cols[name] = batch[name]
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pc.unique(batch[right_on])
+        cols = {
+            "_join_key": keys,
+            "_side": pa.array(np.ones(len(keys), dtype=np.int8), type=pa.int8()),
+        }
+        for name in left_cols:
+            cols[name] = pa.nulls(len(keys), lschema.field(name).type)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(_tag_right, batch_format="pyarrow")
+    )
+    out_names = [left_on] + left_cols
+
+    def filter_block(block: pa.Table) -> pa.Table:
+        keys = block["_join_key"].to_numpy(zero_copy_only=False)
+        side = block["_side"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {
+                    left_on: pa.array([], type=block.schema.field("_join_key").type),
+                    **{
+                        c: pa.array([], type=block.schema.field(c).type)
+                        for c in left_cols
+                    },
+                }
+            )
+        # blocks arrive key-sorted from the range exchange, but compute
+        # boundaries defensively over an explicit stable sort order so
+        # the pass stays correct on any input
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.concatenate([[0], np.flatnonzero(sk[1:] != sk[:-1]) + 1])
+        gid_sorted = np.zeros(n, dtype=np.int64)
+        gid_sorted[starts[1:]] = 1
+        gid_sorted = np.cumsum(gid_sorted)
+        gid = np.empty(n, dtype=np.int64)
+        gid[order] = gid_sorted
+        has_right = np.bincount(gid[side == 1], minlength=len(starts)) > 0
+        keep = (side == 0) & (has_right[gid] if how == "semi" else ~has_right[gid])
+        out = block.take(pa.array(np.flatnonzero(keep)))
+        return pa.table(
+            {left_on: out["_join_key"], **{c: out[c] for c in left_cols}}
+        ).select(out_names)
+
+    return tagged.sort("_join_key").map_batches(
+        filter_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def order_priority_rollup(lineitem_ds, orders_ds):
     """lineitem JOIN orders ON orderkey -> (o_orderpriority, sum_qty, n):
     the big-x-big join demonstration. Both inputs should arrive as

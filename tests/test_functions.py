@@ -1818,3 +1818,97 @@ def test_mg_compress_undercount_invariant():
         assert c == orig[v] - t and c > 0
     dropped = set(orig) - set(kept_v.to_pylist())
     assert all(orig[v] <= t for v in dropped)
+
+
+def test_existence_join_semi_anti_semantics(ray_session):
+    """SQL EXISTS / NOT EXISTS: each left row emitted at most once,
+    right-side duplicates irrelevant, left duplicates preserved."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table({"rk": pa.array([1, 1, 1, 3, 9], type=pa.int64())})
+    semi = (
+        existence_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="semi")
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert list(semi["k"]) == [1, 1, 3]
+    assert list(semi["lv"]) == ["a", "b", "d"]
+    anti = (
+        existence_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="anti")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(anti["k"]) == [2, 4]
+    assert list(anti["lv"]) == ["c", "e"]
+
+
+def test_existence_join_string_keys_and_empty_right(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    left = pa.table(
+        {"k": pa.array(["x", "y", "z"]), "v": pa.array([1, 2, 3], type=pa.int64())}
+    )
+    right_empty = pa.table({"rk": pa.array([], type=pa.string())})
+    semi = existence_join(
+        rd.from_arrow(left), rd.from_arrow(right_empty), "k", "rk", how="semi"
+    ).to_pandas()
+    assert len(semi) == 0
+    anti = (
+        existence_join(
+            rd.from_arrow(left), rd.from_arrow(right_empty), "k", "rk", how="anti"
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(anti["k"]) == ["x", "y", "z"]
+
+
+def test_existence_join_randomized_parity_and_plan(ray_session):
+    """Randomized parity vs driver-side set logic, many keys across
+    many blocks; executed plan must contain no MapGroups/Aggregate."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 500, size=4000).astype(np.int64)
+    rk = rng.integers(250, 750, size=3000).astype(np.int64)
+    left = pa.table({"k": pa.array(lk), "row": pa.array(np.arange(4000, dtype=np.int64))})
+    right = pa.table({"rk": pa.array(rk)})
+    lds = rd.from_arrow(left).repartition(13)
+    rds = rd.from_arrow(right).repartition(7)
+    out = existence_join(lds, rds, "k", "rk", how="semi")
+    got = out.to_pandas().sort_values("row").reset_index(drop=True)
+    present = np.isin(lk, np.unique(rk))
+    assert list(got["row"]) == list(np.flatnonzero(present))
+    stats = out.stats()
+    assert "MapGroups" not in stats and "Aggregate" not in stats
+    anti = (
+        existence_join(lds, rds, "k", "rk", how="anti")
+        .to_pandas()
+        .sort_values("row")
+        .reset_index(drop=True)
+    )
+    assert list(anti["row"]) == list(np.flatnonzero(~present))
+
+
+def test_existence_join_rejects_bad_how(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    t = pa.table({"k": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError, match="semi"):
+        existence_join(rd.from_arrow(t), rd.from_arrow(t.rename_columns(["rk"])), "k", "rk", how="outer")
