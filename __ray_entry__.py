@@ -753,6 +753,58 @@ def _q_customers_no_big_orders(sf_dir: str):
     return existence_join(cust, od, "c_custkey", "o_custkey", how="anti")
 
 
+_BM25_QUERIES = {
+    0: ["hash", "join", "merge"],
+    1: ["window", "sort", "stream"],
+    2: ["spark", "dup"],
+}
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 top-10 lexical retrieval for three fixed term queries —
+    quantized-integer scoring (rational idf, floor(contrib*1e6) per
+    term, int sum) so the DuckDB oracle matches bit-exactly; see
+    fsst_ray/functions/search.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.search import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({q}, '{t}')" for q in sorted(_BM25_QUERIES) for t in _BM25_QUERIES[q]
+    )
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id), "
+        "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl), "
+        f"q(query_id, word) AS (VALUES {vals}), "
+        "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w "
+        "WHERE word IN (SELECT word FROM q) GROUP BY word), "
+        "tf AS (SELECT q.query_id, w.doc_id, q.word, COUNT(*) AS tf "
+        "FROM q JOIN w ON w.word = q.word GROUP BY q.query_id, w.doc_id, q.word), "
+        # expression shape mirrors search.py exactly: rational idf,
+        # (tf*2.2), denom, quantize-then-sum (int addition commutes)
+        "sc AS (SELECT tf.query_id, tf.doc_id, CAST(SUM(CAST(FLOOR("
+        "((st.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) "
+        "/ (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / "
+        "(CAST(st.total_dl AS DOUBLE) / st.n_docs)))) * 1e6) AS BIGINT)) "
+        "AS BIGINT) AS score "
+        "FROM tf, st "
+        "JOIN df ON df.word = tf.word "
+        "JOIN dl ON dl.doc_id = tf.doc_id "
+        "GROUP BY tf.query_id, tf.doc_id), "
+        "r AS (SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, doc_id) AS rnk, doc_id, score FROM sc) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, rnk, doc_id, score "
+        "FROM r WHERE rnk <= 10"
+    )
+
+
 _RATE_BANDS = [(0, 0.0, 10.0), (1, 5.0, 25.0), (2, 20.0, 60.0), (3, 50.0, 1000.0)]
 
 
@@ -1357,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "orders_semi_lineitem": _q_orders_semi_lineitem,
         "customers_no_big_orders": _q_customers_no_big_orders,
+        "bm25_topk": _q_bm25_topk,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1632,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        "bm25_topk": _bm25_oracle(),
         "orders_semi_lineitem": (
             "SELECT o_orderkey, o_orderpriority FROM orders o "
             "WHERE EXISTS (SELECT 1 FROM lineitem "

@@ -1912,3 +1912,96 @@ def test_existence_join_rejects_bad_how(ray_session):
     t = pa.table({"k": pa.array([1], type=pa.int64())})
     with pytest.raises(ValueError, match="semi"):
         existence_join(rd.from_arrow(t), rd.from_arrow(t.rename_columns(["rk"])), "k", "rk", how="outer")
+
+
+def _bm25_reference(texts, doc_ids, queries, k):
+    """Pure-python BM25 mirror (same quantization) for parity tests."""
+    import math
+
+    words = [t.split(" ") for t in texts]
+    n = len(words)
+    dl = [len(w) for w in words]
+    avgdl = float(sum(dl)) / float(n)
+    out = {}
+    for q, terms in queries.items():
+        scores = {}
+        for d in range(n):
+            s = 0
+            hit = False
+            for t in terms:
+                tf = words[d].count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                df = sum(1 for w in words if t in w)
+                idf = (n - df + 0.5) / (df + 0.5)
+                contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl)))
+                s += math.floor(contrib * 1e6)
+            if hit:
+                scores[doc_ids[d]] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_topk_matches_reference_across_blocks(ray_session):
+    """Randomized parity vs the pure-python mirror; 9 blocks so the
+    per-block prune must not lose the global top-k."""
+    import ray.data as rd
+
+    from fsst_ray.functions.search import bm25_topk
+
+    rng = np.random.default_rng(5)
+    vocab = ["hash", "join", "scan", "sort", "table", "row", "agg", "key"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(400)
+    ]
+    doc_ids = list(range(1000, 1400))
+    tbl = pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()), "text": pa.array(texts)})
+    queries = {0: ["hash", "join"], 1: ["sort"], 2: ["key", "agg", "row"]}
+    got = (
+        bm25_topk(rd.from_arrow(tbl).repartition(9), queries, k=7)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = _bm25_reference(texts, doc_ids, queries, 7)
+    for q, rows in want.items():
+        sub = got[got["query_id"] == q]
+        assert list(zip(sub["rnk"], sub["doc_id"], sub["score"])) == rows
+
+
+def test_bm25_topk_absent_term_and_tie_determinism(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.search import bm25_topk
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+            "text": pa.array(["hash join", "hash join", "scan only"]),
+        }
+    )
+    out = (
+        bm25_topk(rd.from_arrow(tbl), {0: ["hash"], 1: ["zzz_absent"]}, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+    )
+    # docs 1 and 3 tie exactly (identical text) -> doc_id ascending
+    q0 = out[out["query_id"] == 0]
+    assert list(q0["doc_id"]) == [1, 3]
+    assert list(q0["rnk"]) == [1, 2]
+    assert q0["score"].iloc[0] == q0["score"].iloc[1]
+    # absent term: no candidates, no rows
+    assert len(out[out["query_id"] == 1]) == 0
+
+
+def test_bm25_topk_rejects_empty_queries(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.search import bm25_topk
+
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": pa.array(["a"])})
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(rd.from_arrow(t), {})
