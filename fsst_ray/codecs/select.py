@@ -18,7 +18,17 @@ _EXACT_LIMIT = 1 << 17
 _WINDOW = 1 << 14
 _N_WINDOWS = 4
 
-DEFAULT_CODECS = ("plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta")
+DEFAULT_CODECS = (
+    "plain",
+    "bitpack",
+    "for",
+    "rle",
+    "dict",
+    "fsst",
+    "zigzag",
+    "delta",
+    "vbyte",
+)
 
 
 def chunk_stats(values: np.ndarray) -> dict:
@@ -32,12 +42,23 @@ def chunk_stats(values: np.ndarray) -> dict:
         return {"n": 0, "min": 0, "max": 0, "card": 0, "n_runs": 0, "sample_bytes": b""}
     vmin = int(values.min())
     vmax = int(values.max())
+
+    def _vbyte_count(v: np.ndarray) -> int:
+        z = (v.astype(np.int64) << 1) ^ (v.astype(np.int64) >> 63)
+        return int(
+            len(z)
+            + np.count_nonzero(z >= (1 << 8))
+            + np.count_nonzero(z >= (1 << 16))
+            + np.count_nonzero(z >= (1 << 24))
+        )
+
     if n <= _EXACT_LIMIT:
         card = len(np.unique(values))
         diffs = np.diff(values.astype(np.int64))
         n_runs = int(np.count_nonzero(diffs)) + 1
         dmax = int(np.abs(diffs).max()) if len(diffs) else 0
         delta_zz_width = max(int(dmax * 2).bit_length(), 1)
+        vbyte_bytes = _vbyte_count(values)
         sample_bytes = values.astype("<i4", copy=False).tobytes()[: 4 * _WINDOW]
     else:
         starts = np.linspace(0, n - _WINDOW, _N_WINDOWS).astype(np.int64)
@@ -51,6 +72,7 @@ def chunk_stats(values: np.ndarray) -> dict:
             default=0,
         )
         delta_zz_width = max(int(dmax * 2).bit_length(), 1)
+        vbyte_bytes = int(_vbyte_count(sampled) / max(frac, 1e-9))
         sample_bytes = sampled[: _WINDOW].astype("<i4", copy=False).tobytes()
     return {
         "n": n,
@@ -59,6 +81,7 @@ def chunk_stats(values: np.ndarray) -> dict:
         "card": card,
         "n_runs": n_runs,
         "delta_zz_width": delta_zz_width,
+        "vbyte_bytes": vbyte_bytes,
         "sample_bytes": sample_bytes,
     }
 

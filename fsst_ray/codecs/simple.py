@@ -276,6 +276,120 @@ class DeltaCodec(Codec):
         return np.cumsum(deltas, dtype=np.int64).astype(np.int32)
 
 
+class VByteCodec(Codec):
+    """Stream-vbyte-style variable byte coding (control bytes separated
+    from data bytes, per Lemire & Boytsov's published layout): zigzag
+    to uint32, then each value spends 1-4 data bytes + a 2-bit length
+    code (4 codes per control byte). Wins over fixed-width bit packing
+    on MIXED-magnitude chunks — e.g. zipf-ish token ids where most
+    values are small but the max forces a wide fixed lane (a 17-bit
+    bitpack lane vs ~10 bits/value here).
+
+    Encode and decode are fully vectorized: byte scatter/gather via the
+    repeat/arange offset trick (no per-value Python), the same shape
+    hash_join uses for its group cross products.
+    """
+
+    name = "vbyte"
+    codec_id = 8
+
+    def estimate(self, stats, state):
+        nbytes = stats.get("vbyte_bytes")
+        if nbytes is None:
+            return float("inf")
+        return (stats["n"] + 3) // 4 + nbytes
+
+    @staticmethod
+    def _lens(z: np.ndarray) -> np.ndarray:
+        """Data bytes per zigzagged value (uint32 range): 1..4."""
+        return (
+            1
+            + (z >= (1 << 8)).astype(np.int64)
+            + (z >= (1 << 16)).astype(np.int64)
+            + (z >= (1 << 24)).astype(np.int64)
+        )
+
+    def encode_values(self, values, state):
+        n = len(values)
+        if n == 0:
+            return b""
+        from ..kernel import native
+
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+
+            v = np.ascontiguousarray(values, dtype=np.int32)
+            # worst case: ctrl + 4 B/value, +4 slack for the 4-byte store
+            out = np.empty((n + 3) // 4 + 4 * n + 4, dtype=np.uint8)
+            written = lib.vbyte_encode(
+                v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            return out[:written].tobytes()
+        z = zigzag(values.astype(np.int64)).astype(np.uint64)
+        lens = self._lens(z)
+        codes = (lens - 1).astype(np.uint8)
+        pad = (-n) % 4
+        if pad:
+            codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
+        codes = codes.reshape(-1, 4)
+        ctrl = (
+            codes[:, 0]
+            | (codes[:, 1] << 2)
+            | (codes[:, 2] << 4)
+            | (codes[:, 3] << 6)
+        ).astype(np.uint8)
+        # scatter each value's low `lens` bytes, little-endian
+        byte_mat = z.astype("<u4").view(np.uint8).reshape(n, 4)
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        data = byte_mat[rows, within]
+        return ctrl.tobytes() + data.tobytes()
+
+    def decode_values(self, body, n_values):
+        if n_values == 0:
+            return np.empty(0, dtype=np.int32)
+        from ..kernel import native
+
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+
+            raw = np.frombuffer(body, dtype=np.uint8)
+            out = np.empty(n_values, dtype=np.int32)
+            consumed = lib.vbyte_decode(
+                raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(raw),
+                n_values,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if consumed < 0:
+                raise ValueError(
+                    "corrupt chunk: vbyte body shorter than control bytes imply"
+                )
+            return out
+        n_ctrl = (n_values + 3) // 4
+        ctrl = np.frombuffer(body, dtype=np.uint8, count=n_ctrl)
+        shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+        codes = ((ctrl[:, None] >> shifts) & 3).reshape(-1)[:n_values]
+        lens = codes.astype(np.int64) + 1
+        total = int(lens.sum())
+        if n_ctrl + total > len(body):
+            raise ValueError("corrupt chunk: vbyte body shorter than control bytes imply")
+        data = np.frombuffer(body, dtype=np.uint8, count=total, offset=n_ctrl)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        rows = np.repeat(np.arange(n_values, dtype=np.int64), lens)
+        byte_mat = np.zeros((n_values, 4), dtype=np.uint8)
+        byte_mat[rows, within] = data
+        z = byte_mat.view("<u4").reshape(n_values).astype(np.uint64)
+        return unzigzag(z).astype(np.int32)
+
+
 PLAIN = register(PlainCodec())
 BITPACK = register(BitPackCodec())
 FOR = register(ForCodec())
@@ -283,3 +397,4 @@ RLE = register(RleCodec())
 DICT = register(DictCodec())
 ZIGZAG = register(ZigzagCodec())
 DELTA = register(DeltaCodec())
+VBYTE = register(VByteCodec())

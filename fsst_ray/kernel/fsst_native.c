@@ -346,6 +346,68 @@ void bitunpack(const uint8_t *data, int64_t n, int32_t width, int64_t *out) {
     }
 }
 
+/* ---- stream-vbyte (vbyte codec) ----
+ * Layout per Lemire & Boytsov's published stream-vbyte: control bytes
+ * first ((n+3)/4 bytes, 2-bit length codes, value i's code at bits
+ * (i%4)*2 of ctrl[i/4]), then the little-endian low bytes of each
+ * zigzagged uint32 value. Encode writes 4 data bytes per value and
+ * advances by the true length, so `out` needs 3 bytes of slack past
+ * the worst-case size (the Python wrapper allocates it). Returns total
+ * bytes written (ctrl + data). */
+int64_t vbyte_encode(const int32_t *vals, int64_t n, uint8_t *out) {
+    int64_t n_ctrl = (n + 3) / 4;
+    uint8_t *data = out + n_ctrl;
+    int64_t dpos = 0;
+    memset(out, 0, (size_t)n_ctrl);
+    for (int64_t i = 0; i < n; i++) {
+        int32_t v = vals[i];
+        /* canonical 32-bit zigzag: unsigned left shift (UB-free), the
+         * arithmetic right shift of the sign is implementation-defined
+         * but universal on the targets we build for */
+        uint32_t z = ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
+        int len = 1 + (z >= (1u << 8)) + (z >= (1u << 16)) + (z >= (1u << 24));
+        out[i >> 2] |= (uint8_t)((len - 1) << ((i & 3) * 2));
+        memcpy(data + dpos, &z, 4); /* overshoot covered by slack */
+        dpos += len;
+    }
+    return n_ctrl + dpos;
+}
+
+/* Decode n values from body (ctrl + data). Returns bytes consumed, or
+ * -1 if the data region is shorter than the control bytes imply
+ * (corrupt/truncated chunk). Reads at most 4 bytes per value via the
+ * tail-guarded unaligned load, never past body_len. */
+int64_t vbyte_decode(const uint8_t *body, int64_t body_len, int64_t n,
+                     int32_t *out) {
+    int64_t n_ctrl = (n + 3) / 4;
+    const uint8_t *data = body + n_ctrl;
+    int64_t avail = body_len - n_ctrl;
+    int64_t dpos = 0;
+    int64_t i = 0;
+    /* fast loop: full 4-byte loads while 4 bytes remain */
+    for (; i < n && dpos + 4 <= avail; i++) {
+        int len = ((body[i >> 2] >> ((i & 3) * 2)) & 3) + 1;
+        uint32_t z;
+        memcpy(&z, data + dpos, 4);
+        z &= (len == 4) ? 0xFFFFFFFFu : ((1u << (len * 8)) - 1);
+        dpos += len;
+        out[i] = (int32_t)((z >> 1) ^ (0u - (z & 1)));
+    }
+    /* tail: byte loads with explicit bounds */
+    for (; i < n; i++) {
+        int len = ((body[i >> 2] >> ((i & 3) * 2)) & 3) + 1;
+        if (dpos + len > avail)
+            return -1;
+        uint32_t z = data[dpos];
+        if (len > 1) z |= (uint32_t)data[dpos + 1] << 8;
+        if (len > 2) z |= (uint32_t)data[dpos + 2] << 16;
+        if (len > 3) z |= (uint32_t)data[dpos + 3] << 24;
+        dpos += len;
+        out[i] = (int32_t)((z >> 1) ^ (0u - (z & 1)));
+    }
+    return n_ctrl + dpos;
+}
+
 /* Order-sensitive per-row checksum of int32 token values:
  * sum over the row of (v + GOLDEN) * (local_pos + 1), wrapping u64.
  * Mirrors the numpy implementation in stages/decoder.py. */

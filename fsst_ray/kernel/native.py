@@ -63,6 +63,11 @@ def _bind(lib):
     lib.bitpack.argtypes = [i64p, i64, ctypes.c_int32, u8p]
     lib.bitunpack.restype = None
     lib.bitunpack.argtypes = [u8p, i64, ctypes.c_int32, i64p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vbyte_encode.restype = i64
+    lib.vbyte_encode.argtypes = [i32p, i64, u8p]
+    lib.vbyte_decode.restype = i64
+    lib.vbyte_decode.argtypes = [u8p, i64, i64, i32p]
     lib.row_checksums.restype = None
     lib.row_checksums.argtypes = [
         ctypes.POINTER(ctypes.c_int32), i64p, i64, ctypes.POINTER(ctypes.c_uint64),

@@ -37,7 +37,7 @@ def fsst_state():
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
-@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta"])
+@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta", "vbyte"])
 def test_roundtrip(name, case, fsst_state):
     values = CASES[case]
     codec = codecs.CODEC_BY_NAME[name]
@@ -51,7 +51,7 @@ def test_roundtrip(name, case, fsst_state):
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
-@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta"])
+@pytest.mark.parametrize("name", ["plain", "bitpack", "for", "rle", "dict", "fsst", "zigzag", "delta", "vbyte"])
 def test_roundtrip_into(name, case, fsst_state):
     """decode_payload_into must produce the same values as
     decode_payload when writing into a slice of a larger buffer, and
@@ -129,7 +129,7 @@ def test_selected_sizes_compress():
         assert np.array_equal(decode_payload(payload), values), case
 
 
-@pytest.mark.parametrize("name", ["bitpack", "for", "rle", "dict", "zigzag", "delta"])
+@pytest.mark.parametrize("name", ["bitpack", "for", "rle", "dict", "zigzag", "delta", "vbyte"])
 def test_truncated_body_raises(name):
     """Corrupt/truncated chunk bodies must error, never decode garbage
     (the C bitunpack kernel would otherwise read out of bounds)."""
