@@ -248,13 +248,22 @@ def asof_join_events(events_ds, left_type: str = "purchase", right_type: str = "
     or before it (inner semantics — unmatched left events drop).
     Returns (event_id, match_event_id, gap_us).
 
-    Shape: one map-side projection+filter (4 small columns of the two
-    relevant types — everything else never moves), then a groupby on
-    user_id; within each group both sides sort by ts and match with a
-    single vectorized searchsorted. Partitioning assumption (same as
-    session_windows, documented): one user's events fit one worker —
-    bounded by per-user activity, not corpus size. Oracle: DuckDB's
-    native ASOF JOIN.
+    Shape (r5 rewrite off per-user `map_groups` — user count scales
+    with the corpus, so per-group Python dispatch is the quantity that
+    must not appear; the running_totals/session_windows lesson): one
+    map-side projection+filter (4 small columns of the two relevant
+    types — everything else never moves), `sort("user_id")` (range
+    exchange; all rows of one user land in ONE block), then a single
+    vectorized pass per block: lexsort by (user, ts, right-before-left)
+    and a running `np.maximum.accumulate` of right-row positions gives
+    every left row its latest right predecessor in O(n) with ZERO
+    per-user Python; a same-user guard drops matches that leaked
+    across a user boundary. Within-user order is restored per block by
+    the lexsort, so the single-key sort is safe (the session_windows
+    boundary note). Partitioning assumption (documented): one user's
+    events fit one worker — bounded by per-user activity, not corpus
+    size. Oracle: DuckDB's native ASOF JOIN (ties impossible: the
+    testdata's (user_id, ts) is unique, pinned by the engine test).
     """
 
     def project(batch: pa.Table) -> pa.Table:
@@ -263,38 +272,56 @@ def asof_join_events(events_ds, left_type: str = "purchase", right_type: str = "
         sub = batch.filter(pa.array(keep))
         return sub.select(["event_id", "ts", "user_id", "event_type"])
 
-    def match_group(group: pa.Table) -> pa.Table:
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lmask = et == left_type
-        lts, lid = ts[lmask], eid[lmask]
-        rts, rid = ts[~lmask], eid[~lmask]
-        empty = pa.table(
-            {
-                "event_id": pa.array([], type=pa.int64()),
-                "match_event_id": pa.array([], type=pa.int64()),
-                "gap_us": pa.array([], type=pa.int64()),
-            }
-        )
-        if not len(lts) or not len(rts):
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "match_event_id": pa.array([], type=pa.int64()),
+            "gap_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def match_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
             return empty
-        rorder = np.argsort(rts)
-        rts, rid = rts[rorder], rid[rorder]
-        pos = np.searchsorted(rts, lts, side="right") - 1
-        hit = pos >= 0
+        et = block["event_type"].to_numpy(zero_copy_only=False)
+        user = block["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            block["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = block["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # right rows sort BEFORE left rows at equal (user, ts) so the
+        # cummax sees an equal-ts right event ("at or before" includes
+        # equality)
+        side = (et == left_type).astype(np.int8)
+        order = np.lexsort((side, ts, user))
+        u, t, s, e = user[order], ts[order], side[order], eid[order]
+        idx = np.arange(n, dtype=np.int64)
+        rlast = np.maximum.accumulate(np.where(s == 0, idx, -1))
+        lpos = np.flatnonzero(s == 1)
+        cand = rlast[lpos]
+        ok = cand >= 0
+        lpos, cand = lpos[ok], cand[ok]
+        same_user = u[cand] == u[lpos]
+        lpos, cand = lpos[same_user], cand[same_user]
+        if len(lpos) == 0:
+            return empty
         return pa.table(
             {
-                "event_id": pa.array(lid[hit], type=pa.int64()),
-                "match_event_id": pa.array(rid[pos[hit]], type=pa.int64()),
-                "gap_us": pa.array(lts[hit] - rts[pos[hit]], type=pa.int64()),
+                "event_id": pa.array(e[lpos], type=pa.int64()),
+                "match_event_id": pa.array(e[cand], type=pa.int64()),
+                "gap_us": pa.array(t[lpos] - t[cand], type=pa.int64()),
             }
         )
 
     return (
         events_ds.map_batches(project, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(match_group, batch_format="pyarrow")
+        .sort("user_id")
+        .map_batches(
+            match_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
 
 

@@ -2005,3 +2005,48 @@ def test_bm25_topk_rejects_empty_queries(ray_session):
     t = pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": pa.array(["a"])})
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(rd.from_arrow(t), {})
+
+
+def test_asof_join_vectorized_block_shape_and_randomized_parity(ray_session):
+    """r5 rewrite: the executed plan must contain no per-user
+    MapGroups/Aggregate dispatch, and the sorted-block cummax pass must
+    match a per-user reference on a randomized many-user corpus spread
+    over many blocks."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import asof_join_events
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    us = rng.integers(0, 900, n).astype(np.int64)
+    # unique (user, ts): assign distinct ts per user via permuted ranks
+    ts_base = rng.permutation(n).astype(np.int64) * 7 + 1
+    et = np.where(rng.random(n) < 0.4, "purchase", "click")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_base.astype("datetime64[us]")),
+            "user_id": pa.array(us, type=pa.int64()),
+            "event_type": pa.array(et, type=pa.string()),
+        }
+    )
+    out = asof_join_events(rd.from_arrow(tbl).repartition(11))
+    got = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    stats = out.stats()
+    assert "MapGroups" not in stats and "Aggregate" not in stats
+    # per-user reference
+    want = []
+    for u in np.unique(us):
+        m = us == u
+        lts = ts_base[m & (et == "purchase")]
+        lid = np.arange(n)[m & (et == "purchase")]
+        rts = ts_base[m & (et == "click")]
+        rid = np.arange(n)[m & (et == "click")]
+        ro = np.argsort(rts)
+        rts, rid = rts[ro], rid[ro]
+        for i, t in zip(lid, lts):
+            pos = np.searchsorted(rts, t, side="right") - 1
+            if pos >= 0:
+                want.append((i, rid[pos], t - rts[pos]))
+    want.sort()
+    assert list(zip(got["event_id"], got["match_event_id"], got["gap_us"])) == want
