@@ -774,8 +774,12 @@ def _q_bm25_topk(sf_dir: str):
 
 
 def _bm25_oracle() -> str:
+    # dedupe terms per query exactly as bm25_topk does (a duplicate
+    # VALUES row would double COUNT(*) inside the tf saturation)
     vals = ", ".join(
-        f"({q}, '{t}')" for q in sorted(_BM25_QUERIES) for t in _BM25_QUERIES[q]
+        f"({q}, '{t}')"
+        for q in sorted(_BM25_QUERIES)
+        for t in sorted(set(_BM25_QUERIES[q]))
     )
     return (
         "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "

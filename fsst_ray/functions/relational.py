@@ -393,6 +393,12 @@ def existence_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "s
 
     lschema = left_ds.schema().base_schema
     left_cols = [n for n in lschema.names if n != left_on]
+    reserved = {"_join_key", "_side"} & set(lschema.names)
+    if reserved:
+        raise ValueError(
+            f"existence_join: left columns {sorted(reserved)} collide with "
+            "reserved exchange column names; rename them first"
+        )
 
     def _tag_left(batch: pa.Table) -> pa.Table:
         cols = {

@@ -63,6 +63,12 @@ def bm25_topk(ds, queries: dict[int, list[str]], k: int = 10):
     """
     if not queries:
         raise ValueError("bm25_topk: queries must be non-empty")
+    # dedupe terms WITHIN each query: a duplicated term would add its
+    # quantized contribution twice here but double tf inside the
+    # nonlinear saturation in a naive SQL mirror — distinct-terms is
+    # the semantics both sides implement (the oracle builder dedupes
+    # identically)
+    queries = {q: sorted(set(ts)) for q, ts in queries.items()}
     terms = sorted({t for ts in queries.values() for t in ts})
     t_index = {t: i for i, t in enumerate(terms)}
     m = len(terms)
@@ -169,7 +175,7 @@ def bm25_topk(ds, queries: dict[int, list[str]], k: int = 10):
         )
 
     return (
-        ds.map_batches(score_block, batch_format="pyarrow")
+        ds.map_batches(score_block, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
         .map_groups(finalize, batch_format="pyarrow")
     )

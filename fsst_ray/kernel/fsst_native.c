@@ -380,6 +380,8 @@ int64_t vbyte_encode(const int32_t *vals, int64_t n, uint8_t *out) {
 int64_t vbyte_decode(const uint8_t *body, int64_t body_len, int64_t n,
                      int32_t *out) {
     int64_t n_ctrl = (n + 3) / 4;
+    if (body_len < n_ctrl)
+        return -1; /* control region truncated: no byte of body is read */
     const uint8_t *data = body + n_ctrl;
     int64_t avail = body_len - n_ctrl;
     int64_t dpos = 0;

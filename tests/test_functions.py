@@ -2050,3 +2050,37 @@ def test_asof_join_vectorized_block_shape_and_randomized_parity(ray_session):
                 want.append((i, rid[pos], t - rts[pos]))
     want.sort()
     assert list(zip(got["event_id"], got["match_event_id"], got["gap_us"])) == want
+
+
+def test_bm25_topk_duplicate_terms_deduped(ray_session):
+    """A term listed twice in one query must score as if listed once
+    (distinct-terms semantics, matching the SQL oracle)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.search import bm25_topk
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["hash hash join", "join scan"]),
+        }
+    )
+    once = bm25_topk(rd.from_arrow(tbl), {0: ["hash"]}, k=5).to_pandas()
+    twice = bm25_topk(rd.from_arrow(tbl), {0: ["hash", "hash"]}, k=5).to_pandas()
+    assert once.equals(twice)
+
+
+def test_existence_join_rejects_reserved_column(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    t = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "_join_key": pa.array([9], type=pa.int64()),
+        }
+    )
+    r = pa.table({"rk": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError, match="reserved"):
+        existence_join(rd.from_arrow(t), rd.from_arrow(r), "k", "rk")
