@@ -753,6 +753,38 @@ def _q_customers_no_big_orders(sf_dir: str):
     return existence_join(cust, od, "c_custkey", "o_custkey", how="anti")
 
 
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table (p=8) for distinct users per event
+    type — integer-only output recomputable exactly by the oracle
+    (DuckDB hash + bit-smear MSB); the float estimate is pytest-
+    verified separately. See fsst_ray/functions/sketch.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import hll_registers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return hll_registers(ev, "user_id", "event_type")
+
+
+def _hll_oracle() -> str:
+    smears = "".join(
+        f", s{2*i} AS (SELECT event_type, bucket, v | (v >> {2*i}) AS v FROM s{i}) "
+        for i in (1, 2, 4, 8, 16)
+    )
+    return (
+        "WITH h AS (SELECT event_type, hash(user_id) AS hv FROM events), "
+        "b AS (SELECT event_type, CAST(hv >> 56 AS BIGINT) AS bucket, "
+        "hv & ((1::UBIGINT << 56) - 1) AS w FROM h), "
+        "s1 AS (SELECT event_type, bucket, w | (w >> 1) AS v FROM b)"
+        + smears
+        + "SELECT event_type, bucket, "
+        "MAX(CAST(56 - bit_count(v) + 1 AS BIGINT)) AS register "
+        "FROM s32 GROUP BY event_type, bucket"
+    )
+
+
 _BM25_QUERIES = {
     0: ["hash", "join", "merge"],
     1: ["window", "sort", "stream"],
@@ -1414,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_lineitem": _q_orders_semi_lineitem,
         "customers_no_big_orders": _q_customers_no_big_orders,
         "bm25_topk": _q_bm25_topk,
+        "hll_registers": _q_hll_registers,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1690,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"
         ),
         "bm25_topk": _bm25_oracle(),
+        "hll_registers": _hll_oracle(),
         "orders_semi_lineitem": (
             "SELECT o_orderkey, o_orderpriority FROM orders o "
             "WHERE EXISTS (SELECT 1 FROM lineitem "

@@ -312,3 +312,113 @@ def word_heavy_hitters(ds, k: int = 20, capacity: int = 1024, merge_partitions: 
         ds, _word_values, "word", pa.string(),
         k=k, capacity=capacity, merge_partitions=merge_partitions,
     )
+
+
+# ---------------- HyperLogLog registers (oracle-exact) -----------------
+
+_HLL_P = 8  # 2^8 = 256 registers per group
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def hll_registers(ds, key_col: str, group_col: str, p: int = _HLL_P):
+    """(group, bucket, register): HyperLogLog register table for the
+    distinct count of `key_col` within each `group_col` value (Flajolet
+    et al., "HyperLogLog: the analysis of a near-optimal cardinality
+    estimation algorithm", AofA 2007).
+
+    Emits the REGISTERS, not the float estimate: registers are pure
+    integer functions of DuckDB's own `hash(key)` (the murmur64
+    finalizer _murmur64 mirrors bit-for-bit, the kmv/corpus_split
+    convention), so the oracle recomputes every row exactly — bucket =
+    hash >> (64-p), rank = (64-p) - msb(w) with msb computed by bit
+    smearing + popcount (no float log2: w spans 2^56 > 2^53, where
+    float64 integers lose exactness). The estimate itself is float
+    math, so it lives in the pytest (alpha_m * m^2 / sum(2^-M), within
+    the published ~1.04/sqrt(m) band), keeping the driver compare
+    integer-only.
+
+    Distributed shape: registers are max-mergeable, so each batch emits
+    at most groups x 2^p partial rows (one per touched (group, bucket))
+    and ONE groupby-max reduces them — the shuffle is sketch-sized,
+    never corpus-sized, the same property kmv_distinct rides.
+    """
+    shift = 64 - p
+    wmask = np.uint64((1 << shift) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = _murmur64(key)
+        bucket = (hv >> np.uint64(shift)).astype(np.int64)
+        w = hv & wmask
+        # msb+1 via smear+popcount (0 for w==0), identical to the SQL
+        s = w.copy()
+        for sh in (1, 2, 4, 8, 16, 32):
+            s |= s >> np.uint64(sh)
+        msb1 = _popcount64(s).astype(np.int64)
+        rank = shift - msb1 + 1  # w==0 -> shift+1, the HLL convention
+        ug, gcode = np.unique(g, return_inverse=True)
+        combo = gcode.astype(np.int64) * (1 << p) + bucket
+        # max rank per touched (group, bucket): sort by (combo, rank)
+        # and keep each combo's last row — no Python per group
+        order = np.lexsort((rank, combo))
+        sc, sr = combo[order], rank[order]
+        last = np.concatenate([sc[1:] != sc[:-1], [True]])
+        sc, sr = sc[last], sr[last]
+        return pa.table(
+            {
+                group_col: pa.array(ug[sc // (1 << p)], type=pa.string()),
+                "bucket": pa.array(sc % (1 << p), type=pa.int64()),
+                "register": pa.array(sr, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, "bucket"])
+        .max("register")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns([group_col, "bucket", "register"]),
+        batch_format="pyarrow",
+    )
+
+
+def hll_estimate(registers: "pa.Table", p: int = _HLL_P) -> dict[str, float]:
+    """Driver-side estimate from a (group, bucket, register) table:
+    alpha_m * m^2 / (zeros + sum 2^-M) with the small-range linear
+    counting correction — float math, so pytest-verified against exact
+    distinct counts rather than oracle-compared."""
+    import collections
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # published constant for m >= 128
+    groups = collections.defaultdict(dict)
+    g = registers["register"]
+    for grp, b, r in zip(
+        registers[registers.schema.names[0]].to_pylist(),
+        registers["bucket"].to_pylist(),
+        g.to_pylist(),
+    ):
+        groups[grp][b] = r
+    out = {}
+    for grp, regs in groups.items():
+        denom = (m - len(regs)) * 1.0  # untouched buckets contribute 2^-0
+        denom += sum(2.0 ** -r for r in regs.values())
+        est = alpha * m * m / denom
+        zeros = m - len(regs)
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting correction
+        out[grp] = float(est)
+    return out

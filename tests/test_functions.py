@@ -2084,3 +2084,59 @@ def test_existence_join_rejects_reserved_column(ray_session):
     r = pa.table({"rk": pa.array([1], type=pa.int64())})
     with pytest.raises(ValueError, match="reserved"):
         existence_join(rd.from_arrow(t), rd.from_arrow(r), "k", "rk")
+
+
+def test_hll_registers_partition_invariant_and_reference(ray_session):
+    """Registers are max-mergeable: any repartitioning yields the same
+    table; values match a per-row python reference."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import _murmur64
+    from fsst_ray.functions.sketch import hll_registers
+
+    rng = np.random.default_rng(9)
+    n = 20000
+    keys = rng.integers(0, 5000, n).astype(np.int64)
+    grp = np.where(rng.random(n) < 0.5, "a", "b")
+    tbl = pa.table({"k": pa.array(keys), "g": pa.array(grp)})
+    out1 = (
+        hll_registers(rd.from_arrow(tbl), "k", "g")
+        .to_pandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    )
+    out2 = (
+        hll_registers(rd.from_arrow(tbl).repartition(17), "k", "g")
+        .to_pandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    )
+    assert out1.equals(out2)
+    # python reference
+    want = {}
+    hv = _murmur64(keys)
+    for i in range(n):
+        b = int(hv[i] >> np.uint64(56))
+        w = int(hv[i] & np.uint64((1 << 56) - 1))
+        rank = 57 if w == 0 else 56 - w.bit_length() + 1
+        kk = (grp[i], b)
+        want[kk] = max(want.get(kk, 0), rank)
+    got = {(r.g, r.bucket): r.register for r in out1.itertuples()}
+    assert got == want
+
+
+def test_hll_estimate_within_published_error_band(ray_session):
+    """alpha_256 estimate within ~3 standard errors (1.04/sqrt(256) ≈
+    6.5% per std) of the exact distinct count."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 10**12, 60000).astype(np.int64)
+    tbl = pa.table(
+        {"k": pa.array(keys), "g": pa.array(np.full(len(keys), "x"))}
+    )
+    regs = hll_registers(rd.from_arrow(tbl), "k", "g").to_arrow_refs()
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in regs])
+    est = hll_estimate(t)["x"]
+    exact = len(np.unique(keys))
+    assert abs(est - exact) / exact < 0.20
