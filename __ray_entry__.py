@@ -753,6 +753,23 @@ def _q_customers_no_big_orders(sf_dir: str):
     return existence_join(cust, od, "c_custkey", "o_custkey", how="anti")
 
 
+_WSAMPLE_CAP = 400  # documents.n_chars spans ~100-1200: mixes <1 and =1 probs
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weight-proportional Bernoulli sample over documents (weight =
+    n_chars, cap 400): P(keep) = min(1, n_chars/400), exact uint64
+    hash-threshold arithmetic recomputed verbatim by the oracle."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import weighted_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(docs, "n_chars", _WSAMPLE_CAP)
+
+
 def _q_hll_registers(sf_dir: str):
     """HyperLogLog register table (p=8) for distinct users per event
     type — integer-only output recomputable exactly by the oracle
@@ -1447,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_orders": _q_customers_no_big_orders,
         "bm25_topk": _q_bm25_topk,
         "hll_registers": _q_hll_registers,
+        "weighted_sample": _q_weighted_sample,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1724,6 +1742,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_oracle(),
         "hll_registers": _hll_oracle(),
+        "weighted_sample": (
+            "SELECT doc_id, n_chars AS weight FROM documents "
+            f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"
+            f" * (18446744073709551615::UBIGINT // {_WSAMPLE_CAP})"
+        ),
         "orders_semi_lineitem": (
             "SELECT o_orderkey, o_orderpriority FROM orders o "
             "WHERE EXISTS (SELECT 1 FROM lineitem "

@@ -522,3 +522,46 @@ def consistent_sample(ds, k: int = 100, merge_partitions: int = 16) -> pa.Table:
     h = np.array([r["h"] for r in cand], dtype=np.int64).view(np.uint64)
     order = np.lexsort((ids, h))[:k]
     return pa.table({"doc_id": pa.array(ids[order], type=pa.int64())})
+
+
+def weighted_sample(ds, weight_col: str, cap: int):
+    """Weight-proportional Bernoulli sample: each row is kept with
+    probability min(1, weight/cap), independently, deterministically,
+    with EXACT integer arithmetic — the weighted counterpart of
+    corpus_split's rate sample, for building training mixes where a
+    document's inclusion odds should follow its weight (tokens, chars,
+    a quality score).
+
+    Keep rule: hash(doc_id) < min(weight, cap) * ((2^64-1) // cap).
+    Everything is uint64: hash is DuckDB's own `hash(doc_id)` (the
+    _murmur64 convention), the threshold multiply cannot overflow
+    because min(w, cap) * ((2^64-1) // cap) <= 2^64-1 by construction,
+    and the oracle recomputes the identical comparison in UBIGINT — so
+    the sample is bit-reproducible across engines, reorderings and
+    reruns (no RNG state, no seed plumbing). The realized probability
+    is floor-quantized by the // cap, an error < cap/2^64 — zero for
+    any practical cap.
+
+    Pure map-side: one vectorized compare per batch, zero shuffle.
+    Returns (doc_id, weight) of the kept rows.
+    """
+    if cap <= 0:
+        raise ValueError(f"weighted_sample: cap must be positive, got {cap}")
+    k_factor = np.uint64(((1 << 64) - 1) // cap)
+    cap64 = np.int64(cap)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and int(w.min()) < 0:
+            raise ValueError("weighted_sample: negative weights")
+        thr = np.minimum(w, cap64).astype(np.uint64) * k_factor
+        m = _murmur64(ids) < thr
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], type=pa.int64()),
+                "weight": pa.array(w[m], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -2140,3 +2140,36 @@ def test_hll_estimate_within_published_error_band(ray_session):
     est = hll_estimate(t)["x"]
     exact = len(np.unique(keys))
     assert abs(est - exact) / exact < 0.20
+
+
+def test_weighted_sample_exact_rule_and_proportionality(ray_session):
+    """Keep rule matches the integer reference per row; realized rates
+    track min(1, w/cap); cap>=max(w) keeps everything; errors on
+    negative weight / bad cap."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import _murmur64, weighted_sample
+
+    rng = np.random.default_rng(17)
+    n = 30000
+    ids = rng.permutation(n).astype(np.int64)
+    w = rng.integers(0, 1200, n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "n": pa.array(w)})
+    cap = 800
+    out = weighted_sample(rd.from_arrow(tbl).repartition(9), "n", cap).to_pandas()
+    thr = np.minimum(w, cap).astype(np.uint64) * np.uint64(((1 << 64) - 1) // cap)
+    want = set(ids[_murmur64(ids) < thr].tolist())
+    assert set(out["doc_id"]) == want
+    # rate proportionality on the w<cap mass (3-sigma-ish slack)
+    lo = w < cap
+    expected = float((w[lo] / cap).sum())
+    got = np.isin(ids, out["doc_id"].to_numpy()) & lo
+    assert abs(got.sum() - expected) < 4 * np.sqrt(expected)
+    # cap >= max weight with all-max weights keeps every row
+    allmax = pa.table(
+        {"doc_id": pa.array(ids[:100]), "n": pa.array(np.full(100, 50, np.int64))}
+    )
+    kept = weighted_sample(rd.from_arrow(allmax), "n", 50).to_pandas()
+    assert len(kept) == 100
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample(rd.from_arrow(tbl), "n", 0)
