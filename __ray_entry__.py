@@ -858,6 +858,42 @@ def _bm25_oracle() -> str:
     )
 
 
+# terms chosen for selectivity: 'dup' has df 25/500 at sf0.01, so the
+# conjunction is small but non-empty (13 docs) — a vacuous AND query
+# would prove nothing
+_INVINDEX_TERMS = ["dup", "hash", "merge"]
+
+
+def _q_inverted_index_stats(sf_dir: str):
+    """Build the delta+stream-vbyte postings index (file-per-bucket,
+    md5-parity term buckets), then DECODE every postings list back into
+    (term, df, doc_id_sum) — proving the compressed artifact holds
+    exactly the distinct (term, doc_id) pairs the oracle recomputes.
+    See fsst_ray/functions/invindex.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.invindex import build_inverted_index, index_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = _tmp_out("invindex")
+    build_inverted_index(docs, out, n_buckets=16)
+    return index_stats(out)
+
+
+def _q_postings_and_query(sf_dir: str):
+    """Boolean AND retrieval over the postings index: docs containing
+    ALL of three fixed terms; reads only the <=3 bucket files the terms
+    hash into (file pruning pytest-asserted)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.invindex import and_query, build_inverted_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = _tmp_out("invq")
+    build_inverted_index(docs, out, n_buckets=16)
+    return and_query(out, _INVINDEX_TERMS)
+
+
 _RATE_BANDS = [(0, 0.0, 10.0), (1, 5.0, 25.0), (2, 20.0, 60.0), (3, 50.0, 1000.0)]
 
 
@@ -1420,7 +1456,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 76 are checked
+    # 0-49). Every query below has an oracle and ALL 84 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1465,6 +1501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "hll_registers": _q_hll_registers,
         "weighted_sample": _q_weighted_sample,
+        "inverted_index_stats": _q_inverted_index_stats,
+        "postings_and_query": _q_postings_and_query,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1746,6 +1784,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars AS weight FROM documents "
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"
             f" * (18446744073709551615::UBIGINT // {_WSAMPLE_CAP})"
+        ),
+        "inverted_index_stats": (
+            # the index is built from DISTINCT (term, doc_id) pairs;
+            # doc_id_sum proves each decoded postings list holds
+            # exactly the right id set (SUM over BIGINT -> HUGEINT,
+            # hence the CAST — the running_totals dtype lesson)
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents) "
+            "SELECT word AS term, COUNT(*) AS df, "
+            "CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum FROM w GROUP BY word"
+        ),
+        "postings_and_query": (
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents) "
+            "SELECT doc_id FROM w WHERE word IN ("
+            + ", ".join(f"'{t}'" for t in sorted(set(_INVINDEX_TERMS)))
+            + f") GROUP BY doc_id HAVING COUNT(*) = {len(set(_INVINDEX_TERMS))}"
         ),
         "orders_semi_lineitem": (
             "SELECT o_orderkey, o_orderpriority FROM orders o "
