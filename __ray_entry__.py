@@ -858,6 +858,20 @@ def _bm25_oracle() -> str:
     )
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """All customer-name pairs within Levenshtein distance 1
+    (entity-resolution shape): deletion-neighborhood candidates +
+    vectorized specialized verify — no all-pairs product. Non-vacuous:
+    19,500 one-digit-apart name pairs at sf0.01. See
+    fsst_ray/functions/fuzzy.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.fuzzy import fuzzy_pairs
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return fuzzy_pairs(cust, "c_name")
+
+
 # terms chosen for selectivity: 'dup' has df 25/500 at sf0.01, so the
 # conjunction is small but non-empty (13 docs) — a vacuous AND query
 # would prove nothing
@@ -1456,7 +1470,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 84 are checked
+    # 0-49). Every query below has an oracle and ALL 85 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1503,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "inverted_index_stats": _q_inverted_index_stats,
         "postings_and_query": _q_postings_and_query,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1784,6 +1799,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars AS weight FROM documents "
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"
             f" * (18446744073709551615::UBIGINT // {_WSAMPLE_CAP})"
+        ),
+        "fuzzy_name_pairs": (
+            # DuckDB's native levenshtein over the length-banded
+            # distinct self-join IS the semantics; the engine never
+            # forms this product (deletion-neighborhood candidates)
+            "WITH v AS (SELECT DISTINCT c_name FROM customer) "
+            "SELECT a.c_name AS c_name_a, b.c_name AS c_name_b "
+            "FROM v a JOIN v b ON a.c_name < b.c_name "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "AND levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "inverted_index_stats": (
             # the index is built from DISTINCT (term, doc_id) pairs;
