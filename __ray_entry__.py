@@ -858,6 +858,21 @@ def _bm25_oracle() -> str:
     )
 
 
+_PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_event_type_pivot(sf_dir: str):
+    """Long -> wide pivot: per-user event-type count matrix via ONE
+    map-side bincount partial pass + Ray's hash-aggregate sum (no
+    map_groups); see fsst_ray/functions/analytics.py:pivot_counts."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import pivot_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", _PIVOT_CATS)
+
+
 def _q_fuzzy_name_pairs(sf_dir: str):
     """All customer-name pairs within Levenshtein distance 1
     (entity-resolution shape): deletion-neighborhood candidates +
@@ -1470,7 +1485,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 85 are checked
+    # 0-49). Every query below has an oracle and ALL 86 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1518,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_stats": _q_inverted_index_stats,
         "postings_and_query": _q_postings_and_query,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "event_type_pivot": _q_event_type_pivot,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1799,6 +1815,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars AS weight FROM documents "
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"
             f" * (18446744073709551615::UBIGINT // {_WSAMPLE_CAP})"
+        ),
+        "event_type_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE event_type = '{c}') AS {c}"
+                for c in _PIVOT_CATS
+            )
+            + " FROM events GROUP BY user_id"
         ),
         "fuzzy_name_pairs": (
             # DuckDB's native levenshtein over the length-banded

@@ -362,3 +362,76 @@ def retention_cohorts(events_ds, week_s: int = 7 * 24 * 3600):
         ),
         batch_format="pyarrow",
     )
+
+
+def pivot_counts(ds, key: str, pivot: str, categories: list[str]):
+    """Long -> wide pivot: one row per `key` with an int64 count column
+    per category — SQL `COUNT(*) FILTER (WHERE pivot = c)` for a FIXED,
+    known category set.
+
+    Shape: a map-side partial pass collapses each block to
+    (distinct keys of the block) x (k category columns) via ONE
+    bincount over a packed (key-code, category-code) — the exchange
+    moves already-wide partial rows (key-cardinality x blocks, never
+    event rows), and the reduce is Ray's built-in hash-aggregate sum
+    (no map_groups dispatch at all). A pivot value outside
+    `categories` raises loudly (ValueError, not assert — the
+    textstats.py:426 rule): the wide schema must be fixed up front;
+    pivoting an unbounded domain is a groupby, not a pivot.
+    """
+    cats = list(dict.fromkeys(categories))
+    if not cats:
+        raise ValueError("pivot_counts: categories must be non-empty")
+    if key in cats or pivot in cats:
+        raise ValueError("pivot_counts: a category name collides with a column name")
+    k = len(cats)
+    cat_pos = {c: i for i, c in enumerate(cats)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in cats},
+                }
+            )
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[pivot]
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        dict_vals = enc.dictionary.to_pylist()  # per-batch distinct, small
+        unseen = [v for v in dict_vals if v not in cat_pos]
+        if unseen:
+            raise ValueError(
+                f"pivot_counts: {pivot} value(s) {unseen[:5]!r} not in the "
+                "declared categories"
+            )
+        lut = np.array([cat_pos[v] for v in dict_vals], dtype=np.int64)
+        cat_idx = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        uk, inv = np.unique(keys, return_inverse=True)
+        counts = np.bincount(inv * k + cat_idx, minlength=len(uk) * k).reshape(
+            len(uk), k
+        )
+        return pa.table(
+            {
+                key: pa.array(uk),
+                **{
+                    c: pa.array(counts[:, i].astype(np.int64))
+                    for i, c in enumerate(cats)
+                },
+            }
+        )
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).groupby(key).sum(cats)
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                key: t[key],
+                **{c: pc.cast(t[f"sum({c})"], pa.int64()) for c in cats},
+            }
+        ),
+        batch_format="pyarrow",
+    )

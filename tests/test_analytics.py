@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from fsst_ray.functions.analytics import (
     _prune_topn,
@@ -287,3 +288,48 @@ def test_session_windows_gap_split_across_users(ray_session):
         (t0 + 60 * us + gap + us) // us,
         (t0 + 2 * 3600 * us) // us,
     ]
+
+
+def test_pivot_counts_semantics(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.analytics import pivot_counts
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, 3], type=pa.int64()),
+            "typ": pa.array(["a", "b", "a", "a", "c", "c"]),
+        }
+    )
+    got = (
+        pivot_counts(rd.from_arrow(t).repartition(4), "k", "typ", ["a", "b", "c"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["a"].tolist() == [1, 2, 0]
+    assert got["b"].tolist() == [1, 0, 0]
+    assert got["c"].tolist() == [0, 1, 1]
+    assert all(str(got[c].dtype) == "int64" for c in ("a", "b", "c"))
+
+
+def test_pivot_counts_guards(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.analytics import pivot_counts
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()), "typ": pa.array(["zz"])})
+    with pytest.raises(Exception, match="not in the declared categories"):
+        pivot_counts(rd.from_arrow(t), "k", "typ", ["a"]).to_pandas()
+    with pytest.raises(ValueError, match="non-empty"):
+        pivot_counts(rd.from_arrow(t), "k", "typ", [])
+    with pytest.raises(ValueError, match="collides"):
+        pivot_counts(rd.from_arrow(t), "k", "typ", ["k"])
+
+
+def test_pivot_counts_no_map_groups(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.analytics import pivot_counts
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()), "typ": pa.array(["a"])})
+    plan = repr(pivot_counts(rd.from_arrow(t), "k", "typ", ["a"]))
+    assert "MapGroups" not in plan
