@@ -858,6 +858,18 @@ def _bm25_oracle() -> str:
     )
 
 
+def _q_event_deltas(sf_dir: str):
+    """Per-user LAG(event_id) / ts-gap (µs) ordered by (ts, event_id):
+    the running_totals sorted-block shape, all-integer output; see
+    fsst_ray/functions/analytics.py:event_deltas."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import event_deltas
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    return event_deltas(ev)
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1485,7 +1497,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 86 are checked
+    # 0-49). Every query below has an oracle and ALL 87 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1534,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_and_query": _q_postings_and_query,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "event_type_pivot": _q_event_type_pivot,
+        "event_deltas": _q_event_deltas,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1815,6 +1828,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars AS weight FROM documents "
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"
             f" * (18446744073709551615::UBIGINT // {_WSAMPLE_CAP})"
+        ),
+        "event_deltas": (
+            "SELECT event_id, user_id, LAG(event_id) OVER w AS prev_event_id, "
+            "CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "event_type_pivot": (
             "SELECT user_id, "

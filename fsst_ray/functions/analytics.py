@@ -435,3 +435,80 @@ def pivot_counts(ds, key: str, pivot: str, categories: list[str]):
         ),
         batch_format="pyarrow",
     )
+
+
+_DELTAS_EMPTY = pa.table(
+    {
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "prev_event_id": pa.array([], pa.int64()),
+        "gap_us": pa.array([], pa.int64()),
+    }
+)
+
+
+def event_deltas(ds):
+    """Per-user LAG: for every event (ordered by ts, event_id within
+    the user), the previous event's id and the µs gap to it — the
+    distributed form of
+
+        LAG(event_id) / ts - LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+
+    Each user's FIRST event gets NULL prev_event_id / gap_us (SQL LAG
+    default). Returns (event_id, user_id, prev_event_id, gap_us).
+
+    Shape: identical to `running_totals` — map-side int64 projection,
+    ONE sort("user_id") range exchange (whole user per block), one
+    lexsort + shift-compare pass per block; the lag is `arr[:-1]`
+    masked at group starts, no per-group dispatch. All-integer output
+    so the DuckDB LAG oracle matches exactly.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(ts, pa.int64()),
+            }
+        )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _DELTAS_EMPTY
+        users = block["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = block["ts_us"].to_numpy(zero_copy_only=False)
+        eid = block["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_us, users))
+        u = users[order]
+        t = ts_us[order]
+        e = eid[order]
+        n = len(u)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        prev_e = np.empty(n, dtype=np.int64)
+        gap = np.empty(n, dtype=np.int64)
+        prev_e[1:] = e[:-1]
+        gap[1:] = t[1:] - t[:-1]
+        prev_e[0] = gap[0] = 0  # masked below
+        mask = pa.array(~first)
+        return pa.table(
+            {
+                "event_id": pa.array(e),
+                "user_id": pa.array(u),
+                "prev_event_id": pc.if_else(
+                    mask, pa.array(prev_e), pa.scalar(None, pa.int64())
+                ),
+                "gap_us": pc.if_else(mask, pa.array(gap), pa.scalar(None, pa.int64())),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort("user_id")
+        .map_batches(
+            per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

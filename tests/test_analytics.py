@@ -333,3 +333,31 @@ def test_pivot_counts_no_map_groups(ray_session):
     t = pa.table({"k": pa.array([1], type=pa.int64()), "typ": pa.array(["a"])})
     plan = repr(pivot_counts(rd.from_arrow(t), "k", "typ", ["a"]))
     assert "MapGroups" not in plan
+
+
+def test_event_deltas_lag_semantics(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.analytics import event_deltas
+
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+    # user 1: ts tie broken by event_id (eid 4 precedes eid 9)
+    rows = [(7, 1, t0 + 5), (4, 1, t0 + 10), (9, 1, t0 + 10), (2, 2, t0)]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows]).cast(pa.timestamp("us")),
+        }
+    )
+    out = (
+        event_deltas(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("event_id")
+        .set_index("event_id")
+    )
+    assert out.loc[7].isna()["gap_us"] and out.loc[2].isna()["gap_us"]
+    assert out.loc[4, "prev_event_id"] == 7 and out.loc[4, "gap_us"] == 5
+    assert out.loc[9, "prev_event_id"] == 4 and out.loc[9, "gap_us"] == 0
+    plan = repr(event_deltas(rd.from_arrow(t)))
+    assert "MapGroups" not in plan and "Aggregate" not in plan
