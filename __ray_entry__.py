@@ -858,6 +858,49 @@ def _bm25_oracle() -> str:
     )
 
 
+_SPAN_K = 8  # 8-word grams: well below the 151 naturally-duplicated
+# 10-word segments at sf0.01, so masking is non-vacuous (24 docs /
+# 1,254 words masked)
+
+
+def _q_ngram_span_dedup(sf_dir: str):
+    """Duplicate n-gram SPAN masking (Lee et al. exact-substring-dedup
+    shape, hashed word-8-grams): grams occurring >= 2x corpus-wide keep
+    their first occurrence, every later occurrence's span is masked
+    out of the text; see fsst_ray/functions/dedup.py:ngram_span_dedup."""
+    import ray.data as rd
+
+    from fsst_ray.functions.dedup import ngram_span_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_span_dedup(docs, k=_SPAN_K, min_count=2)
+
+
+def _span_dedup_oracle() -> str:
+    k = _SPAN_K
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        f"p AS (SELECT doc_id, ws, unnest(range(1, len(ws) - {k} + 2)) AS i "
+        f"FROM w WHERE len(ws) >= {k}), "
+        f"g AS (SELECT doc_id, i, array_to_string(ws[i:i+{k}-1], ' ') AS gram FROM p), "
+        "r AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY gram) AS cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rk FROM g), "
+        "dup AS (SELECT doc_id, i FROM r WHERE cnt >= 2 AND rk > 1), "
+        f"m AS (SELECT DISTINCT doc_id, unnest(range(i, i + {k})) AS j FROM dup), "
+        "words AS (SELECT doc_id, unnest(ws) AS word, "
+        "unnest(range(1, len(ws)+1)) AS j FROM w), "
+        "kept AS (SELECT words.doc_id, word, words.j FROM words "
+        "LEFT JOIN m ON m.doc_id = words.doc_id AND m.j = words.j "
+        "WHERE m.doc_id IS NULL), "
+        "ka AS (SELECT doc_id, COUNT(*) AS n_kept, "
+        "string_agg(word, ' ' ORDER BY j) AS text_dedup FROM kept GROUP BY doc_id) "
+        "SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words, "
+        "CAST(len(w.ws) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_masked, "
+        "COALESCE(ka.text_dedup, '') AS text_dedup "
+        "FROM w LEFT JOIN ka ON ka.doc_id = w.doc_id"
+    )
+
+
 def _q_event_deltas(sf_dir: str):
     """Per-user LAG(event_id) / ts-gap (µs) ordered by (ts, event_id):
     the running_totals sorted-block shape, all-integer output; see
@@ -1497,7 +1540,7 @@ def _q_encode_metrics(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver gate verifies roughly the first 50
     # entries per round (CORRECTNESS_r04 covered exactly positions
-    # 0-49). Every query below has an oracle and ALL 87 are checked
+    # 0-49). Every query below has an oracle and ALL 88 are checked
     # value-exactly by tests/test_queries_oracle.py each run; the dict
     # order only decides which ones get a driver row this round.
     # Block 1: the 22 queries with no driver row in any prior round
@@ -1547,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "event_type_pivot": _q_event_type_pivot,
         "event_deltas": _q_event_deltas,
+        "ngram_span_dedup": _q_ngram_span_dedup,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1829,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"
             f" * (18446744073709551615::UBIGINT // {_WSAMPLE_CAP})"
         ),
+        "ngram_span_dedup": _span_dedup_oracle(),
         "event_deltas": (
             "SELECT event_id, user_id, LAG(event_id) OVER w AS prev_event_id, "
             "CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us "

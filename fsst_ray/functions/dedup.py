@@ -1581,3 +1581,222 @@ def fuzzy_decontaminate(train_ds, eval_ds, jaccard_threshold: float = 0.7):
         )
 
     return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------- sliding n-gram span masking ----------------
+
+# packed (doc_id, word position) key: 43-bit doc + 20-bit pos — the
+# retention_cohorts packing convention, ValueError-guarded
+_POS_BITS = 20
+_DOC_BITS = 43
+
+
+def _gram_occurrence_hashes(
+    batch: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sliding word-k-gram hashes for every occurrence in the batch:
+    (h1 u64, h2 u64, batch_row, pos, words_per_doc). Each word is
+    hashed ONCE per seed (two vectorized xxhash passes over the flat
+    word array), then gram hashes are k multiply-add passes with fixed
+    random odd multipliers (multilinear hashing over wraparound u64) —
+    no gram strings are ever materialized (a k-gram string pass would
+    copy k x corpus bytes)."""
+    from .textstats import _word_lists
+
+    words = _word_lists(batch)
+    flat = words.flatten()
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    lens = np.diff(offsets)
+    n_grams = np.maximum(lens - k + 1, 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        u = np.zeros(0, dtype=np.uint64)
+        return u, u.copy(), z, z, lens
+    row = np.repeat(np.arange(len(lens), dtype=np.int64), n_grams)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_grams) - n_grams, n_grams
+    )
+    start = offsets[:-1][row] + pos
+    out: list[np.ndarray] = []
+    for seed in (1, 2):
+        wh = _pl_hash(flat, seed)
+        # fixed odd multipliers, deterministic across workers/processes
+        mults = (
+            np.random.Generator(np.random.PCG64(seed * 7919 + 13))
+            .integers(1, 1 << 63, size=k, dtype=np.uint64)
+            | np.uint64(1)
+        )
+        gh = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            gh += wh[start + j] * mults[j]  # wraparound u64 multilinear
+        out.append(gh)
+    return out[0], out[1], row, pos, lens
+
+
+def ngram_span_dedup(
+    ds,
+    k: int = 8,
+    min_count: int = 2,
+    max_dup_occurrences: int = 10_000_000,
+):
+    """Duplicate n-gram SPAN masking — the sliding-window form of exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"; their suffix-array pass finds repeated
+    byte spans, this is the hashed word-k-gram equivalent).
+
+    Semantics: a gram occurrence is (doc_id, pos) for every sliding
+    window of `k` words; grams occurring >= `min_count` times
+    corpus-wide keep their FIRST occurrence (global (doc_id, pos)
+    order) and every later occurrence is a duplicate; a word position
+    is masked iff covered by any duplicate occurrence's [pos, pos+k-1]
+    span. Output keeps EVERY doc: (doc_id, n_words, n_masked,
+    text_dedup) with the unmasked words re-joined (fully-masked docs
+    get "") — masking, not dropping, is the Lee-et-al. semantics
+    (`segment_dedup` is the dropping sibling at fixed-window
+    granularity).
+
+    100-TB shape (the `segment_dedup` pattern, dedup.py:261):
+    1. map-side gram projection — (h1, h2, doc_id, pos) rows, two
+       independent multilinear hashes over per-word xxhashes; the
+       exchange is gram-occurrence-sized (~28 B/word), the corpus TEXT
+       never shuffles;
+    2. ONE range sort on h1 (equal keys never straddle a block) + a
+       lexsort pass per block emits duplicate occurrences (group size
+       >= min_count, not the (doc_id, pos) minimum);
+    3. duplicates broadcast via ray.put as packed sorted keys
+       (driver-bounded by `max_dup_occurrences`, loud ValueError), and
+       a second corpus pass paints the masked spans with one interval
+       diff + cumsum per batch and rebuilds text via binary_join.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401  (parity with siblings)
+
+    if k <= 0:
+        raise ValueError(f"ngram_span_dedup: k must be positive, got {k}")
+    if min_count < 2:
+        raise ValueError("ngram_span_dedup: min_count below 2 would mask originals")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        h1, h2, row, pos, _ = _gram_occurrence_hashes(batch, k)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": pa.array(doc_ids[row], type=pa.int64()),
+                "pos": pa.array(pos.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def dup_block(block: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], type=pa.int64())})
+        n = block.num_rows
+        if n == 0:
+            return empty
+        h1 = block["h1"].to_numpy(zero_copy_only=False)
+        h2 = block["h2"].to_numpy(zero_copy_only=False)
+        d = block["doc_id"].to_numpy(zero_copy_only=False)
+        p = block["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) and not (
+            d.min() >= 0 and d.max() < (1 << _DOC_BITS) and p.max() < (1 << _POS_BITS)
+        ):
+            # ValueError, not assert: survives `python -O` — silent
+            # key-pack corruption would mask the wrong spans
+            raise ValueError(
+                "ngram_span_dedup: doc_id/pos exceed the 43/20-bit pack "
+                "(docs over 1M words need a wider position key)"
+            )
+        order = np.lexsort((p, d, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new_group = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        gid = np.cumsum(new_group) - 1
+        sizes = np.bincount(gid)
+        dup = (~new_group) & (sizes[gid] >= min_count)
+        lose = order[dup]
+        return pa.table(
+            {"key": pa.array(d[lose] * np.int64(1 << _POS_BITS) + p[lose])}
+        )
+
+    dup_keys = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .sort("h1")
+        .map_batches(
+            dup_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    parts: list[np.ndarray] = []
+    n_dup = 0
+    for b in dup_keys.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b["key"].to_numpy(zero_copy_only=False))
+            n_dup += b.num_rows
+            if n_dup > max_dup_occurrences:
+                raise ValueError(
+                    f"ngram_span_dedup: more than max_dup_occurrences="
+                    f"{max_dup_occurrences} duplicate gram occurrences; the "
+                    "broadcast mask list would not be driver-bounded — raise "
+                    "the cap or raise min_count"
+                )
+    drop = np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        from .textstats import _word_lists
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                "n_masked": pa.array([], type=pa.int64()),
+                "text_dedup": pa.array([], type=pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        dropped = ray.get(drop_ref)
+        words = _word_lists(batch)
+        flat = words.flatten()
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if len(dropped):
+            base = doc_ids * np.int64(1 << _POS_BITS)
+            lo = np.searchsorted(dropped, base)
+            hi = np.searchsorted(dropped, base + np.int64(1 << _POS_BITS))
+            counts = hi - lo
+            rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            gather = np.repeat(lo, counts) + (
+                np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            pos = dropped[gather] - base[rows]
+            start = offsets[:-1][rows] + pos
+            stop = np.minimum(start + k, offsets[1:][rows])
+            np.add.at(diff, start, 1)
+            np.add.at(diff, stop, -1)
+        masked = np.cumsum(diff[:-1]) > 0
+        keep = ~masked
+        row_of_word = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        n_kept = np.bincount(row_of_word[keep], minlength=batch.num_rows)
+        kept_flat = flat.take(pa.array(np.flatnonzero(keep), type=pa.int64()))
+        bounds = np.concatenate([[0], np.cumsum(n_kept)])
+        doc_list = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32), type=pa.int32()), kept_flat
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_words": pa.array(lens.astype(np.int64)),
+                "n_masked": pa.array((lens - n_kept).astype(np.int64)),
+                "text_dedup": pc.binary_join(doc_list, " "),
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

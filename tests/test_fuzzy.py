@@ -156,3 +156,120 @@ def test_plan_bounded_dispatch(ray_session):
     plan = repr(fuzzy_pairs(ds, "v"))
     # one Sort (the bounded-bucket groupby exchange), no Aggregate
     assert "Aggregate" not in plan
+
+
+# ---------------- ngram_span_dedup ----------------
+
+
+def _span_ref(docs: list[tuple[int, str]], k: int, t: int):
+    """Pure-python reference for duplicate n-gram span masking."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    words = {d: s.split(" ") for d, s in docs}
+    for d, ws in sorted(words.items()):
+        for i in range(len(ws) - k + 1):
+            occ.setdefault(tuple(ws[i : i + k]), []).append((d, i))
+    masked: dict[int, set[int]] = {d: set() for d, _ in docs}
+    for g, lst in occ.items():
+        if len(lst) >= t:
+            for d, i in sorted(lst)[1:]:
+                masked[d].update(range(i, i + k))
+    out = {}
+    for d, ws in words.items():
+        kept = [w for j, w in enumerate(ws) if j not in masked[d]]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_ngram_span_dedup_reference_parity(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.dedup import ngram_span_dedup
+
+    random.seed(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(60):
+        ws = [random.choice(vocab) for _ in range(random.randint(1, 40))]
+        docs.append((d, " ".join(ws)))
+    # plant repeats: a shared 12-word span in three docs, and a
+    # self-repeat within one doc
+    span = " ".join(random.choice(vocab) for _ in range(12))
+    docs[5] = (5, docs[5][1] + " " + span)
+    docs[17] = (17, span + " " + docs[17][1])
+    docs[40] = (40, span)
+    docs[50] = (50, span + " xsep " + span)
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    for k in (3, 8):
+        got = (
+            ngram_span_dedup(rd.from_arrow(t).repartition(7), k=k)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        ref = _span_ref(docs, k, 2)
+        for r in got.itertuples():
+            assert (r.n_words, r.n_masked, r.text_dedup) == ref[r.doc_id], (
+                k,
+                r.doc_id,
+            )
+
+
+def test_ngram_span_dedup_first_occurrence_kept(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.dedup import ngram_span_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d", "a b c d"]),
+        }
+    )
+    got = (
+        ngram_span_dedup(rd.from_arrow(t), k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "text_dedup"] == "a b c d" and got.loc[0, "n_masked"] == 0
+    assert got.loc[1, "text_dedup"] == "" and got.loc[1, "n_masked"] == 4
+
+
+def test_ngram_span_dedup_short_docs_and_guards(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.dedup import ngram_span_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a b", "a b"]),  # shorter than k -> untouched
+        }
+    )
+    got = ngram_span_dedup(rd.from_arrow(t), k=5).to_pandas()
+    assert got["n_masked"].tolist() == [0, 0]
+    with pytest.raises(ValueError, match="min_count"):
+        ngram_span_dedup(rd.from_arrow(t), k=2, min_count=1)
+    big = pa.table(
+        {
+            "doc_id": pa.array([1 << 50], type=pa.int64()),
+            "text": pa.array(["a b c a b c"]),
+        }
+    )
+    with pytest.raises(Exception, match="pack"):
+        ngram_span_dedup(rd.from_arrow(big), k=3).to_pandas()
+
+
+def test_ngram_span_dedup_cap(ray_session):
+    import ray.data as rd
+    from fsst_ray.functions.dedup import ngram_span_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": pa.array(["p q r s t u"] * 30),
+        }
+    )
+    with pytest.raises(ValueError, match="max_dup_occurrences"):
+        ngram_span_dedup(rd.from_arrow(t), k=3, max_dup_occurrences=5)
