@@ -338,6 +338,44 @@ def main() -> None:
         "spilled_mb": spill_now - spill_prev,
     }
 
+    spill_prev = spill_now
+
+    # -- leg 6: sliding n-gram span masking ------------------------------
+    # the heaviest text-dedup exchange in the suite: gram-occurrence-
+    # sized (~28 B per corpus WORD) projection through one range sort,
+    # then the duplicate-occurrence list broadcasts back
+    ds6 = rd.read_parquet(files, columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    from fsst_ray.functions.dedup import ngram_span_dedup
+
+    def span_summary(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows]),
+                "words": pa.array([pc.sum(batch["n_words"]).as_py() or 0]),
+                "masked": pa.array([pc.sum(batch["n_masked"]).as_py() or 0]),
+            }
+        )
+
+    agg6 = (
+        ngram_span_dedup(ds6, k=8, max_dup_occurrences=200_000_000)
+        .map_batches(span_summary, batch_format="pyarrow")
+        .take_all()
+    )
+    span_s = time.monotonic() - t0
+    spill_now = _spilled_mb(session_dir)
+    results["ngram_span_dedup"] = {
+        "wall_sec": round(span_s, 2),
+        "rows_in": total_rows,
+        "rows_out": sum(r["n"] for r in agg6),
+        "words_total": sum(r["words"] for r in agg6),
+        "words_masked": sum(r["masked"] for r in agg6),
+        "docs_per_sec": round(total_rows / span_s),
+        "spilled_mb": spill_now - spill_prev,
+    }
+
     peak_gb = sampler.stop()
     probe_after = _window_probe()
     out = {
