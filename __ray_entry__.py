@@ -802,6 +802,35 @@ def _hll_oracle() -> str:
     )
 
 
+def _q_cm_registers(sf_dir: str):
+    """Count-Min register table (depth 4 x width 256) of per-user event
+    frequencies within each event type — SUM-mergeable counting sketch,
+    all-integer output recomputable exactly by the oracle (DuckDB hash
+    + Kirsch-Mitzenmacher double hashing); the min-over-rows point
+    estimate is pytest-verified. See fsst_ray/functions/sketch.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import cm_registers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return cm_registers(ev, "user_id", "event_type")
+
+
+def _cm_oracle() -> str:
+    return (
+        "WITH h AS (SELECT event_type, hash(user_id) AS h1 FROM events), "
+        "d AS (SELECT event_type, CAST(h1 % 256 AS BIGINT) AS a, "
+        "CAST((hash(h1) % 256) | 1 AS BIGINT) AS step FROM h), "
+        "r AS (SELECT event_type, CAST(rr AS BIGINT) AS hash_row, "
+        "(a + rr * step) % 256 AS bucket "
+        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) t(rr)) "
+        "SELECT event_type, hash_row, bucket, COUNT(*) AS register "
+        "FROM r GROUP BY event_type, hash_row, bucket"
+    )
+
+
 _BM25_QUERIES = {
     0: ["hash", "join", "merge"],
     1: ["window", "sort", "stream"],
@@ -1591,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "event_deltas": _q_event_deltas,
         "ngram_span_dedup": _q_ngram_span_dedup,
+        "cm_registers": _q_cm_registers,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1868,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_oracle(),
         "hll_registers": _hll_oracle(),
+        "cm_registers": _cm_oracle(),
         "weighted_sample": (
             "SELECT doc_id, n_chars AS weight FROM documents "
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"

@@ -422,3 +422,104 @@ def hll_estimate(registers: "pa.Table", p: int = _HLL_P) -> dict[str, float]:
             est = m * np.log(m / zeros)  # linear counting correction
         out[grp] = float(est)
     return out
+
+
+# ---------------- Count-Min registers (oracle-exact) -------------------
+
+_CM_W_BITS = 8  # 256 buckets per hash row
+_CM_DEPTH = 4
+
+
+def cm_registers(ds, key_col: str, group_col: str,
+                 depth: int = _CM_DEPTH, w_bits: int = _CM_W_BITS):
+    """(group, hash_row, bucket, register): Count-Min sketch of the
+    `key_col` frequency distribution within each `group_col` value
+    (Cormode & Muthukrishnan, "An improved data stream summary: the
+    count-min sketch and its applications", J. Algorithms 2005).
+
+    The register table IS the sketch: register[g][r][b] = COUNT of
+    rows in group g whose key hashes to bucket b under hash row r.
+    Registers are SUM-mergeable (unlike HLL's max-merge), so each
+    batch emits at most groups x depth x 2^w_bits partial rows and ONE
+    groupby-sum reduces them — the shuffle is sketch-sized, never
+    corpus-sized (the kmv/hll property).
+
+    Hash family: Kirsch-Mitzenmacher double hashing over DuckDB's own
+    integer hash (the corpus_split/kmv/hll convention), so the oracle
+    recomputes every register exactly with no engine-private constants:
+
+        a      = hash(key)        % width
+        step   = (hash(hash(key)) % width) | 1      -- odd => full-cycle
+        bucket_r = (a + r * step) % width,  r = 0..depth-1
+
+    All-integer output; the float point-estimate (min over rows, the
+    CM upper bound) lives in `cm_estimate` and is pytest-verified
+    against exact counts instead of oracle-compared.
+    """
+    width = 1 << w_bits
+    mask = np.uint64(width - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = _murmur64(key)
+        a = (h1 & mask).astype(np.int64)
+        step = ((_murmur64(h1.view(np.int64)) & mask) | np.uint64(1)).astype(np.int64)
+        ug, gcode = np.unique(g, return_inverse=True)
+        # combo = ((gcode * depth) + r) * width + bucket_r for all rows
+        # at once; one np.unique gives the per-register partial counts
+        r = np.arange(depth, dtype=np.int64)[:, None]
+        bucket = (a[None, :] + r * step[None, :]) % width
+        combo = (gcode[None, :].astype(np.int64) * depth + r) * width + bucket
+        uc, counts = np.unique(combo.ravel(), return_counts=True)
+        return pa.table(
+            {
+                group_col: pa.array(ug[uc // (depth * width)], type=pa.string()),
+                "hash_row": pa.array((uc // width) % depth),
+                "bucket": pa.array(uc % width),
+                "register": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, "hash_row", "bucket"])
+        .sum("register")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns([group_col, "hash_row", "bucket", "register"]),
+        batch_format="pyarrow",
+    )
+
+
+def cm_estimate(registers: "pa.Table", group_col: str, keys,
+                depth: int = _CM_DEPTH, w_bits: int = _CM_W_BITS) -> dict:
+    """Point-frequency estimates from a (group, hash_row, bucket,
+    register) table: est(g, key) = min over rows r of register at
+    bucket_r(key). The classic CM guarantee holds: est >= true count,
+    and est <= true + eps * N with probability 1 - delta — pytest-
+    verified against exact counts rather than oracle-compared."""
+    width = 1 << w_bits
+    mask = np.uint64(width - 1)
+    regs: dict = {}
+    for grp, r, b, v in zip(
+        registers[group_col].to_pylist(),
+        registers["hash_row"].to_pylist(),
+        registers["bucket"].to_pylist(),
+        registers["register"].to_pylist(),
+    ):
+        regs[(grp, r, b)] = v
+    keys_arr = np.asarray(keys, dtype=np.int64)
+    h1 = _murmur64(keys_arr)
+    a = (h1 & mask).astype(np.int64)
+    step = ((_murmur64(h1.view(np.int64)) & mask) | np.uint64(1)).astype(np.int64)
+    groups = sorted({g for g, _, _ in regs})
+    out = {}
+    for grp in groups:
+        for i, k in enumerate(keys_arr.tolist()):
+            est = min(
+                regs.get((grp, r, int((a[i] + r * step[i]) % width)), 0)
+                for r in range(depth)
+            )
+            out[(grp, k)] = int(est)
+    return out

@@ -2173,3 +2173,76 @@ def test_weighted_sample_exact_rule_and_proportionality(ray_session):
     assert len(kept) == 100
     with pytest.raises(ValueError, match="positive"):
         weighted_sample(rd.from_arrow(tbl), "n", 0)
+
+
+def test_cm_registers_partition_invariant_and_reference(ray_session):
+    """Registers are sum-mergeable: any repartitioning yields the same
+    table; values match a per-row python reference of the double-hash
+    family."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import _murmur64
+    from fsst_ray.functions.sketch import cm_registers
+
+    rng = np.random.default_rng(41)
+    n = 20000
+    keys = rng.zipf(1.4, n).astype(np.int64) % 3000
+    grp = np.where(rng.random(n) < 0.5, "a", "b")
+    tbl = pa.table({"k": pa.array(keys), "g": pa.array(grp)})
+    out1 = (
+        cm_registers(rd.from_arrow(tbl), "k", "g")
+        .to_pandas().sort_values(["g", "hash_row", "bucket"]).reset_index(drop=True)
+    )
+    out2 = (
+        cm_registers(rd.from_arrow(tbl).repartition(17), "k", "g")
+        .to_pandas().sort_values(["g", "hash_row", "bucket"]).reset_index(drop=True)
+    )
+    assert out1.equals(out2)
+    # python reference
+    h1 = _murmur64(keys)
+    a = (h1 & np.uint64(255)).astype(np.int64)
+    step = ((_murmur64(h1.view(np.int64)) & np.uint64(255)) | np.uint64(1)).astype(
+        np.int64
+    )
+    want = {}
+    for i in range(n):
+        for r in range(4):
+            kk = (grp[i], r, int((a[i] + r * step[i]) % 256))
+            want[kk] = want.get(kk, 0) + 1
+    got = {(r.g, r.hash_row, r.bucket): r.register for r in out1.itertuples()}
+    assert got == want
+    # every register row sums the group's row count per hash row
+    for g in ("a", "b"):
+        for r in range(4):
+            tot = sum(v for (gg, rr, _), v in got.items() if gg == g and rr == r)
+            assert tot == int((grp == g).sum())
+
+
+def test_cm_estimate_upper_bound_and_heavy_keys_exact(ray_session):
+    """CM point estimates never undercount; with width 256 >> distinct
+    keys here, planted heavy keys estimate exactly."""
+    import ray as _ray
+    import ray.data as rd
+
+    from fsst_ray.functions.sketch import cm_estimate, cm_registers
+
+    rng = np.random.default_rng(42)
+    light = rng.integers(0, 40, 5000).astype(np.int64)
+    heavy = np.full(3000, 777, dtype=np.int64)
+    keys = np.concatenate([light, heavy])
+    tbl = pa.table(
+        {"k": pa.array(keys), "g": pa.array(np.full(len(keys), "x"))}
+    )
+    regs = pa.concat_tables(
+        [_ray.get(r) for r in cm_registers(rd.from_arrow(tbl), "k", "g").to_arrow_refs()]
+    )
+    probe = list(range(40)) + [777, 999_999]
+    est = cm_estimate(regs, "g", probe)
+    exact = {k: int((keys == k).sum()) for k in probe}
+    for k in probe:
+        assert est[("x", k)] >= exact[k]
+    assert est[("x", 777)] == 3000  # heavy key collides with nothing here
+    # total mass bound: est - exact <= eps * N on every probe
+    n_total = len(keys)
+    for k in probe:
+        assert est[("x", k)] - exact[k] <= 2 * n_total / 256 * 4
