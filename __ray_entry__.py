@@ -831,6 +831,25 @@ def _cm_oracle() -> str:
     )
 
 
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority) over orders:
+    integer-cents SUM + COUNT at every prefix level with NULL-marked
+    subtotal rows — one map-side partial pass, one finest-level hash
+    aggregate, coarser levels derived from the bounded finest table.
+    See fsst_ray/functions/analytics.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import rollup_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return rollup_aggregate(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
 _BM25_QUERIES = {
     0: ["hash", "join", "merge"],
     1: ["window", "sort", "stream"],
@@ -1621,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": _q_event_deltas,
         "ngram_span_dedup": _q_ngram_span_dedup,
         "cm_registers": _q_cm_registers,
+        "orders_rollup": _q_orders_rollup,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1899,6 +1919,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "hll_registers": _hll_oracle(),
         "cm_registers": _cm_oracle(),
+        "orders_rollup": (
+            "WITH q AS (SELECT o_orderstatus, o_orderpriority, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n "
+            "FROM q GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
         "weighted_sample": (
             "SELECT doc_id, n_chars AS weight FROM documents "
             f"WHERE hash(doc_id) < CAST(least(n_chars, {_WSAMPLE_CAP}) AS UBIGINT)"

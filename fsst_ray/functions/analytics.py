@@ -512,3 +512,120 @@ def event_deltas(ds):
             per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+def rollup_aggregate(ds, group_cols: list[str], value_col: str,
+                     max_groups: int = 1 << 20) -> pa.Table:
+    """SQL `GROUP BY ROLLUP(c1, .., cn)`: the hierarchical aggregate —
+    (sum_cents, n) at every prefix level of `group_cols`, subtotal rows
+    carrying NULL in the rolled-up positions, plus the grand total.
+
+    Distributed shape: ONE map-side partial pass (np.unique over packed
+    per-batch group codes -> per-combo partial sums, so the exchange
+    moves at most |distinct combos| rows per block, never event rows),
+    ONE Ray hash-aggregate at the FINEST level, then every coarser
+    level is derived from the finest aggregate driver-side — the
+    finest table is bounded by the group-combination cardinality
+    (guarded by `max_groups`, loud ValueError), so no second corpus
+    pass and no per-level shuffle. The value is quantized to integer
+    cents (floor(value * 100), the running_totals convention) so sums
+    are associative-exact and the DuckDB ROLLUP oracle matches
+    bit-for-bit.
+
+    NULL values in `group_cols` are rejected (ValueError): the output
+    encodes roll-up positions as NULL, so an input NULL would be
+    indistinguishable from a subtotal row (SQL disambiguates with
+    GROUPING(); this operator keeps the driver compare integer-only
+    instead).
+    """
+    cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = []
+        for c in cols:
+            col = batch[c]
+            if col.null_count:
+                raise ValueError(
+                    f"rollup_aggregate: NULL in group column {c!r} would be "
+                    "ambiguous with subtotal rows"
+                )
+            arrs.append(col.to_numpy(zero_copy_only=False))
+        val = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100.0).astype(np.int64)
+        # pack per-batch codes of all group cols into one int64
+        uniqs, combo = [], np.zeros(batch.num_rows, dtype=np.int64)
+        for a in arrs:
+            u, code = np.unique(a, return_inverse=True)
+            uniqs.append(u)
+            combo = combo * len(u) + code
+        uc, inv = np.unique(combo, return_inverse=True)
+        sums = np.bincount(inv, weights=cents).astype(np.int64)
+        ns = np.bincount(inv).astype(np.int64)
+        out = {}
+        rem = uc
+        for c, u in zip(reversed(cols), reversed(uniqs)):
+            out[c] = pa.array(u[rem % len(u)], type=pa.string())
+            rem = rem // len(u)
+        return pa.table(
+            {
+                **{c: out[c] for c in cols},
+                "sum_cents": pa.array(sums),
+                "n": pa.array(ns),
+            }
+        )
+
+    finest_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cols)
+        .sum(["sum_cents", "n"])
+    )
+    import ray as _ray
+
+    finest = pa.concat_tables(
+        [_ray.get(r) for r in finest_ds.to_arrow_refs()]
+    ).rename_columns(cols + ["sum_cents", "n"])
+    if finest.num_rows > max_groups:
+        raise ValueError(
+            f"rollup_aggregate: {finest.num_rows} group combinations exceed "
+            f"max_groups={max_groups}"
+        )
+    # coarser levels from the finest aggregate (driver-side, bounded)
+    levels = [finest]
+    sums = finest["sum_cents"].to_numpy(zero_copy_only=False)
+    ns = finest["n"].to_numpy(zero_copy_only=False)
+    for lvl in range(len(cols) - 1, -1, -1):
+        keep = cols[:lvl]
+        if keep:
+            arrs = [finest[c].to_numpy(zero_copy_only=False) for c in keep]
+            uniqs, combo = [], np.zeros(finest.num_rows, dtype=np.int64)
+            for a in arrs:
+                u, code = np.unique(a, return_inverse=True)
+                uniqs.append(u)
+                combo = combo * len(u) + code
+            uc, inv = np.unique(combo, return_inverse=True)
+            ls = np.bincount(inv, weights=sums).astype(np.int64)
+            ln = np.bincount(inv, weights=ns).astype(np.int64)
+            cols_out, rem = {}, uc
+            for c, u in zip(reversed(keep), reversed(uniqs)):
+                cols_out[c] = pa.array(u[rem % len(u)], type=pa.string())
+                rem = rem // len(u)
+            n_rows = len(uc)
+        else:
+            cols_out = {}
+            ls = np.array([int(sums.sum())], dtype=np.int64)
+            ln = np.array([int(ns.sum())], dtype=np.int64)
+            n_rows = 1
+        levels.append(
+            pa.table(
+                {
+                    **{c: cols_out[c] for c in keep},
+                    **{
+                        c: pa.nulls(n_rows, type=pa.string())
+                        for c in cols[lvl:]
+                    },
+                    "sum_cents": pa.array(ls),
+                    "n": pa.array(ln),
+                }
+            )
+        )
+    return pa.concat_tables(levels)

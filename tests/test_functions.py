@@ -2246,3 +2246,75 @@ def test_cm_estimate_upper_bound_and_heavy_keys_exact(ray_session):
     n_total = len(keys)
     for k in probe:
         assert est[("x", k)] - exact[k] <= 2 * n_total / 256 * 4
+
+
+def test_rollup_aggregate_reference_and_guards(ray_session):
+    """3-col rollup matches a per-level python reference; partition
+    invariant; NULL group values and group-cardinality overflow raise."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import rollup_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    a = np.array(["r1", "r2", "r3"])[rng.integers(0, 3, n)]
+    b = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    c = np.array(["p", "q", "s", "t"])[rng.integers(0, 4, n)]
+    v = rng.random(n) * 100
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(c),
+                    "v": pa.array(v)})
+    out = rollup_aggregate(rd.from_arrow(tbl), ["a", "b", "c"], "v")
+    out17 = rollup_aggregate(
+        rd.from_arrow(tbl).repartition(17), ["a", "b", "c"], "v"
+    )
+
+    def canon(t):
+        df = t.to_pandas()
+        return df.sort_values(list(df.columns), na_position="last").reset_index(
+            drop=True
+        )
+
+    assert canon(out).equals(canon(out17))
+    # python reference per level
+    cents = np.floor(v * 100.0).astype(np.int64)
+    got = {
+        (r.a, r.b, r.c): (r.sum_cents, r.n)
+        for r in out.to_pandas().itertuples()
+    }
+    keys = [a, b, c]
+    want = {}
+    for lvl in range(4):
+        tags = {}
+        for i in range(n):
+            kk = tuple(
+                keys[j][i] if j < lvl else None for j in range(3)
+            )
+            s, m = tags.get(kk, (0, 0))
+            tags[kk] = (s + int(cents[i]), m + 1)
+        want.update(tags)
+    want = {
+        tuple(x if x is not None else np.nan for x in k): v2
+        for k, v2 in want.items()
+    }
+    got = {
+        tuple(x if isinstance(x, str) else np.nan for x in k): v2
+        for k, v2 in got.items()
+    }
+    assert got == want
+    assert out.num_rows == 3 * 2 * 4 + 3 * 2 + 3 + 1
+
+    # NULL group value -> loud error
+    tbl_null = pa.table(
+        {"a": pa.array(["x", None]), "b": pa.array(["u", "u"]),
+         "v": pa.array([1.0, 2.0])}
+    )
+    with pytest.raises((ValueError, Exception), match="NULL"):
+        rollup_aggregate(rd.from_arrow(tbl_null), ["a", "b"], "v")
+
+    # cardinality guard
+    big = pa.table(
+        {"a": pa.array([f"k{i}" for i in range(100)]),
+         "v": pa.array(np.ones(100))}
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        rollup_aggregate(rd.from_arrow(big), ["a"], "v", max_groups=10)
