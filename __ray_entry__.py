@@ -850,6 +850,22 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_moving_sums(sf_dir: str):
+    """Frame-bounded moving window (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) of value-cents per user over events — the sliding-
+    frame sibling of running_totals, same sort + vectorized-block
+    shape. See fsst_ray/functions/analytics.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import moving_sums
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return moving_sums(ev, k=4)
+
+
 _BM25_QUERIES = {
     0: ["hash", "join", "merge"],
     1: ["window", "sort", "stream"],
@@ -1641,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_span_dedup": _q_ngram_span_dedup,
         "cm_registers": _q_cm_registers,
         "orders_rollup": _q_orders_rollup,
+        "moving_sums": _q_moving_sums,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1919,6 +1936,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "hll_registers": _hll_oracle(),
         "cm_registers": _cm_oracle(),
+        "moving_sums": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents, "
+            "CAST(LEAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), 4) AS BIGINT) AS win_n "
+            "FROM events"
+        ),
         "orders_rollup": (
             "WITH q AS (SELECT o_orderstatus, o_orderpriority, "
             "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "

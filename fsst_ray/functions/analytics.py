@@ -629,3 +629,83 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str,
             )
         )
     return pa.concat_tables(levels)
+
+
+_MOVING_EMPTY = pa.table(
+    {
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "win_cents": pa.array([], type=pa.int64()),
+        "win_n": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def moving_sums(ds, k: int = 4):
+    """Frame-bounded moving window per user: the distributed form of
+
+        SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)
+
+    plus win_n, the frame's row count (= min(row_number, k)). The
+    unbounded-preceding sibling is `running_totals`; this is the
+    sliding-frame window kind (moving averages, burst detection).
+
+    Shape: identical to running_totals — ONE `sort("user_id")` range
+    exchange, then ONE vectorized pass per block: lexsort by
+    (user, ts, event_id), block cumsum, and each row subtracts the
+    cumsum at index max(i - k, group_start - 1); no per-group Python
+    dispatch. Integer cents keep the sum associative-exact so the
+    DuckDB frame-window oracle matches bit-for-bit.
+    """
+    if k < 1:
+        raise ValueError(f"moving_sums: k must be >= 1, got {k}")
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        ts_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pa.array(ts_us),
+                "cents": pa.array(np.floor(val * 100.0).astype(np.int64)),
+            }
+        )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _MOVING_EMPTY
+        users = block["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = block["ts_us"].to_numpy(zero_copy_only=False)
+        eid = block["event_id"].to_numpy(zero_copy_only=False)
+        cents = block["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_us, users))
+        u = users[order]
+        c = cents[order]
+        n = len(u)
+        starts = np.concatenate([[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        group_start = np.repeat(starts, sizes)
+        cs = np.cumsum(c)
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - k, group_start - 1)  # cumsum index BEFORE frame
+        prev = np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u),
+                "win_cents": pa.array(cs - prev),
+                "win_n": pa.array(np.minimum(idx - group_start + 1, k)),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort("user_id")
+        .map_batches(
+            per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

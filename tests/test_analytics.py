@@ -361,3 +361,44 @@ def test_event_deltas_lag_semantics(ray_session):
     assert out.loc[9, "prev_event_id"] == 4 and out.loc[9, "gap_us"] == 0
     plan = repr(event_deltas(rd.from_arrow(t)))
     assert "MapGroups" not in plan and "Aggregate" not in plan
+
+
+def test_moving_sums_reference_and_plan(ray_session):
+    """Randomized parity vs a per-user python reference; plan free of
+    MapGroups/Aggregate; frame shorter/longer than groups; k guard."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import moving_sums
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    uid = rng.integers(0, 400, n).astype(np.int64)
+    ts_us = 1_700_000_000_000_000 + rng.integers(0, 10**9, n)
+    val = rng.random(n) * 50
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid),
+            "value": pa.array(val),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(11)
+    for k in (1, 4, 10_000):
+        out = moving_sums(ds, k=k).materialize()
+        assert "MapGroups" not in out.stats() and "Aggregate" not in out.stats()
+        df = out.to_pandas().set_index("event_id")
+        cents = np.floor(val * 100.0).astype(np.int64)
+        for u in np.unique(uid):
+            sel = np.flatnonzero(uid == u)
+            order = np.lexsort((sel, ts_us[sel]))
+            ids = sel[order]
+            c = cents[ids]
+            for i, eid in enumerate(ids):
+                lo = max(0, i - k + 1)
+                assert df.loc[eid, "win_cents"] == int(c[lo : i + 1].sum())
+                assert df.loc[eid, "win_n"] == i + 1 - lo
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        moving_sums(ds, k=0)
