@@ -866,6 +866,24 @@ def _q_moving_sums(sf_dir: str):
     return moving_sums(ev, k=4)
 
 
+_MIX_TARGET = 4000  # chars per source: ~0.5 keep rate on this testdata
+
+
+def _q_mix_corpus(sf_dir: str):
+    """Token-budget corpus mixing: per-source downsample to a flat 4000-
+    char budget via exact 128-bit hash-threshold arithmetic (rate =
+    min(1, target/total)); deterministic and oracle-recomputable. See
+    fsst_ray/functions/curate.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import mix_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return mix_corpus(docs, _MIX_TARGET)
+
+
 _BM25_QUERIES = {
     0: ["hash", "join", "merge"],
     1: ["window", "sort", "stream"],
@@ -1658,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_registers": _q_cm_registers,
         "orders_rollup": _q_orders_rollup,
         "moving_sums": _q_moving_sums,
+        "mix_corpus": _q_mix_corpus,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1936,6 +1955,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "hll_registers": _hll_oracle(),
         "cm_registers": _cm_oracle(),
+        "mix_corpus": (
+            "WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total "
+            "FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars AS weight "
+            "FROM documents d JOIN tot USING (source) "
+            f"WHERE CASE WHEN tot.total <= {_MIX_TARGET} THEN TRUE "
+            f"ELSE hash(d.doc_id) < CAST(({_MIX_TARGET}::HUGEINT * "
+            "18446744073709551616::HUGEINT) // tot.total AS UBIGINT) END"
+        ),
         "moving_sums": (
             "SELECT event_id, user_id, "
             "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER "

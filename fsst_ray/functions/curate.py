@@ -565,3 +565,86 @@ def weighted_sample(ds, weight_col: str, cap: int):
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_corpus(ds, target_weight, weight_col: str = "n_chars",
+               source_col: str = "source"):
+    """Training-data mixing: downsample every source to (approximately)
+    a target total weight — the "mix sources to a token budget" step of
+    an LLM data pipeline. Per-source keep probability
+
+        rate_s = min(1, target_s / total_s)
+
+    realized as an EXACT uint64 hash threshold: keep iff
+    `hash(doc_id) < floor(target_s * 2^64 / total_s)` (128-bit integer
+    arithmetic, no float rounding), so the sample is deterministic,
+    stable under reorder/rerun/repartition, and the DuckDB oracle
+    recomputes the identical HUGEINT comparison (the weighted_sample /
+    corpus_split hash convention).
+
+    `target_weight` is an int (flat budget per source) or a
+    {source: budget} dict — a missing source raises (a silent default
+    would quietly include an unbudgeted source at full weight).
+
+    Distributed shape: phase 1 is a map-side partial weight sum + ONE
+    source-cardinality groupby (shuffle is |sources| rows); thresholds
+    are derived driver-side with Python big-int exactness; phase 2 is a
+    pure map-side filter with the threshold dict in the task closure —
+    the corpus itself never shuffles.
+    """
+
+    def wsum(batch: pa.Table) -> pa.Table:
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any():
+            raise ValueError(f"mix_corpus: negative weight in {weight_col!r}")
+        u, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                source_col: pa.array(u, type=pa.string()),
+                "total": pa.array(np.bincount(inv, weights=w).astype(np.int64)),
+            }
+        )
+
+    totals = (
+        ds.map_batches(wsum, batch_format="pyarrow", batch_size=None)
+        .groupby(source_col)
+        .sum("total")
+        .take_all()
+    )
+    thr: dict[str, int | None] = {}
+    for r in totals:
+        src, total = r[source_col], int(r["sum(total)"])
+        if isinstance(target_weight, dict):
+            if src not in target_weight:
+                raise ValueError(f"mix_corpus: no budget for source {src!r}")
+            tgt = int(target_weight[src])
+        else:
+            tgt = int(target_weight)
+        if tgt < 0:
+            raise ValueError(f"mix_corpus: negative budget for {src!r}")
+        # None = keep all (threshold would be >= 2^64)
+        thr[src] = None if total <= tgt else (tgt << 64) // total
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = _murmur64(ids)
+        mask = np.ones(len(ids), dtype=bool)
+        for s in np.unique(src):
+            t = thr.get(s, -1)
+            if t == -1:
+                raise ValueError(f"mix_corpus: unseen source {s!r} in phase 2")
+            if t is not None:
+                sel = src == s
+                mask[sel] = hv[sel] < np.uint64(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], type=pa.int64()),
+                source_col: pa.array(src[mask], type=pa.string()),
+                "weight": pa.array(w[mask], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

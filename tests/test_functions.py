@@ -2318,3 +2318,53 @@ def test_rollup_aggregate_reference_and_guards(ray_session):
     )
     with pytest.raises(ValueError, match="max_groups"):
         rollup_aggregate(rd.from_arrow(big), ["a"], "v", max_groups=10)
+
+
+def test_mix_corpus_exact_rule_budget_and_guards(ray_session):
+    """Keep rule matches the big-int reference per row; realized weight
+    tracks the budget; keep-all when budget >= total; dict budgets;
+    missing-source / negative budget errors; partition invariant."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import _murmur64, mix_corpus
+
+    rng = np.random.default_rng(77)
+    n = 8000
+    src = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    w = rng.integers(1, 50, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids), "source": pa.array(src), "n_chars": pa.array(w)}
+    )
+    target = 30_000
+    out = mix_corpus(rd.from_arrow(tbl).repartition(9), target).to_pandas()
+    # per-row reference
+    totals = {s: int(w[src == s].sum()) for s in ("a", "b", "c")}
+    hv = _murmur64(ids)
+    want_keep = set()
+    for i in range(n):
+        t = totals[src[i]]
+        if t <= target or int(hv[i]) < (target << 64) // t:
+            want_keep.add(i)
+    assert set(out["doc_id"]) == want_keep
+    # realized weight within 10% of budget for downsampled sources
+    for s in ("a", "b", "c"):
+        kept_w = int(out.loc[out["source"] == s, "weight"].sum())
+        if totals[s] > target:
+            assert abs(kept_w - target) / target < 0.10
+        else:
+            assert kept_w == totals[s]
+    # keep-all when budget exceeds totals
+    all_out = mix_corpus(rd.from_arrow(tbl), 10**9).to_pandas()
+    assert len(all_out) == n
+    # dict budgets: per-source
+    d_out = mix_corpus(
+        rd.from_arrow(tbl), {"a": 10**9, "b": 0, "c": 20_000}
+    ).to_pandas()
+    assert (d_out["source"] != "b").all()
+    assert int((d_out["source"] == "a").sum()) == int((src == "a").sum())
+    # guards
+    with pytest.raises((ValueError, Exception), match="no budget"):
+        mix_corpus(rd.from_arrow(tbl), {"a": 1}).take_all()
+    with pytest.raises((ValueError, Exception), match="negative"):
+        mix_corpus(rd.from_arrow(tbl), -5).take_all()
