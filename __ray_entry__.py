@@ -866,6 +866,19 @@ def _q_moving_sums(sf_dir: str):
     return moving_sums(ev, k=4)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (lowercase, punctuation -> space,
+    whitespace collapse, trim) + normalized word count — vectorized RE2
+    kernels mirrored verbatim by the oracle's regexp_replace chain.
+    See fsst_ray/functions/textstats.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.textstats import normalize_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(docs)
+
+
 _MIX_TARGET = 4000  # chars per source: ~0.5 keep rate on this testdata
 
 
@@ -1677,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "moving_sums": _q_moving_sums,
         "mix_corpus": _q_mix_corpus,
+        "normalize_text": _q_normalize_text,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1955,6 +1969,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "hll_registers": _hll_oracle(),
         "cm_registers": _cm_oracle(),
+        "normalize_text": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') "
+            "AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, CASE WHEN norm_text = '' THEN 0 ELSE "
+            "CAST(len(string_split(norm_text, ' ')) AS BIGINT) END AS n_words "
+            "FROM n"
+        ),
         "mix_corpus": (
             "WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total "
             "FROM documents GROUP BY source) "

@@ -552,3 +552,32 @@ def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16, max_len: int = 1024) 
             "fp_sum": pa.array(fp_sum, pa.int64()),
         }
     )
+
+
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, norm_text, n_words): canonical text normalization —
+    lowercase, non-[a-z0-9 ] replaced by space, runs of spaces
+    collapsed, ends trimmed — the standard pre-tokenization /
+    pre-dedup canonical form. Fully vectorized RE2 kernels
+    (pc.utf8_lower / pc.replace_substring_regex / pc.utf8_trim), and
+    DuckDB's regexp_replace is RE2 too, so the oracle applies the
+    literally identical pattern chain. n_words counts the words of the
+    normalized form (0 for an all-punctuation doc)."""
+    ids = batch["doc_id"]
+    col = batch["text"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    norm = pc.utf8_lower(arr)
+    norm = pc.replace_substring_regex(norm, "[^a-z0-9 ]", " ")
+    norm = pc.replace_substring_regex(norm, " +", " ")
+    norm = pc.utf8_trim(norm, " ")
+    n_words = pc.cast(
+        pc.list_value_length(pc.split_pattern(norm, " ")), pa.int64()
+    )
+    n_words = pc.if_else(pc.equal(norm, ""), pa.scalar(0, pa.int64()), n_words)
+    return pa.table({"doc_id": ids, "norm_text": norm, "n_words": n_words})
+
+
+def normalize_text(ds):
+    """Dataset wrapper for `normalize_text_batch` — one map-side pass,
+    zero shuffle."""
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow")

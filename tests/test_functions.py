@@ -2368,3 +2368,37 @@ def test_mix_corpus_exact_rule_budget_and_guards(ray_session):
         mix_corpus(rd.from_arrow(tbl), {"a": 1}).take_all()
     with pytest.raises((ValueError, Exception), match="negative"):
         mix_corpus(rd.from_arrow(tbl), -5).take_all()
+
+
+def test_normalize_text_edge_cases(ray_session):
+    """Punctuation-only, unicode, multi-space, already-clean inputs."""
+    import ray.data as rd
+
+    from fsst_ray.functions.textstats import normalize_text
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello,   World!!",
+                    "...!!!",
+                    "",
+                    "already clean text",
+                    "Tabs\tand\nnewlines MIXED-case 42",
+                ]
+            ),
+        }
+    )
+    out = (
+        normalize_text(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "norm_text"] == "hello world"
+    assert out.loc[1, "n_words"] == 2
+    assert out.loc[2, "norm_text"] == "" and out.loc[2, "n_words"] == 0
+    assert out.loc[3, "norm_text"] == "" and out.loc[3, "n_words"] == 0
+    assert out.loc[4, "norm_text"] == "already clean text"
+    assert out.loc[5, "norm_text"] == "tabs and newlines mixed case 42"
+    assert out.loc[5, "n_words"] == 6
