@@ -879,6 +879,19 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(docs)
 
 
+def _q_quality_deciles(sf_dir: str):
+    """Global rank-bucketing of docs into quality deciles — RANK-based
+    so value-ties share a bucket (no tie-break convention to align with
+    the oracle); computed via a bounded quality histogram, zero corpus
+    shuffle. See fsst_ray/functions/curate.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import quality_deciles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_deciles(docs)
+
+
 _MIX_TARGET = 4000  # chars per source: ~0.5 keep rate on this testdata
 
 
@@ -1691,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_sums": _q_moving_sums,
         "mix_corpus": _q_mix_corpus,
         "normalize_text": _q_normalize_text,
+        "quality_deciles": _q_quality_deciles,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -1848,6 +1862,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
             f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
             " AS n_stop_en FROM documents"
+        ),
+        "quality_deciles": (
+            "WITH s AS (SELECT doc_id, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents), "
+            "q AS (SELECT doc_id, LEAST(GREATEST((100*n_distinct)//GREATEST(n_words,1)"
+            " + (100*n_stop_en)//GREATEST(n_words,1), 0), 200) AS quality FROM s) "
+            "SELECT doc_id, quality, CAST(1 + (10 * (RANK() OVER (ORDER BY quality)"
+            " - 1)) // COUNT(*) OVER () AS BIGINT) AS decile FROM q"
         ),
         "quality_score": (
             "WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "

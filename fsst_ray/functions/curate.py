@@ -648,3 +648,78 @@ def mix_corpus(ds, target_weight, weight_col: str = "n_chars",
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_deciles(ds, n_buckets: int = 10):
+    """(doc_id, quality, decile): global rank-bucketing of documents by
+    quality score — decile 1 = worst 10%, the curriculum / threshold-
+    filtering primitive. Bucket of a doc with quality q is
+
+        1 + floor(n_buckets * |{rows with quality < q}| / n)
+
+    i.e. `1 + (n_buckets * (RANK() - 1)) // n` under ORDER BY quality:
+    RANK (not ROW_NUMBER) makes value-ties share a bucket, so the
+    output is deterministic and the DuckDB window oracle matches
+    integer-exactly with no tie-break convention to align.
+
+    Distributed shape: NO global sort — quality scores live in a small
+    integer domain ([0, 200]), so pass 1 is a map-side histogram
+    partial + ONE histogram-sized groupby; the cumulative-count -> 
+    bucket lookup table is built driver-side and rides the task closure
+    into pass 2's map-side assignment. The corpus itself never
+    shuffles; at 100 TB both passes stream.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"quality_deciles: n_buckets must be >= 1, got {n_buckets}")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)["quality"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(q, return_counts=True)
+        return pa.table(
+            {
+                "quality": pa.array(u.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .groupby("quality")
+        .sum("cnt")
+        .take_all()
+    )
+    if not rows:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "quality": pa.array([], type=pa.int64()),
+                    "decile": pa.array([], type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    qvals = np.array(sorted(r["quality"] for r in rows), dtype=np.int64)
+    cnts = np.array(
+        [c for _, c in sorted((r["quality"], r["sum(cnt)"]) for r in rows)],
+        dtype=np.int64,
+    )
+    n = int(cnts.sum())
+    less = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # rows strictly below
+    bucket_of = 1 + (n_buckets * less) // n
+
+    def assign(batch: pa.Table) -> pa.Table:
+        qt = quality_batch(batch)
+        q = qt["quality"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(qvals, q)
+        if (pos >= len(qvals)).any() or (qvals[np.minimum(pos, len(qvals) - 1)] != q).any():
+            raise ValueError("quality_deciles: score absent from pass-1 histogram")
+        return pa.table(
+            {
+                "doc_id": qt["doc_id"],
+                "quality": pa.array(q),
+                "decile": pa.array(bucket_of[pos]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -2402,3 +2402,41 @@ def test_normalize_text_edge_cases(ray_session):
     assert out.loc[4, "norm_text"] == "already clean text"
     assert out.loc[5, "norm_text"] == "tabs and newlines mixed case 42"
     assert out.loc[5, "n_words"] == 6
+
+
+def test_quality_deciles_rank_rule_and_invariance(ray_session):
+    """Bucket = 1 + (10 * rows-strictly-below) // n (RANK semantics:
+    ties share a bucket); partition invariant; n_buckets guard."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import quality_deciles
+
+    # build texts with controlled quality ties: repeat words to move
+    # the distinct ratio
+    texts = []
+    for i in range(300):
+        k = (i % 30) + 1
+        words = [f"w{j}" for j in range(k)] + ["the"] * 5
+        texts.append(" ".join(words * 2))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    out = quality_deciles(rd.from_arrow(tbl).repartition(7)).to_pandas()
+    out2 = quality_deciles(rd.from_arrow(tbl)).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    q = a["quality"].to_numpy()
+    n = len(q)
+    for i in range(n):
+        below = int((q < q[i]).sum())
+        assert a.loc[i, "decile"] == 1 + (10 * below) // n
+    # ties share buckets
+    for v in np.unique(q):
+        assert a.loc[q == v, "decile"].nunique() == 1
+    assert a["decile"].min() == 1 and a["decile"].max() == 10
+    with pytest.raises(ValueError, match="n_buckets"):
+        quality_deciles(rd.from_arrow(tbl), n_buckets=0)
