@@ -879,6 +879,19 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(docs)
 
 
+def _q_pivot_unpivot(sf_dir: str):
+    """Wide -> long UNPIVOT of the event-type pivot matrix (composition
+    roundtrip: pivot_counts then unpivot) — zero-count combinations are
+    preserved as explicit rows. See fsst_ray/functions/analytics.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import pivot_counts, unpivot
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    wide = pivot_counts(ev, "user_id", "event_type", _PIVOT_CATS)
+    return unpivot(wide, "user_id", _PIVOT_CATS, "event_type", "n")
+
+
 def _q_quality_deciles(sf_dir: str):
     """Global rank-bucketing of docs into quality deciles — RANK-based
     so value-ties share a bucket (no tie-break convention to align with
@@ -1705,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpus": _q_mix_corpus,
         "normalize_text": _q_normalize_text,
         "quality_deciles": _q_quality_deciles,
+        "pivot_unpivot": _q_pivot_unpivot,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -2045,6 +2059,20 @@ def oracle_sql() -> dict[str, str]:
                 for c in _PIVOT_CATS
             )
             + " FROM events GROUP BY user_id"
+        ),
+        "pivot_unpivot": (
+            # explicit zero rows for absent (user, type) combos: the
+            # wide matrix is dense, so the long form must be too
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "c AS (SELECT UNNEST("
+            + "["
+            + ", ".join(f"'{c}'" for c in _PIVOT_CATS)
+            + "]) AS event_type), "
+            "n AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+            "GROUP BY user_id, event_type) "
+            "SELECT u.user_id, c.event_type, "
+            "CAST(COALESCE(n.n, 0) AS BIGINT) AS n "
+            "FROM u CROSS JOIN c LEFT JOIN n USING (user_id, event_type)"
         ),
         "fuzzy_name_pairs": (
             # DuckDB's native levenshtein over the length-banded

@@ -709,3 +709,43 @@ def moving_sums(ds, k: int = 4):
             per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+def unpivot(ds, id_col: str, value_cols: list[str],
+            var_name: str = "name", value_name: str = "value"):
+    """Wide -> long unpivot (the inverse of `pivot_counts`): each input
+    row (id, v1, .., vk) becomes k rows (id, name=ci, value=vi) — SQL
+    `UNPIVOT`. Pure map-side reshape, zero shuffle: per batch, one
+    int64 value matrix transpose-ravel + an np.tile'd name column; the
+    k-column Python loop is bounded by the declared schema width, never
+    by rows. Output value dtype is int64 (count matrices); NULL values
+    are rejected loudly rather than silently dropped (SQL UNPIVOT
+    excludes NULL rows — an easy silent-row-loss trap)."""
+    cols = list(dict.fromkeys(value_cols))
+    if not cols:
+        raise ValueError("unpivot: value_cols must be non-empty")
+    if id_col in cols or var_name in cols or value_name == id_col:
+        raise ValueError("unpivot: output column name collision")
+    k = len(cols)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mats = []
+        for c in cols:
+            col = batch[c]
+            if col.null_count:
+                raise ValueError(f"unpivot: NULL in value column {c!r}")
+            mats.append(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        vals = np.stack(mats, axis=1).ravel() if n else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, k)),
+                var_name: pa.array(
+                    np.tile(np.array(cols, dtype=object), n), type=pa.string()
+                ),
+                value_name: pa.array(vals),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -402,3 +402,36 @@ def test_moving_sums_reference_and_plan(ray_session):
 
     with _pytest.raises(ValueError, match="k must be"):
         moving_sums(ds, k=0)
+
+
+def test_unpivot_roundtrip_and_guards(ray_session):
+    """pivot -> unpivot reproduces the long counts (zeros explicit);
+    NULL value and name-collision guards raise."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import pivot_counts, unpivot
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    uid = rng.integers(0, 50, n).astype(np.int64)
+    cats = ["a", "b", "c"]
+    ev = np.array(cats)[rng.integers(0, 3, n)]
+    tbl = pa.table({"user_id": pa.array(uid), "event_type": pa.array(ev)})
+    wide = pivot_counts(rd.from_arrow(tbl).repartition(6), "user_id",
+                        "event_type", cats)
+    long = unpivot(wide, "user_id", cats, "event_type", "n").to_pandas()
+    assert len(long) == 50 * 3
+    got = {(r.user_id, r.event_type): r.n for r in long.itertuples()}
+    for u in range(50):
+        for c in cats:
+            assert got[(u, c)] == int(((uid == u) & (ev == c)).sum())
+
+    with pytest.raises(ValueError, match="non-empty"):
+        unpivot(wide, "user_id", [])
+    with pytest.raises(ValueError, match="collision"):
+        unpivot(wide, "user_id", cats, var_name="a")
+    bad = pa.table(
+        {"user_id": pa.array([1], pa.int64()), "a": pa.array([None], pa.int64())}
+    )
+    with pytest.raises((ValueError, Exception), match="NULL"):
+        unpivot(rd.from_arrow(bad), "user_id", ["a"]).take_all()
