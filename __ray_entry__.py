@@ -923,6 +923,23 @@ def _q_mix_corpus(sf_dir: str):
     return mix_corpus(docs, _MIX_TARGET)
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): every grouping
+    subset derived from one finest-level distributed aggregate. See
+    fsst_ray/functions/analytics.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import cube_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return cube_aggregate(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
 _BM25_QUERIES = {
     0: ["hash", "join", "merge"],
     1: ["window", "sort", "stream"],
@@ -1719,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "quality_deciles": _q_quality_deciles,
         "pivot_unpivot": _q_pivot_unpivot,
+        "orders_cube": _q_orders_cube,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -2040,6 +2058,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, o_orderpriority, "
             "CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n "
             "FROM q GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "orders_cube": (
+            "WITH q AS (SELECT o_orderstatus, o_orderpriority, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n "
+            "FROM q GROUP BY CUBE (o_orderstatus, o_orderpriority)"
         ),
         "weighted_sample": (
             "SELECT doc_id, n_chars AS weight FROM documents "

@@ -515,7 +515,8 @@ def event_deltas(ds):
 
 
 def rollup_aggregate(ds, group_cols: list[str], value_col: str,
-                     max_groups: int = 1 << 20) -> pa.Table:
+                     max_groups: int = 1 << 20,
+                     grouping_sets: list[list[str]] | None = None) -> pa.Table:
     """SQL `GROUP BY ROLLUP(c1, .., cn)`: the hierarchical aggregate —
     (sum_cents, n) at every prefix level of `group_cols`, subtotal rows
     carrying NULL in the rolled-up positions, plus the grand total.
@@ -589,12 +590,15 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str,
             f"rollup_aggregate: {finest.num_rows} group combinations exceed "
             f"max_groups={max_groups}"
         )
-    # coarser levels from the finest aggregate (driver-side, bounded)
+    # coarser grouping sets from the finest aggregate (driver-side,
+    # bounded): default ROLLUP = strict prefixes; `grouping_sets`
+    # overrides (cube_aggregate passes every proper subset)
+    if grouping_sets is None:
+        grouping_sets = [cols[:lvl] for lvl in range(len(cols) - 1, -1, -1)]
     levels = [finest]
     sums = finest["sum_cents"].to_numpy(zero_copy_only=False)
     ns = finest["n"].to_numpy(zero_copy_only=False)
-    for lvl in range(len(cols) - 1, -1, -1):
-        keep = cols[:lvl]
+    for keep in grouping_sets:
         if keep:
             arrs = [finest[c].to_numpy(zero_copy_only=False) for c in keep]
             uniqs, combo = [], np.zeros(finest.num_rows, dtype=np.int64)
@@ -618,10 +622,13 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str,
         levels.append(
             pa.table(
                 {
-                    **{c: cols_out[c] for c in keep},
                     **{
-                        c: pa.nulls(n_rows, type=pa.string())
-                        for c in cols[lvl:]
+                        c: (
+                            cols_out[c]
+                            if c in keep
+                            else pa.nulls(n_rows, type=pa.string())
+                        )
+                        for c in cols
                     },
                     "sum_cents": pa.array(ls),
                     "n": pa.array(ln),
@@ -629,6 +636,22 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str,
             )
         )
     return pa.concat_tables(levels)
+
+
+def cube_aggregate(ds, group_cols: list[str], value_col: str,
+                   max_groups: int = 1 << 20) -> pa.Table:
+    """SQL `GROUP BY CUBE(c1, .., cn)`: `rollup_aggregate` over every
+    proper subset of `group_cols` instead of only prefixes — one
+    corpus pass and one finest-level aggregate either way; the 2^n - 1
+    extra grouping sets are all derived from the bounded finest table
+    driver-side."""
+    cols = list(group_cols)
+    subsets = []
+    for m in range((1 << len(cols)) - 2, -1, -1):
+        subsets.append([c for i, c in enumerate(cols) if m & (1 << i)])
+    return rollup_aggregate(
+        ds, cols, value_col, max_groups=max_groups, grouping_sets=subsets
+    )
 
 
 _MOVING_EMPTY = pa.table(

@@ -2440,3 +2440,35 @@ def test_quality_deciles_rank_rule_and_invariance(ray_session):
     assert a["decile"].min() == 1 and a["decile"].max() == 10
     with pytest.raises(ValueError, match="n_buckets"):
         quality_deciles(rd.from_arrow(tbl), n_buckets=0)
+
+
+def test_cube_aggregate_reference(ray_session):
+    """CUBE over 2 cols = 4 grouping sets; matches a python reference
+    including the column-b-only subtotal ROLLUP lacks."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import cube_aggregate
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    a = np.array(["r1", "r2"])[rng.integers(0, 2, n)]
+    b = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    v = rng.random(n) * 10
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b), "v": pa.array(v)})
+    out = cube_aggregate(rd.from_arrow(tbl).repartition(5), ["a", "b"], "v")
+    cents = np.floor(v * 100.0).astype(np.int64)
+    got = {
+        (r.a if isinstance(r.a, str) else None,
+         r.b if isinstance(r.b, str) else None): (r.sum_cents, r.n)
+        for r in out.to_pandas().itertuples()
+    }
+    assert len(got) == 2 * 3 + 2 + 3 + 1
+    # the b-only subtotals (CUBE-specific)
+    for bb in ("x", "y", "z"):
+        sel = b == bb
+        assert got[(None, bb)] == (int(cents[sel].sum()), int(sel.sum()))
+    assert got[(None, None)] == (int(cents.sum()), n)
+    assert got[("r1", "x")] == (
+        int(cents[(a == "r1") & (b == "x")].sum()),
+        int(((a == "r1") & (b == "x")).sum()),
+    )
