@@ -923,6 +923,36 @@ def _q_mix_corpus(sf_dir: str):
     return mix_corpus(docs, _MIX_TARGET)
 
 
+def _q_customer_orders_full(sf_dir: str):
+    """FULL OUTER equi-join (negative-balance customers vs big orders):
+    non-vacuous on all three row classes at sf0.01 (7 left-only, 4157
+    right-only, 381 matched). Same one-exchange sorted-block hash_join
+    as inner/left, with null-masked takes on BOTH sides and the join
+    key read from whichever side is real. See
+    fsst_ray/functions/relational.py:hash_join."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(_pc.less(b["c_acctbal"], 0)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(_pc.greater(b["o_totalprice"], 350000)).select(
+            ["o_custkey", "o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(cust, orders, "c_custkey", "o_custkey", how="full")
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE(o_orderstatus, o_orderpriority): every grouping
     subset derived from one finest-level distributed aggregate. See
@@ -1737,6 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_deciles": _q_quality_deciles,
         "pivot_unpivot": _q_pivot_unpivot,
         "orders_cube": _q_orders_cube,
+        "customer_orders_full": _q_customer_orders_full,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -2015,6 +2046,13 @@ def oracle_sql() -> dict[str, str]:
         "customer_orders_left": (
             "SELECT c_custkey, o_orderkey FROM customer "
             "LEFT JOIN orders ON o_custkey = c_custkey"
+        ),
+        "customer_orders_full": (
+            "WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0), "
+            "o AS (SELECT o_custkey, o_orderkey FROM orders "
+            "WHERE o_totalprice > 350000) "
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey, "
+            "o.o_orderkey FROM c FULL JOIN o ON c.c_custkey = o.o_custkey"
         ),
         "order_priority_rollup": (
             "SELECT o_orderpriority, "

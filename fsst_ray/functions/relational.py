@@ -101,7 +101,7 @@ def dim_lookup_rollup(fact_ds, supplier: pa.Table, nation: pa.Table, region: pa.
 
 def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 1 << 20,
               how: str = "inner", max_group_rows: int = 1 << 26):
-    """Distributed equi-join (`how` = "inner" | "left"): one exchange of the two tagged
+    """Distributed equi-join (`how` = "inner" | "left" | "full"): one exchange of the two tagged
     projections (a range sort on the key — equal keys never straddle a
     block boundary, the same property ngram_jaccard's streaming group
     map relies on), then ONE vectorized pass per sorted block that
@@ -126,6 +126,9 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
     one 10^6 x 10^6 key would allocate 10^12-element arrays). Callers
     with a known-hot key should pre-aggregate or salt/split it.
     """
+
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"hash_join: how must be inner|left|full, got {how!r}")
 
     def _tag(side: int, key_name: str, other_schema: pa.Schema):
         def fn(batch: pa.Table) -> pa.Table:
@@ -191,14 +194,16 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
         nl = np.bincount(gid[lmask], minlength=g_count)
         nr = np.bincount(gid[~lmask], minlength=g_count)
         # left join: a group with no right rows still emits its left
-        # rows once (right columns null)
-        nr_eff = np.maximum(nr, 1) if how == "left" else nr
-        m = nl * nr_eff  # out rows per group
+        # rows once (right columns null); full join additionally emits
+        # right rows of a group with no left rows (left columns null)
+        nr_eff = np.maximum(nr, 1) if how in ("left", "full") else nr
+        nl_eff = np.maximum(nl, 1) if how == "full" else nl
+        m = nl_eff * nr_eff  # out rows per group
         if m.size and int(m.max()) > max_group_rows:
             g = int(np.argmax(m))
             raise ValueError(
                 f"hash_join: key {keys[starts[g]]!r} would emit "
-                f"{int(m[g])} rows (left {int(nl[g])} x right "
+                f"{int(m[g])} rows (left {int(nl_eff[g])} x right "
                 f"{int(nr_eff[g])}), over the max_group_rows="
                 f"{max_group_rows} skew bound; pre-aggregate, salt, or "
                 "split the hot key"
@@ -216,21 +221,32 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
         # per-out-row group id and within-group position, all vectorized
         go = np.repeat(np.arange(g_count), m)
         t = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m)
-        li = l_rows[l_starts[go] + t // nr_eff[go]]
-        matched = nr[go] > 0
-        # unmatched (left-join-only) out rows get a NULL take index ->
-        # a null right row; their placeholder value 0 is in bounds and
-        # masked out, so no real row is ever read through it
+        l_matched = nl[go] > 0
+        r_matched = nr[go] > 0
+        # unmatched out rows get a NULL take index -> a null row on that
+        # side; the placeholder value 0 is in bounds and masked out, so
+        # no real row is ever read through it
+        if len(l_rows):
+            li = l_rows[
+                np.clip(l_starts[go] + t // nr_eff[go], 0, len(l_rows) - 1)
+            ].astype(np.int64)
+        else:
+            li = np.zeros(total, dtype=np.int64)
         if len(r_rows):
-            safe = np.clip(r_starts[go] + t % nr_eff[go], 0, len(r_rows) - 1)
-            ri = np.where(matched, r_rows[safe], 0).astype(np.int64)
+            ri = r_rows[
+                np.clip(r_starts[go] + t % nr_eff[go], 0, len(r_rows) - 1)
+            ].astype(np.int64)
         else:
             ri = np.zeros(total, dtype=np.int64)
+        # the join key comes from whichever side is real (a full-join
+        # right-only group has no left row to read it from)
+        ki = np.where(l_matched, li, ri)
         for s in range(0, total, chunk_rows):
             e = min(s + chunk_rows, total)
-            lt = block.take(pa.array(li[s:e]))
-            rt = block.take(pa.array(ri[s:e], mask=~matched[s:e]))
-            cols = {left_on: lt["_join_key"]}
+            lt = block.take(pa.array(li[s:e], mask=~l_matched[s:e]))
+            rt = block.take(pa.array(ri[s:e], mask=~r_matched[s:e]))
+            kt = block["_join_key"].take(pa.array(ki[s:e]))
+            cols = {left_on: kt}
             for c in left_cols:
                 cols[c] = lt[c]
             for c in right_cols:

@@ -2472,3 +2472,63 @@ def test_cube_aggregate_reference(ray_session):
         int(cents[(a == "r1") & (b == "x")].sum()),
         int(((a == "r1") & (b == "x")).sum()),
     )
+
+
+def test_hash_join_full_outer(ray_session):
+    """Full outer: randomized parity vs python set logic across 9
+    blocks with duplicate keys on both sides; key survives right-only
+    rows; empty-side degenerations; how guard."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    rng = np.random.default_rng(55)
+    lk = rng.integers(0, 40, 300).astype(np.int64)
+    rk = rng.integers(20, 60, 250).astype(np.int64)  # partial overlap
+    lt = pa.table(
+        {"k": pa.array(lk), "lv": pa.array(np.arange(300, dtype=np.int64))}
+    )
+    rt = pa.table(
+        {"rk": pa.array(rk), "rv": pa.array(np.arange(250, dtype=np.int64) + 1000)}
+    )
+    out = hash_join(
+        rd.from_arrow(lt).repartition(9),
+        rd.from_arrow(rt).repartition(4),
+        "k",
+        "rk",
+        how="full",
+    ).to_pandas()
+    want = set()
+    for key in np.union1d(lk, rk):
+        ls = np.flatnonzero(lk == key)
+        rs = np.flatnonzero(rk == key)
+        if len(ls) and len(rs):
+            for i in ls:
+                for j in rs:
+                    want.add((int(key), int(i), int(j) + 1000))
+        elif len(ls):
+            for i in ls:
+                want.add((int(key), int(i), None))
+        else:
+            for j in rs:
+                want.add((int(key), None, int(j) + 1000))
+    got = {
+        (
+            int(r.k),
+            None if pd.isna(r.lv) else int(r.lv),
+            None if pd.isna(r.rv) else int(r.rv),
+        )
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert len(out) == len(want)
+    # key is never null, even on right-only rows
+    assert out["k"].notna().all()
+    # empty left -> pure right rows with null lv
+    eout = hash_join(
+        rd.from_arrow(lt.slice(0, 0)), rd.from_arrow(rt), "k", "rk", how="full"
+    ).to_pandas()
+    assert len(eout) == 250 and eout["lv"].isna().all()
+    with pytest.raises(ValueError, match="how must be"):
+        hash_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "rk", how="right")
