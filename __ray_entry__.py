@@ -953,6 +953,39 @@ def _q_customer_orders_full(sf_dir: str):
     return hash_join(cust, orders, "c_custkey", "o_custkey", how="full")
 
 
+def _q_lineitem_moments(sf_dir: str):
+    """Per-returnflag exact second-moment sums of (quantity,
+    discount-pct): the sufficient statistics for mean/var/cov/Pearson-r
+    kept as BIGINTs so the distributed merge is associative-exact and
+    oracle-comparable; the float correlation is pytest-verified via
+    corr_from_moments. See fsst_ray/functions/analytics.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import moment_stats
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def project(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        return _pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "x": _pa.array(_np.floor(q + 0.5).astype(_np.int64)),
+                "y": _pa.array(_np.floor(d * 100 + 0.5).astype(_np.int64)),
+            }
+        )
+
+    proj = li.map_batches(project, batch_format="pyarrow")
+    return moment_stats(proj, "x", "y", "l_returnflag", x_bound=64, y_bound=16)
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE(o_orderstatus, o_orderpriority): every grouping
     subset derived from one finest-level distributed aggregate. See
@@ -1337,6 +1370,16 @@ def _q_token_histogram(sf_dir: str):
     from fsst_ray.functions.vocab import token_histogram
 
     return token_histogram(read_tokens_dataset(scale=_scale_for(sf_dir)), k=100)
+
+
+def _q_explode_tokens(sf_dir: str):
+    """UNNEST WITH ORDINALITY of the tokens corpus: (doc_id, pos,
+    token) via buffer-level list_flatten — zero shuffle, zero per-row
+    Python. See fsst_ray/functions/vocab.py."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.vocab import explode_tokens
+
+    return explode_tokens(read_tokens_dataset(scale=_scale_for(sf_dir)))
 
 
 def _q_heavy_hitters(sf_dir: str):
@@ -1768,6 +1811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_unpivot": _q_pivot_unpivot,
         "orders_cube": _q_orders_cube,
         "customer_orders_full": _q_customer_orders_full,
+        "explode_tokens": _q_explode_tokens,
+        "lineitem_moments": _q_lineitem_moments,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -2096,6 +2141,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, o_orderpriority, "
             "CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n "
             "FROM q GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "lineitem_moments": (
+            "WITH q AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity) AS BIGINT) AS x, "
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS y FROM lineitem) "
+            "SELECT l_returnflag, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y, "
+            "CAST(SUM(x*y) AS BIGINT) AS sum_xy, "
+            "CAST(SUM(x*x) AS BIGINT) AS sum_x2, "
+            "CAST(SUM(y*y) AS BIGINT) AS sum_y2 "
+            "FROM q GROUP BY l_returnflag"
         ),
         "orders_cube": (
             "WITH q AS (SELECT o_orderstatus, o_orderpriority, "
@@ -2612,6 +2668,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT token, n FROM (SELECT token, COUNT(*) AS n FROM "
             f"(SELECT unnest(tokens)::BIGINT AS token FROM {corpus}) "
             f"GROUP BY token ORDER BY n DESC, token LIMIT 100)"
+        ),
+        "explode_tokens": (
+            "SELECT doc_id, CAST(generate_subscripts(tokens, 1) - 1 AS BIGINT)"
+            f" AS pos, unnest(tokens) AS token FROM {corpus}"
         ),
         "heavy_hitters": (
             f"SELECT token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM "

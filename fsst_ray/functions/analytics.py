@@ -772,3 +772,95 @@ def unpivot(ds, id_col: str, value_cols: list[str],
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def moment_stats(ds, x_col: str, y_col: str, group_col: str,
+                 x_bound: int, y_bound: int):
+    """Per-group exact second-moment sums for two integer columns:
+    (group, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) — the sufficient
+    statistics of mean/variance/covariance/Pearson-r, kept as BIGINTs
+    so the distributed merge is associative-exact and the DuckDB
+    oracle matches bit-for-bit (float moment sums differ in the last
+    ulp between reduction orders; the float correlation itself lives
+    in `corr_from_moments`, pytest-verified).
+
+    Shape: ONE map-side partial pass (np.unique groups + bincount
+    weights per block) -> ONE group-cardinality groupby-sum; nothing
+    corpus-sized shuffles.
+
+    Exactness guard: callers declare |x| <= x_bound and |y| <= y_bound
+    (violations raise per batch), and after the merge every group is
+    checked to satisfy n * max(bounds)^2 < 2^62 — when that holds, NO
+    intermediate sum could have wrapped int64, so the check is sound
+    even though the wrap itself would be silent. Oversized corpora
+    must rescale or shard (documented, loud ValueError)."""
+    if x_bound < 1 or y_bound < 1:
+        raise ValueError("moment_stats: bounds must be >= 1")
+    term = max(x_bound, y_bound) ** 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (np.abs(x).max() > x_bound or np.abs(y).max() > y_bound):
+            raise ValueError(
+                f"moment_stats: |{x_col}| or |{y_col}| exceeds the declared "
+                f"bounds ({x_bound}, {y_bound})"
+            )
+        u, inv = np.unique(g, return_inverse=True)
+        def bc(w):
+            return pa.array(np.bincount(inv, weights=w).astype(np.int64))
+        return pa.table(
+            {
+                group_col: pa.array(u, type=pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_x": bc(x),
+                "sum_y": bc(y),
+                "sum_xy": bc(x * y),
+                "sum_x2": bc(x * x),
+                "sum_y2": bc(y * y),
+            }
+        )
+
+    stat_cols = ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .sum(stat_cols)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns != 1 + len(stat_cols):  # Ray's empty pass-through block
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    **{c: pa.array([], type=pa.int64()) for c in stat_cols},
+                }
+            )
+        t = t.rename_columns([group_col] + stat_cols)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if len(n) and int(n.max()) * term >= (1 << 62):
+            raise ValueError(
+                "moment_stats: n * bound^2 >= 2^62 — int64 exactness can no "
+                "longer be guaranteed; rescale the inputs or shard the corpus"
+            )
+        return t
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def corr_from_moments(stats: pa.Table) -> dict[str, float]:
+    """Pearson r per group from a moment_stats table — the float step,
+    pytest-verified against np.corrcoef rather than oracle-compared."""
+    out = {}
+    for r in stats.to_pylist():
+        n, sx, sy, sxy, sx2, sy2 = (
+            r["n"], r["sum_x"], r["sum_y"], r["sum_xy"], r["sum_x2"], r["sum_y2"]
+        )
+        cov = n * sxy - sx * sy
+        vx = n * sx2 - sx * sx
+        vy = n * sy2 - sy * sy
+        key = [v for k, v in r.items() if k not in
+               ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")][0]
+        out[key] = float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
+    return out

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.serialize import tokens_views
 
@@ -135,3 +136,34 @@ def token_histogram(ds, k: int = 100, merge_partitions: int = 32) -> pa.Table:
     tokens = np.array([r["token"] for r in cand], dtype=np.int64)
     counts = np.array([r["n"] for r in cand], dtype=np.int64)
     return _topk_by_count(tokens, counts, k)
+
+
+def explode_tokens(ds):
+    """(doc_id, pos, token): list-explode of the tokens corpus — SQL
+    UNNEST WITH ORDINALITY. Pure map-side reshape, zero shuffle, and
+    zero per-row Python: the token column is `pc.list_flatten` (a
+    buffer-level flatten), doc_ids are one `take` over a repeat-index
+    vector, positions are a global arange minus repeated row starts.
+    Output preserves the list element type (int32) so the oracle's
+    unnest dtype matches without casts."""
+
+    def flat(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lens)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n else np.zeros(0, np.int64)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        ids = batch["doc_id"]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(idx)),
+                "pos": pa.array(pos),
+                "token": pc.list_flatten(arr),
+            }
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow")

@@ -435,3 +435,47 @@ def test_unpivot_roundtrip_and_guards(ray_session):
     )
     with pytest.raises((ValueError, Exception), match="NULL"):
         unpivot(rd.from_arrow(bad), "user_id", ["a"]).take_all()
+
+
+def test_moment_stats_reference_and_corr(ray_session):
+    """Partition-invariant exact sums; corr_from_moments matches
+    np.corrcoef; bound violations and exactness overflow raise."""
+    import ray as _ray
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import corr_from_moments, moment_stats
+
+    rng = np.random.default_rng(99)
+    n = 9000
+    g = np.array(["p", "q"])[rng.integers(0, 2, n)]
+    x = rng.integers(-30, 31, n).astype(np.int64)
+    y = (x // 2 + rng.integers(-5, 6, n)).astype(np.int64)  # correlated
+    tbl = pa.table({"g": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+
+    def collect(ds):
+        ts = [_ray.get(r) for r in ds.to_arrow_refs()]
+        return pa.concat_tables([t for t in ts if t.num_columns])
+
+    out = collect(
+        moment_stats(rd.from_arrow(tbl).repartition(13), "x", "y", "g",
+                     x_bound=31, y_bound=21)
+    )
+    rows = {r["g"]: r for r in out.to_pylist()}
+    for grp in ("p", "q"):
+        sel = g == grp
+        assert rows[grp]["n"] == int(sel.sum())
+        assert rows[grp]["sum_x"] == int(x[sel].sum())
+        assert rows[grp]["sum_xy"] == int((x[sel] * y[sel]).sum())
+        assert rows[grp]["sum_y2"] == int((y[sel] ** 2).sum())
+    corr = corr_from_moments(out)
+    for grp in ("p", "q"):
+        sel = g == grp
+        assert abs(corr[grp] - np.corrcoef(x[sel], y[sel])[0, 1]) < 1e-12
+    # bound violation raises
+    with pytest.raises((ValueError, Exception), match="bounds"):
+        collect(moment_stats(rd.from_arrow(tbl), "x", "y", "g",
+                             x_bound=5, y_bound=21))
+    # exactness overflow: tiny corpus, absurd declared bound
+    with pytest.raises((ValueError, Exception), match="2\\^62"):
+        collect(moment_stats(rd.from_arrow(tbl), "x", "y", "g",
+                             x_bound=2**31, y_bound=2**31))
