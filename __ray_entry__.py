@@ -986,6 +986,32 @@ def _q_lineitem_moments(sf_dir: str):
     return moment_stats(proj, "x", "y", "l_returnflag", x_bound=64, y_bound=16)
 
 
+def _q_tumbling_distinct(sf_dir: str):
+    """COUNT(DISTINCT user_id) per 1-hour tumbling window — two-level
+    distinct aggregate, both exchanges pair-sized. See
+    fsst_ray/functions/windows.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import tumbling_distinct_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return tumbling_distinct_users(ev, hours=1)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram (width 5) of event values per event type —
+    map-side packed-code partials + one histogram-sized groupby-sum.
+    See fsst_ray/functions/windows.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import value_histogram
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return value_histogram(ev, bin_width=5)
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE(o_orderstatus, o_orderpriority): every grouping
     subset derived from one finest-level distributed aggregate. See
@@ -1813,6 +1839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_full": _q_customer_orders_full,
         "explode_tokens": _q_explode_tokens,
         "lineitem_moments": _q_lineitem_moments,
+        "tumbling_distinct": _q_tumbling_distinct,
+        "value_histogram": _q_value_histogram,
         # -- block 2: round-5-changed paths + family representatives --
         "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
@@ -2141,6 +2169,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, o_orderpriority, "
             "CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n "
             "FROM q GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "tumbling_distinct": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY window_start"
+        ),
+        "value_histogram": (
+            "SELECT event_type, CAST(FLOOR(value / 5) AS BIGINT) AS bin, "
+            "COUNT(*) AS n FROM events GROUP BY event_type, bin"
         ),
         "lineitem_moments": (
             "WITH q AS (SELECT l_returnflag, "

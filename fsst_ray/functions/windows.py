@@ -175,3 +175,113 @@ def session_windows(ds, gap_minutes: int = 30):
             per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+def tumbling_distinct_users(ds, hours: int = 1):
+    """(window_start epoch s, n_users): COUNT(DISTINCT user_id) per
+    tumbling window — the distinct-aggregate window kind
+    (tumbling_counts is the plain-count sibling).
+
+    Two-level shape, both exchanges pair-sized: a map-side per-batch
+    np.unique collapses each block to its distinct (window, user)
+    pairs, ONE groupby dedups them corpus-wide, then a map-side partial
+    count per window + ONE window-cardinality groupby-sum. The corpus
+    itself never shuffles; at 10^8 users the exchange is bounded by
+    true distinct pairs, not event rows."""
+    width = hours * 3600 * 1_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        epoch = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        win = (epoch // width) * (width // 1_000_000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch distinct (window, user)
+        m = np.unique(np.stack([win, uid], axis=1), axis=0)
+        return pa.table(
+            {
+                "window_start": pa.array(m[:, 0]),
+                "user_id": pa.array(m[:, 1]),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", "user_id"])
+        .count()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = batch["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(win, return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array(u),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("window_start")
+        .sum("n_users")
+    )
+    return agg.map_batches(
+        lambda t: (
+            t.rename_columns(["window_start", "n_users"])
+            if t.num_columns == 2
+            else pa.table(
+                {
+                    "window_start": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def value_histogram(ds, bin_width: int = 5):
+    """(event_type, bin, n): equi-width histogram of `value` per event
+    type — bin = floor(value / bin_width), so negative values floor
+    toward -inf exactly like SQL's FLOOR. ONE map-side bincount-style
+    partial per block (np.unique over packed (type, bin)) + ONE
+    histogram-sized groupby-sum; zero corpus shuffle."""
+    if bin_width < 1:
+        raise ValueError(f"value_histogram: bin_width must be >= 1, got {bin_width}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        ut, code = np.unique(et, return_inverse=True)
+        ub, bcode = np.unique(b, return_inverse=True)
+        combo = code.astype(np.int64) * len(ub) + bcode
+        uc, cnt = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(ut[uc // len(ub)], type=pa.string()),
+                "bin": pa.array(ub[uc % len(ub)]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "bin"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda t: (
+            t.rename_columns(["event_type", "bin", "n"])
+            if t.num_columns == 3
+            else pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    )

@@ -2532,3 +2532,51 @@ def test_hash_join_full_outer(ray_session):
     assert len(eout) == 250 and eout["lv"].isna().all()
     with pytest.raises(ValueError, match="how must be"):
         hash_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "rk", how="right")
+
+
+def test_tumbling_distinct_and_value_histogram_reference(ray_session):
+    """Cross-block duplicate (window, user) pairs dedup exactly;
+    histogram bins floor toward -inf; both partition-invariant."""
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import (
+        tumbling_distinct_users,
+        value_histogram,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 8000
+    t0 = 1_700_000_000_000_000
+    ts_us = t0 + rng.integers(0, 6 * 3600 * 10**6, n)
+    uid = rng.integers(0, 200, n).astype(np.int64)
+    val = rng.random(n) * 40 - 10  # negatives included
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(
+                np.array(["a", "b"])[rng.integers(0, 2, n)]
+            ),
+            "value": pa.array(val),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(9)
+    out = tumbling_distinct_users(ds).to_pandas()
+    win = (ts_us // (3600 * 10**6)) * 3600
+    for r in out.itertuples():
+        assert r.n_users == len(np.unique(uid[win == r.window_start]))
+    assert set(out["window_start"]) == set(np.unique(win))
+    out1 = tumbling_distinct_users(rd.from_arrow(tbl)).to_pandas()
+    assert out.sort_values("window_start").reset_index(drop=True).equals(
+        out1.sort_values("window_start").reset_index(drop=True)
+    )
+
+    et = tbl["event_type"].to_numpy(zero_copy_only=False)
+    h = value_histogram(ds, bin_width=5).to_pandas()
+    bins = np.floor(val / 5).astype(np.int64)
+    assert bins.min() < 0  # the negative-floor branch is exercised
+    for r in h.itertuples():
+        assert r.n == int(((et == r.event_type) & (bins == r.bin)).sum())
+    assert int(h["n"].sum()) == n
+    with pytest.raises(ValueError, match="bin_width"):
+        value_histogram(ds, bin_width=0)
