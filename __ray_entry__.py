@@ -1828,6 +1828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "event_deltas": _q_event_deltas,
         "ngram_span_dedup": _q_ngram_span_dedup,
+        # running_totals: r4's ONLY red row (oracle dtype artifact,
+        # fixed) — keep it safely inside the driver's ~50-query window
+        "running_totals": _q_running_totals,
         "cm_registers": _q_cm_registers,
         "orders_rollup": _q_orders_rollup,
         "moving_sums": _q_moving_sums,
@@ -1842,7 +1845,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_distinct": _q_tumbling_distinct,
         "value_histogram": _q_value_histogram,
         # -- block 2: round-5-changed paths + family representatives --
-        "running_totals": _q_running_totals,
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
         "minhash_cc_clusters": _q_minhash_cc_clusters,
