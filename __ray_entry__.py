@@ -1408,6 +1408,16 @@ def _q_explode_tokens(sf_dir: str):
     return explode_tokens(read_tokens_dataset(scale=_scale_for(sf_dir)))
 
 
+def _q_bigram_histogram(sf_dir: str):
+    """Top-100 within-document token bigrams (n-gram LM statistics):
+    packed-int64 pair partials + the token_histogram hash-bucketed
+    merge. See fsst_ray/functions/vocab.py."""
+    from fsst_ray import read_tokens_dataset
+    from fsst_ray.functions.vocab import bigram_histogram
+
+    return bigram_histogram(read_tokens_dataset(scale=_scale_for(sf_dir)), k=100)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact top-20 token ids via the Misra-Gries mergeable sketch +
     candidate-only recount (sketch.py) — the sketch-sized-exchange
@@ -1844,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_moments": _q_lineitem_moments,
         "tumbling_distinct": _q_tumbling_distinct,
         "value_histogram": _q_value_histogram,
+        "bigram_histogram": _q_bigram_histogram,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -2711,6 +2722,15 @@ def oracle_sql() -> dict[str, str]:
         "explode_tokens": (
             "SELECT doc_id, CAST(generate_subscripts(tokens, 1) - 1 AS BIGINT)"
             f" AS pos, unnest(tokens) AS token FROM {corpus}"
+        ),
+        "bigram_histogram": (
+            "WITH e AS (SELECT doc_id, "
+            "CAST(generate_subscripts(tokens, 1) - 1 AS BIGINT) AS pos, "
+            f"unnest(tokens)::BIGINT AS tok FROM {corpus}) "
+            "SELECT token, next_token, n FROM ("
+            "SELECT a.tok AS token, b.tok AS next_token, COUNT(*) AS n "
+            "FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1, 2 ORDER BY n DESC, token, next_token LIMIT 100)"
         ),
         "heavy_hitters": (
             f"SELECT token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM "

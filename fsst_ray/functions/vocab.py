@@ -167,3 +167,90 @@ def explode_tokens(ds):
         )
 
     return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _topk_bigrams(packed: np.ndarray, counts: np.ndarray, k: int) -> pa.Table:
+    tok = (packed >> 32).astype(np.int64)
+    nxt = (packed & 0xFFFFFFFF).astype(np.int64)
+    order = np.lexsort((nxt, tok, -counts))[:k]
+    return pa.table(
+        {
+            "token": pa.array(tok[order], type=pa.int64()),
+            "next_token": pa.array(nxt[order], type=pa.int64()),
+            "n": pa.array(counts[order].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def bigram_histogram(ds, k: int = 100, merge_partitions: int = 32) -> pa.Table:
+    """Top-k within-document token BIGRAMS: (token, next_token, n),
+    ties broken by (token, next_token) ascending — the n-gram LM
+    statistics step of a training-data pipeline (unigram sibling:
+    `token_histogram`).
+
+    Shape (the token_histogram lesson verbatim): adjacent pairs are
+    packed into ONE int64 (token << 32 | next — tokens are int32, so
+    the pack is lossless; negative tokens raise loudly since the pack
+    assumes non-negative ids), per-batch partial histograms via
+    np.unique (pair-vocabulary-sized rows, doc boundaries masked out
+    vectorized), a hash-bucketed merge with a CONSTANT group count, and
+    a driver merge of <= k x merge_partitions candidates. A bigram's
+    global count lives wholly in one bucket, so the top-k is exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = tokens_views(batch)
+        empty = pa.table(
+            {
+                "bigram": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(values) == 0:
+            return empty
+        if values.min() < 0:
+            raise ValueError("bigram_histogram: negative token id breaks the pack")
+        # adjacent pairs, excluding each row's last position
+        keep = np.ones(len(values) - 1, dtype=bool) if len(values) > 1 else np.zeros(0, bool)
+        ends = offsets[1:-1] - 1  # last position of every row but the final one
+        keep[ends[(ends >= 0) & (ends < len(keep))]] = False
+        # rows of length 0 make duplicate offsets; the mask above only
+        # clears valid in-range positions, and a final row's last token
+        # has no successor inside `values[:-1]` by construction
+        if not keep.any():
+            return empty
+        a = values[:-1][keep].astype(np.int64)
+        b = values[1:][keep].astype(np.int64)
+        packed = (a << 32) | b
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bg = t["bigram"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((bg % merge_partitions).astype(np.int64))
+        )
+
+    def combine_topk(group: pa.Table) -> pa.Table:
+        bg = group["bigram"].to_numpy(zero_copy_only=False)
+        cnt = group["n"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(bg, return_inverse=True)
+        sums = np.bincount(inv, weights=cnt).astype(np.int64)
+        return _topk_bigrams(u, sums, k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    packed = np.array(
+        [(r["token"] << 32) | r["next_token"] for r in cand], dtype=np.int64
+    )
+    counts = np.array([r["n"] for r in cand], dtype=np.int64)
+    return _topk_bigrams(packed, counts, k)

@@ -2580,3 +2580,52 @@ def test_tumbling_distinct_and_value_histogram_reference(ray_session):
     assert int(h["n"].sum()) == n
     with pytest.raises(ValueError, match="bin_width"):
         value_histogram(ds, bin_width=0)
+
+
+def test_bigram_histogram_boundaries_and_reference(ray_session):
+    """Pairs never straddle doc boundaries (incl. empty and 1-token
+    docs); counts match a python reference; partition invariant."""
+    import ray.data as rd
+
+    from fsst_ray.functions.vocab import bigram_histogram
+
+    rng = np.random.default_rng(29)
+    docs, want = [], {}
+    for i in range(400):
+        L = int(rng.integers(0, 6))  # includes 0- and 1-token docs
+        toks = rng.integers(0, 7, L).astype(np.int32).tolist()
+        docs.append(toks)
+        for a, b in zip(toks, toks[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(400)]),
+            "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(d) for d in docs], type=pa.int32()),
+            "source": pa.array(["s"] * 400),
+        }
+    )
+    out = bigram_histogram(rd.from_arrow(tbl).repartition(7), k=1000)
+    got = {
+        (r["token"], r["next_token"]): r["n"] for r in out.to_pylist()
+    }
+    assert got == want
+    out1 = bigram_histogram(rd.from_arrow(tbl), k=1000)
+    assert out.equals(out1)
+    # k truncation keeps the count-desc, pair-asc total order
+    top3 = bigram_histogram(rd.from_arrow(tbl), k=3).to_pylist()
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["token"], r["next_token"], r["n"]) for r in top3] == [
+        (a, b, n) for (a, b), n in ordered
+    ]
+    # negative token guard
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["x"]),
+            "tokens": pa.array([[-1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2], type=pa.int32()),
+            "source": pa.array(["s"]),
+        }
+    )
+    with pytest.raises((ValueError, Exception), match="negative token"):
+        bigram_histogram(rd.from_arrow(bad), k=5)
