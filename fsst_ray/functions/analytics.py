@@ -582,9 +582,26 @@ def rollup_aggregate(ds, group_cols: list[str], value_col: str,
     )
     import ray as _ray
 
-    finest = pa.concat_tables(
-        [_ray.get(r) for r in finest_ds.to_arrow_refs()]
-    ).rename_columns(cols + ["sum_cents", "n"])
+    # drop Ray's empty zero-column aggregate blocks (emitted when the
+    # aggregate has more output partitions than groups — seen at
+    # num_cpus=8 on a 9-group input; concat would fail on the schema)
+    tabs = [
+        t
+        for t in (_ray.get(r) for r in finest_ds.to_arrow_refs())
+        if t.num_columns
+    ]
+    if not tabs:
+        finest = pa.table(
+            {
+                **{c: pa.array([], type=pa.string()) for c in cols},
+                "sum_cents": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    else:
+        finest = pa.concat_tables(tabs).rename_columns(
+            cols + ["sum_cents", "n"]
+        )
     if finest.num_rows > max_groups:
         raise ValueError(
             f"rollup_aggregate: {finest.num_rows} group combinations exceed "

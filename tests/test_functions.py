@@ -2629,3 +2629,26 @@ def test_bigram_histogram_boundaries_and_reference(ray_session):
     )
     with pytest.raises((ValueError, Exception), match="negative token"):
         bigram_histogram(rd.from_arrow(bad), k=5)
+
+
+def test_rollup_aggregate_single_group_many_partitions(ray_session):
+    """More aggregate output partitions than groups makes Ray emit
+    empty zero-column blocks; the finest-table concat must skip them
+    (regression: ArrowInvalid 'Schema at index 1 was different' at
+    num_cpus=8 on the 9-group orders input)."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import rollup_aggregate
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["only"] * 50),
+            "v": pa.array(np.ones(50)),
+        }
+    )
+    out = rollup_aggregate(rd.from_arrow(tbl).repartition(16), ["a"], "v")
+    got = {
+        (r.a if isinstance(r.a, str) else None): (r.sum_cents, r.n)
+        for r in out.to_pandas().itertuples()
+    }
+    assert got == {"only": (5000, 50), None: (5000, 50)}
