@@ -14,6 +14,10 @@
     python -m fsst_ray purge   --encoded ENCODED_DIR   # materialize deletes
     python -m fsst_ray verify  --input DIR --encoded ENCODED_DIR
     python -m fsst_ray stats   --encoded ENCODED_DIR [--by-source]
+    python -m fsst_ray build-corpus --input DOCS_PARQUET --output DIR
+                               [--min-quality Q] [--mix-budget N] [--resume]
+                               # curate -> near-dedup -> decontaminate ->
+                               # mix -> source-partitioned parquet
 
 Owns its Ray session (scripts only — library code never calls ray.init).
 """
@@ -47,7 +51,7 @@ def main(argv=None):
     parser.add_argument(
         "command",
         choices=["encode", "decode", "select", "verify", "stats", "compact",
-                 "delete", "purge"],
+                 "delete", "purge", "build-corpus"],
     )
     parser.add_argument(
         "--doc-ids", help="comma-separated doc ids (select): pruned point lookup"
@@ -90,6 +94,18 @@ def main(argv=None):
         "--by-source",
         action="store_true",
         help="stats: per-source rollup incl. generation fragmentation",
+    )
+    parser.add_argument(
+        "--min-quality",
+        type=int,
+        default=60,
+        help="build-corpus: curate quality threshold",
+    )
+    parser.add_argument(
+        "--mix-budget",
+        type=int,
+        default=None,
+        help="build-corpus: per-source char budget (token-budget mixing)",
     )
     parser.add_argument("--num-cpus", type=int, default=None)
     args = parser.parse_args(argv)
@@ -200,6 +216,20 @@ def main(argv=None):
             from fsst_ray.state.tombstones import purge_deletes
 
             print(json.dumps(purge_deletes(args.encoded or args.input)))
+        elif args.command == "build-corpus":
+            from fsst_ray.pipelines.train_corpus import build_training_corpus
+
+            print(
+                json.dumps(
+                    build_training_corpus(
+                        args.input,
+                        args.output,
+                        min_quality=args.min_quality,
+                        mix_budget=args.mix_budget,
+                        resume=args.resume,
+                    )
+                )
+            )
         elif args.command == "compact":
             from fsst_ray import compact_corpus
 
