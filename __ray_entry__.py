@@ -466,6 +466,55 @@ def _q_connected_components(sf_dir: str):
     return connected_components(chain_edges(docs))
 
 
+_PR_ITERS = 4
+_PR_SCALE = 10**9
+
+
+def _q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (4 iterations, scale 10^9, damping
+    85/100) over the deterministic chain+skip graph — every iteration is
+    floor-exact, so the oracle recomputes the identical ranks with k
+    nested CTE layers. See fsst_ray/functions/graph.py:pagerank."""
+    from fsst_ray.functions.graph import chain_edges, pagerank
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    return pagerank(
+        chain_edges(docs), src="doc_a", dst="doc_b",
+        iterations=_PR_ITERS, scale=_PR_SCALE,
+    )
+
+
+def _pagerank_oracle() -> str:
+    """k-layer CTE mirror of the fixed-point power iteration (the
+    engine's floor arithmetic op-for-op; DuckDB `//` = integer div on
+    BIGINTs, positive everywhere here)."""
+    scale = _PR_SCALE
+    base = scale * 15 // 100
+    layers = [
+        "WITH e AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM documents "
+        "WHERE doc_id % 8 < 5 "
+        "UNION ALL SELECT doc_id, doc_id + 16 FROM documents "
+        "WHERE doc_id % 64 = 0), "
+        "nodes AS (SELECT node, CAST(SUM(deg) AS BIGINT) AS outdeg FROM "
+        "(SELECT src AS node, 1 AS deg FROM e "
+        "UNION ALL SELECT dst AS node, 0 AS deg FROM e) t GROUP BY node), "
+        f"r0 AS (SELECT node, outdeg, CAST({scale} AS BIGINT) AS rank FROM nodes)"
+    ]
+    for i in range(_PR_ITERS):
+        layers.append(
+            f"r{i + 1} AS (SELECT n.node, n.outdeg, "
+            f"CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank "
+            "FROM nodes n LEFT JOIN "
+            "(SELECT e.dst AS node, SUM((r.rank * 85) // (100 * r.outdeg)) AS s "
+            f"FROM e JOIN r{i} r ON e.src = r.node GROUP BY e.dst) c "
+            "ON c.node = n.node)"
+        )
+    return (
+        ", ".join(layers)
+        + f" SELECT node, rank AS rank_fp FROM r{_PR_ITERS}"
+    )
+
+
 def _q_simhash_recall(sf_dir: str):
     """Recall of the approximate SimHash pair set (hamming <= 6)
     against its exact sibling (hamming 0 + word-set digest), computed
@@ -1855,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_distinct": _q_tumbling_distinct,
         "value_histogram": _q_value_histogram,
         "bigram_histogram": _q_bigram_histogram,
+        "pagerank": _q_pagerank,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -2582,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id "
             "FROM r GROUP BY node"
         ),
+        "pagerank": _pagerank_oracle(),
         "simhash_exact_pairs": (
             "WITH s AS (SELECT doc_id, "
             "list_sort(list_distinct(string_split(text, ' '))) AS ws "

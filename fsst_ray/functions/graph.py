@@ -254,6 +254,226 @@ def minhash_dedup_cc(ds, jaccard_threshold: float = 0.7, max_rounds: int = 64):
     )
 
 
+def pagerank(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+):
+    """Distributed PageRank over a directed edge-list Dataset, in EXACT
+    fixed-point integer arithmetic so every iteration is bit-reproducible
+    and SQL-recomputable (the kmeans_codes convention: floor division at
+    each step, no floats anywhere).
+
+    Semantics (the classic power iteration, no dangling-mass
+    redistribution — dangling nodes simply leak their damped mass, the
+    common "PageRank without teleport renormalization" variant):
+
+        r_0(v)     = scale
+        r_{t+1}(v) = floor(scale * (den-num) / den)
+                     + sum over in-edges (u,v) of
+                       floor(r_t(u) * num / (den * outdeg(u)))
+
+    Parallel edges each contribute (multigraph semantics); self-loops
+    feed a node's own next rank. Returns (node, rank_fp) int64 rows,
+    rank_fp = r_iterations scaled by `scale`.
+
+    Shape (per iteration — everything edge-/node-sized, the corpus
+    never appears):
+    - distribute: edges tagged (key=src) union rank rows (key=node),
+      ONE range sort on the key (equal keys never straddle a block
+      boundary), then one vectorized pass per block — each group's
+      single rank row (side 0 sorts first) prices all its out-edges at
+      once, emitting (node=dst, contrib) per edge plus a zero-contrib
+      carrier row per node that keeps outdeg flowing. Zero per-node
+      Python dispatch (the min_per_key / funnel_stages shape).
+    - collect: ONE node-sized hash aggregate summing (contrib, outdeg).
+    Partitioning assumption (documented): one node's out-edges fit one
+    worker's block — bounded by max out-degree, not graph size (the
+    same bound connected_components carries for in-groups).
+
+    Overflow bound: sum of all ranks never exceeds n_nodes * scale
+    (mass is conserved-or-leaked), so any single rank fits int64 iff
+    n_nodes * scale < 2**62 — checked with a loud ValueError.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    if scale % damping_den != 0:
+        raise ValueError(
+            f"pagerank: scale must be divisible by damping_den={damping_den} "
+            "so the teleport base is exact"
+        )
+    base = scale * (damping_den - damping_num) // damping_den
+
+    def degree_partials(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        both = np.concatenate([s, d])
+        uniq, inv = np.unique(both, return_inverse=True)
+        deg = np.bincount(inv[: len(s)], minlength=len(uniq))
+        return pa.table(
+            {
+                "node": pa.array(uniq),
+                "outdeg": pa.array(deg.astype(np.int64)),
+            }
+        )
+
+    nodes = (
+        edges_ds.map_batches(degree_partials, batch_format="pyarrow")
+        .groupby("node")
+        .sum("outdeg")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "outdeg"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes * scale >= 1 << 62:
+        raise ValueError(
+            f"pagerank: n_nodes ({n_nodes}) * scale ({scale}) risks int64 "
+            "overflow; lower scale"
+        )
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank_fp": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(batch.num_rows, scale, dtype=np.int64))
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "_key": batch[src].cast(pa.int64()),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "dst": batch[dst].cast(pa.int64()),
+                "outdeg": pa.nulls(n, pa.int64()),
+                "rank": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "_key": batch["node"].cast(pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "dst": pa.nulls(n, pa.int64()),
+                "outdeg": batch["outdeg"].cast(pa.int64()),
+                "rank": batch["rank"].cast(pa.int64()),
+            }
+        )
+
+    def price_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        keys = block["_key"].to_numpy(zero_copy_only=False)
+        side = block["_side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, keys))
+        k, s = keys[order], side[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        if not (s[starts] == 0).all():
+            raise ValueError(
+                "pagerank: edge group without a rank row — an edge source "
+                "is missing from the node table (exchange invariant broken)"
+            )
+        gid = np.zeros(n, dtype=np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        rank_all = block["rank"].to_numpy(zero_copy_only=False)
+        deg_all = block["outdeg"].to_numpy(zero_copy_only=False)
+        # one rank row per group, first in group order
+        g_rank = rank_all[order[starts]].astype(np.int64)
+        g_deg = deg_all[order[starts]].astype(np.int64)
+        emask = s == 1  # edge rows, in sorted coordinates
+        if emask.any():
+            eg = gid[emask]
+            # outdeg > 0 for any group that has edge rows by construction
+            contrib = (g_rank[eg] * damping_num) // (damping_den * g_deg[eg])
+            e_dst = (
+                block["dst"].to_numpy(zero_copy_only=False)[order[emask]]
+            ).astype(np.int64)
+        else:
+            contrib = np.empty(0, np.int64)
+            e_dst = np.empty(0, np.int64)
+        # carrier row per node: keeps (node, outdeg) in the aggregate so
+        # the next iteration's rank table is complete without a second
+        # exchange against the node table
+        node_ids = k[starts].astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([e_dst, node_ids])),
+                "contrib": pa.array(
+                    np.concatenate([contrib, np.zeros(len(node_ids), np.int64)])
+                ),
+                "outdeg": pa.array(
+                    np.concatenate([np.zeros(len(e_dst), np.int64), g_deg])
+                ),
+            }
+        )
+
+    tagged_edges = edges_ds.map_batches(tag_edges, batch_format="pyarrow")
+    for _ in range(iterations):
+        tagged = tagged_edges.union(
+            ranks.map_batches(tag_ranks, batch_format="pyarrow")
+        )
+        summed = (
+            tagged.sort("_key")
+            .map_batches(
+                price_block,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("node")
+            .sum(["contrib", "outdeg"])
+            .map_batches(
+                lambda t: t.rename_columns(["node", "contrib", "outdeg"]),
+                batch_format="pyarrow",
+            )
+        )
+
+        def refresh(batch: pa.Table) -> pa.Table:
+            c = batch["contrib"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": batch["node"].cast(pa.int64()),
+                    "outdeg": batch["outdeg"].cast(pa.int64()),
+                    "rank": pa.array(base + c),
+                }
+            )
+
+        ranks = summed.map_batches(refresh, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "rank_fp": t["rank"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def chain_edges(ds, run_mod: int = 8, run_keep: int = 5, skip_mod: int = 64,
                 skip_len: int = 16):
     """Deterministic multi-hop test graph over a doc_id column:

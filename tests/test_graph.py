@@ -266,3 +266,102 @@ def test_assign_components_exchange_path_matches_broadcast(ray_session):
     assert a.equals(b)
     got = dict(zip(a["doc_id"], a["cluster_id"]))
     assert got == {i: i for i in range(20)} | {5: 1, 9: 1, 13: 12}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+
+
+def _ref_pagerank(edges, iterations, scale=10**9, num=85, den=100):
+    """Pure-python fixed-point reference: identical floor arithmetic."""
+    outdeg: dict[int, int] = {}
+    nodes: set[int] = set()
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    base = scale * (den - num) // den
+    r = {v: scale for v in nodes}
+    for _ in range(iterations):
+        nr = {v: base for v in nodes}
+        for s, d in edges:
+            nr[d] += (r[s] * num) // (den * outdeg[s])
+        r = nr
+    return r
+
+
+def _edges_ds(edges, nparts=1):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+@pytest.mark.parametrize(
+    "edges,iters",
+    [
+        ([(0, 1)], 1),  # one edge, one dangling sink
+        ([(0, 1), (1, 0)], 5),  # 2-cycle
+        ([(0, 0), (0, 1), (0, 1)], 3),  # self-loop + parallel edges
+        ([(i, i + 1) for i in range(30)], 6),  # chain
+        ([(i, 0) for i in range(1, 50)], 4),  # hub sink (hot in-group)
+        ([(0, i) for i in range(1, 50)], 4),  # hub source (hot out-group)
+    ],
+    ids=["edge", "cycle2", "multi", "chain", "hubsink", "hubsrc"],
+)
+def test_pagerank_matches_reference(edges, iters, ray_session):
+    from fsst_ray.functions.graph import pagerank
+
+    out = pagerank(_edges_ds(edges), iterations=iters).to_pandas()
+    assert out["node"].is_unique
+    got = dict(zip(out["node"], out["rank_fp"]))
+    assert got == _ref_pagerank(edges, iters)
+
+
+def test_pagerank_random_graphs_partitioned(ray_session):
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        n = 120
+        m = int(rng.integers(80, 400))
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        ]
+        out = pagerank_out = None
+        from fsst_ray.functions.graph import pagerank
+
+        out = pagerank(_edges_ds(edges, nparts=7), iterations=4).to_pandas()
+        got = dict(zip(out["node"], out["rank_fp"]))
+        assert got == _ref_pagerank(edges, 4), f"trial {trial}"
+
+
+def test_pagerank_plan_has_no_map_groups(ray_session):
+    from fsst_ray.functions.graph import pagerank
+
+    ds = pagerank(_edges_ds([(i % 17, (i * 3) % 17) for i in range(60)]), iterations=2)
+    ds = ds.materialize()
+    assert "MapGroups" not in ds.stats()
+
+
+def test_pagerank_guards(ray_session):
+    from fsst_ray.functions.graph import pagerank
+
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(_edges_ds([(0, 1)]), iterations=0)
+    with pytest.raises(ValueError, match="divisible"):
+        pagerank(_edges_ds([(0, 1)]), scale=10**9 + 1)
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(_edges_ds([(0, 1)]), scale=(1 << 62) // 100 * 100)
+
+
+def test_pagerank_empty_edges(ray_session):
+    from fsst_ray.functions.graph import pagerank
+
+    out = pagerank(_edges_ds([]).filter(lambda r: False)).to_pandas()
+    assert len(out) == 0
