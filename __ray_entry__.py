@@ -466,6 +466,62 @@ def _q_connected_components(sf_dir: str):
     return connected_components(chain_edges(docs))
 
 
+_EPOCH_2024_US = 1704067200 * 10**6  # TIMESTAMP '2024-01-01' in epoch-µs
+_HOUR_US = 3600 * 10**6
+
+
+def _q_order_window_events(sf_dir: str):
+    """Big-x-big equi+range join: every event that fell inside one of
+    its user's deterministic order windows (lo = 2024-01-01 +
+    (o_orderkey % 720) hours, len = (o_orderkey % 3) + 1 hours, key =
+    o_custkey % 150 to land in the events user domain). 2,761 matches
+    at sf0.01. See fsst_ray/functions/relational.py:interval_join."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import interval_join
+
+    def to_points(batch):
+        import pyarrow as pa
+
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64")
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pa.array(ts, pa.int64()),
+            }
+        )
+
+    def to_intervals(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = _EPOCH_2024_US + (ok % 720) * _HOUR_US
+        hi = lo + ((ok % 3) + 1) * _HOUR_US
+        return pa.table(
+            {
+                "ukey": pa.array(ck % 150, pa.int64()),
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "lo_us": pa.array(lo, pa.int64()),
+                "hi_us": pa.array(hi, pa.int64()),
+            }
+        )
+
+    pts = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ).map_batches(to_points, batch_format="pyarrow")
+    ivs = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(to_intervals, batch_format="pyarrow")
+    out = interval_join(pts, ivs, "user_id", "ukey", "ts_us", "lo_us", "hi_us")
+    return out.select_columns(["user_id", "event_id", "o_orderkey"])
+
+
 _PR_ITERS = 4
 _PR_SCALE = 10**9
 
@@ -1905,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "bigram_histogram": _q_bigram_histogram,
         "pagerank": _q_pagerank,
+        "order_window_events": _q_order_window_events,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -2633,6 +2690,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY node"
         ),
         "pagerank": _pagerank_oracle(),
+        "order_window_events": (
+            "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
+            "FROM events), "
+            "iv AS (SELECT o_custkey % 150 AS ukey, o_orderkey, "
+            f"{_EPOCH_2024_US} + (o_orderkey % 720) * {_HOUR_US} AS lo_us "
+            "FROM orders), "
+            "iv2 AS (SELECT ukey, o_orderkey, lo_us, "
+            f"lo_us + ((o_orderkey % 3) + 1) * {_HOUR_US} AS hi_us FROM iv) "
+            "SELECT p.user_id, p.event_id, iv2.o_orderkey "
+            "FROM p JOIN iv2 ON p.user_id = iv2.ukey "
+            "AND iv2.lo_us <= p.ts_us AND p.ts_us < iv2.hi_us"
+        ),
         "simhash_exact_pairs": (
             "WITH s AS (SELECT doc_id, "
             "list_sort(list_distinct(string_split(text, ' '))) AS ws "

@@ -258,6 +258,163 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
     )
 
 
+def interval_join(
+    points_ds,
+    intervals_ds,
+    on: str,
+    right_on: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    chunk_rows: int = 1 << 20,
+    max_group_rows: int = 1 << 26,
+):
+    """Big-x-big inner equi+range join: point rows matched to interval
+    rows sharing the key with `lo <= ts < hi`. Unlike `range_join_bands`
+    (broadcast, tiny interval side) BOTH sides here are corpus-scale —
+    "every user event that fell inside one of that user's maintenance /
+    order / session windows".
+
+    Shape: the hash_join exchange verbatim (two tagged projections, ONE
+    range sort on the key — equal keys never straddle a block
+    boundary), then one vectorized pass per block that builds each key
+    group's candidate cross-product INDEX arrays and applies the range
+    mask BEFORE any `take` — non-matching pairs cost 16 bytes of index
+    each, never a materialized output row. Per-key candidate count is
+    nl*nr, so the hash_join skew guard applies identically
+    (`max_group_rows`, loud ValueError naming the key).
+
+    `ts_col` (points) and `lo_col`/`hi_col` (intervals) must be int64-
+    comparable numerics — callers convert timestamps to epoch-µs
+    map-side first (keeps this operator dtype-agnostic and the compare
+    exact). Output: key named `on` + every non-key column of both
+    sides (prune at the read; only kept columns move).
+    """
+    lschema = points_ds.schema().base_schema
+    rschema = intervals_ds.schema().base_schema
+    left_cols = [n for n in lschema.names if n != on]
+    right_cols = [n for n in rschema.names if n != right_on]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"interval_join: column collision across sides: {overlap}")
+    reserved = ({"_join_key", "_side"} & set(lschema.names)) | (
+        {"_join_key", "_side"} & set(rschema.names)
+    )
+    if reserved:
+        raise ValueError(
+            f"interval_join: columns {sorted(reserved)} collide with reserved "
+            "exchange names; rename them first"
+        )
+    if ts_col not in left_cols:
+        raise ValueError(f"interval_join: ts_col {ts_col!r} must be a non-key points column")
+    if lo_col not in right_cols or hi_col not in right_cols:
+        raise ValueError(
+            f"interval_join: lo_col/hi_col must be non-key interval columns"
+        )
+
+    def _tag(side: int, key_name: str, own_cols, other_cols, other_schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {
+                "_join_key": batch[key_name],
+                "_side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8), type=pa.int8()
+                ),
+            }
+            for name in own_cols:
+                cols[name] = batch[name]
+            for name in other_cols:
+                cols[name] = pa.nulls(batch.num_rows, other_schema.field(name).type)
+            return pa.table(cols)
+
+        return fn
+
+    tagged = points_ds.map_batches(
+        _tag(0, on, left_cols, right_cols, rschema), batch_format="pyarrow"
+    ).union(
+        intervals_ds.map_batches(
+            _tag(1, right_on, right_cols, left_cols, lschema), batch_format="pyarrow"
+        )
+    )
+    out_names = [on] + left_cols + right_cols
+
+    def _empty(schema: pa.Schema) -> pa.Table:
+        return pa.table(
+            {
+                on: pa.array([], type=schema.field("_join_key").type),
+                **{
+                    c: pa.array([], type=schema.field(c).type)
+                    for c in left_cols + right_cols
+                },
+            }
+        )
+
+    def join_block(block: pa.Table):
+        keys = block["_join_key"].to_numpy(zero_copy_only=False)
+        side = block["_side"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            yield _empty(block.schema)
+            return
+        order = np.lexsort((side, keys))
+        k, s = keys[order], side[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        g_count = len(starts)
+        gid = np.zeros(n, dtype=np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        lmask = s == 0
+        nl = np.bincount(gid[lmask], minlength=g_count)
+        nr = np.bincount(gid[~lmask], minlength=g_count)
+        m = nl * nr
+        if m.size and int(m.max()) > max_group_rows:
+            g = int(np.argmax(m))
+            raise ValueError(
+                f"interval_join: key {k[starts[g]]!r} would test "
+                f"{int(m[g])} candidate pairs (points {int(nl[g])} x "
+                f"intervals {int(nr[g])}), over max_group_rows="
+                f"{max_group_rows}; split the hot key or bucket by time"
+            )
+        total = int(m.sum())
+        if total == 0:
+            yield _empty(block.schema)
+            return
+        l_rows = order[lmask]
+        r_rows = order[~lmask]
+        l_starts = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        r_starts = np.concatenate([[0], np.cumsum(nr)[:-1]])
+        go = np.repeat(np.arange(g_count), m)
+        t = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m
+        )
+        nr_go = nr[go]
+        li = l_rows[l_starts[go] + t // nr_go].astype(np.int64)
+        ri = r_rows[r_starts[go] + t % nr_go].astype(np.int64)
+        # range mask on the raw index arrays — only matches ever take
+        ts_all = block[ts_col].to_numpy(zero_copy_only=False)
+        lo_all = block[lo_col].to_numpy(zero_copy_only=False)
+        hi_all = block[hi_col].to_numpy(zero_copy_only=False)
+        ts_v = ts_all[li]
+        keep = (lo_all[ri] <= ts_v) & (ts_v < hi_all[ri])
+        li, ri = li[keep], ri[keep]
+        kept = len(li)
+        for st in range(0, kept, chunk_rows):
+            e = min(st + chunk_rows, kept)
+            lt = block.take(pa.array(li[st:e]))
+            rt = block.take(pa.array(ri[st:e]))
+            cols = {on: lt["_join_key"]}
+            for c in left_cols:
+                cols[c] = lt[c]
+            for c in right_cols:
+                cols[c] = rt[c]
+            yield pa.table(cols).select(out_names)
+        if kept == 0:
+            yield _empty(block.schema)
+
+    return tagged.sort("_join_key").map_batches(
+        join_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def asof_join_events(events_ds, left_type: str = "purchase", right_type: str = "click"):
     """Per-user as-of join within an event stream: each `left_type`
     event matched to the LATEST `right_type` event of the same user at

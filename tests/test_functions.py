@@ -2652,3 +2652,125 @@ def test_rollup_aggregate_single_group_many_partitions(ray_session):
         for r in out.to_pandas().itertuples()
     }
     assert got == {"only": (5000, 50), None: (5000, 50)}
+
+
+def test_interval_join_semantics_and_boundaries(ray_session):
+    """Inclusive lo / exclusive hi, multi-match overlap, key isolation,
+    keys present on only one side."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import interval_join
+
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "pid": pa.array([10, 11, 12, 20, 30], pa.int64()),
+                "ts": pa.array([5, 10, 15, 5, 5], pa.int64()),
+            }
+        )
+    )
+    ivs = rd.from_arrow(
+        pa.table(
+            {
+                "ik": pa.array([1, 1, 2, 4], pa.int64()),
+                "iid": pa.array([100, 101, 200, 400], pa.int64()),
+                "lo": pa.array([5, 0, 6, 0], pa.int64()),
+                "hi": pa.array([15, 11, 9, 100], pa.int64()),
+            }
+        )
+    )
+    out = (
+        interval_join(pts, ivs, "k", "ik", "ts", "lo", "hi")
+        .to_pandas()
+        .sort_values(["pid", "iid"])
+        .reset_index(drop=True)
+    )
+    got = set(zip(out["pid"], out["iid"]))
+    # pid 10 (k1,ts5): iv100 [5,15) yes (lo inclusive), iv101 [0,11) yes
+    # pid 11 (k1,ts10): iv100 yes, iv101 yes (10 < 11)
+    # pid 12 (k1,ts15): iv100 no (hi exclusive), iv101 no
+    # pid 20 (k2,ts5): iv200 [6,9) no
+    # pid 30 (k3): no intervals; iv400 (k4): no points
+    assert got == {(10, 100), (10, 101), (11, 100), (11, 101)}
+
+
+def test_interval_join_randomized_parity_and_plan(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import interval_join
+
+    rng = np.random.default_rng(4242)
+    npts, nivs, nkeys = 600, 300, 23
+    pk = rng.integers(0, nkeys, npts)
+    pts_ts = rng.integers(0, 1000, npts)
+    ik = rng.integers(0, nkeys, nivs)
+    lo = rng.integers(0, 1000, nivs)
+    hi = lo + rng.integers(0, 120, nivs)
+    want = {
+        (i, j)
+        for i in range(npts)
+        for j in range(nivs)
+        if pk[i] == ik[j] and lo[j] <= pts_ts[i] < hi[j]
+    }
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "pid": pa.array(np.arange(npts), pa.int64()),
+                "ts": pa.array(pts_ts, pa.int64()),
+            }
+        )
+    ).repartition(9)
+    ivs = rd.from_arrow(
+        pa.table(
+            {
+                "ik": pa.array(ik, pa.int64()),
+                "iid": pa.array(np.arange(nivs), pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+            }
+        )
+    ).repartition(5)
+    out = interval_join(pts, ivs, "k", "ik", "ts", "lo", "hi").materialize()
+    df = out.to_pandas()
+    assert set(zip(df["pid"], df["iid"])) == want
+    assert len(df) == len(want)  # no duplicate emissions
+    assert "MapGroups" not in out.stats()
+
+
+def test_interval_join_guards(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import interval_join
+
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1] * 40, pa.int64()),
+                "ts": pa.array(range(40), pa.int64()),
+            }
+        )
+    )
+    ivs = rd.from_arrow(
+        pa.table(
+            {
+                "ik": pa.array([1] * 40, pa.int64()),
+                "lo": pa.array([0] * 40, pa.int64()),
+                "hi": pa.array([100] * 40, pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_group_rows"):
+        interval_join(
+            pts, ivs, "k", "ik", "ts", "lo", "hi", max_group_rows=100
+        ).materialize()
+    # column collision
+    bad = rd.from_arrow(
+        pa.table({"ik": pa.array([1], pa.int64()), "ts": pa.array([0], pa.int64()),
+                  "lo": pa.array([0], pa.int64()), "hi": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(pts, bad, "k", "ik", "ts", "lo", "hi")
+    with pytest.raises(ValueError, match="ts_col"):
+        interval_join(pts, ivs, "k", "ik", "nope", "lo", "hi")
