@@ -522,6 +522,66 @@ def _q_order_window_events(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "o_orderkey"])
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Per-user ordered event-type path — SQL string_agg(event_type,
+    ',' ORDER BY ts, event_id) GROUP BY user_id, via the sorted-block
+    shape with ONE Arrow binary_join per block (no per-group Python).
+    See fsst_ray/functions/analytics.py:group_concat."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import group_concat
+
+    def project(batch):
+        import pyarrow as pa
+
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64")
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    ).map_batches(project, batch_format="pyarrow")
+    return group_concat(ev, "user_id", "event_type", ["ts_us", "event_id"], sep=",")
+
+
+def _q_user_value_quantiles(sf_dir: str):
+    """Exact per-user discrete quantiles of value-cents (PERCENTILE_DISC
+    rank = ceil(n*q), pure integer) — see
+    fsst_ray/functions/analytics.py:grouped_quantiles."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import grouped_quantiles
+
+    def project(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(project, batch_format="pyarrow")
+    return grouped_quantiles(
+        ev, "user_id", "cents", [("q25", 1, 4), ("q50", 1, 2), ("q90", 9, 10)]
+    )
+
+
 _PR_ITERS = 4
 _PR_SCALE = 10**9
 
@@ -1962,6 +2022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_histogram": _q_bigram_histogram,
         "pagerank": _q_pagerank,
         "order_window_events": _q_order_window_events,
+        "user_event_paths": _q_user_event_paths,
+        "user_value_quantiles": _q_user_value_quantiles,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -2690,6 +2752,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY node"
         ),
         "pagerank": _pagerank_oracle(),
+        "user_event_paths": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) AS concat "
+            "FROM events GROUP BY user_id"
+        ),
+        "user_value_quantiles": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.25) AS q25, "
+            "quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) AS q50, "
+            "quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.9) AS q90 "
+            "FROM events GROUP BY user_id"
+        ),
         "order_window_events": (
             "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
             "FROM events), "

@@ -881,3 +881,120 @@ def corr_from_moments(stats: pa.Table) -> dict[str, float]:
                ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")][0]
         out[key] = float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
     return out
+
+
+def group_concat(ds, key: str, val_col: str, order_cols: list[str], sep: str = ","):
+    """Distributed ordered string aggregation — SQL
+    `string_agg(val, sep ORDER BY order_cols) GROUP BY key`.
+    Returns (key, n, concat) with one row per key.
+
+    Shape (the running_totals sorted-block pattern): ONE range sort on
+    the key co-locates each group, then one vectorized pass per block —
+    lexsort by (order_cols..., key), group boundaries via adjacent-key
+    `!=`, and the per-group join built as a single Arrow
+    `ListArray.from_arrays(offsets, sorted_values)` + `pc.binary_join`:
+    zero per-group Python, zero per-row string concatenation in Python.
+    Callers should make (key, *order_cols) unique for a deterministic
+    result (ties would leave sibling order unspecified, same caveat as
+    SQL string_agg). Partitioning assumption (documented): one key's
+    rows fit a worker's block.
+    """
+    if not order_cols:
+        raise ValueError("group_concat: order_cols must be non-empty")
+
+    def per_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            # schema derived from the block so any key/value dtype works
+            return pa.table(
+                {
+                    key: block[key],
+                    "n": pa.array([], pa.int64()),
+                    "concat": pa.array([], pa.string()),
+                }
+            )
+        keys = block[key].to_numpy(zero_copy_only=False)
+        order_arrays = [
+            block[c].to_numpy(zero_copy_only=False) for c in order_cols
+        ]
+        # lexsort: last key is primary -> (order_cols reversed, then key)
+        order = np.lexsort(tuple(reversed(order_arrays)) + (keys,))
+        k = keys[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]])
+        ).astype(np.int32)
+        offsets = pa.array(
+            np.concatenate([starts, [n]]).astype(np.int32), pa.int32()
+        )
+        vals = block[val_col]
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        sorted_vals = vals.take(pa.array(order))
+        lists = pa.ListArray.from_arrays(offsets, sorted_vals)
+        joined = pc.binary_join(lists, sep)
+        sizes = np.diff(np.concatenate([starts.astype(np.int64), [n]]))
+        return pa.table(
+            {
+                key: pa.array(k[starts.astype(np.int64)]),
+                "n": pa.array(sizes.astype(np.int64)),
+                "concat": joined,
+            }
+        )
+
+    return ds.sort(key).map_batches(
+        per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def grouped_quantiles(ds, key: str, val_col: str, qs: list[tuple[str, int, int]]):
+    """Exact per-group discrete quantiles — SQL
+    `quantile_disc(val, q) GROUP BY key` (PERCENTILE_DISC semantics:
+    the 1-based rank `ceil(n*q)` element of the sorted group, probed
+    against DuckDB and pinned by the oracle query). `qs` is a list of
+    (label, q_num, q_den) rational quantiles so the rank computation is
+    pure integer — `rank = ceil(n*qn/qd) = (n*qn + qd - 1) // qd` — and
+    bit-exact cross-engine.
+
+    Returns (key, n, <label>...) with one row per key; val_col must be
+    integer-typed (the events queries use value-cents, the established
+    exactness convention).
+
+    Shape: the running_totals sorted-block pattern — one range sort on
+    the key, one lexsort + per-group gather pass per block; each
+    quantile is ONE vectorized `starts + clip(rank-1)` index gather
+    over all groups at once. Zero per-group dispatch.
+    """
+    if not qs:
+        raise ValueError("grouped_quantiles: qs must be non-empty")
+    for label, qn, qd in qs:
+        if qd <= 0 or not (0 <= qn <= qd):
+            raise ValueError(f"grouped_quantiles: bad quantile {label}: {qn}/{qd}")
+
+    def per_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: block[key],
+                    "n": pa.array([], pa.int64()),
+                    **{label: pa.array([], pa.int64()) for label, _, _ in qs},
+                }
+            )
+        keys = block[key].to_numpy(zero_copy_only=False)
+        vals = block[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vals, keys))
+        k, v = keys[order], vals[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        cols = {
+            key: pa.array(k[starts]),
+            "n": pa.array(sizes.astype(np.int64)),
+        }
+        for label, qn, qd in qs:
+            rank = (sizes * qn + qd - 1) // qd  # ceil(n*q), 1-based
+            idx = starts + np.clip(rank - 1, 0, sizes - 1)
+            cols[label] = pa.array(v[idx])
+        return pa.table(cols)
+
+    return ds.sort(key).map_batches(
+        per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

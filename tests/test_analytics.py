@@ -479,3 +479,93 @@ def test_moment_stats_reference_and_corr(ray_session):
     with pytest.raises((ValueError, Exception), match="2\\^62"):
         collect(moment_stats(rd.from_arrow(tbl), "x", "y", "g",
                              x_bound=2**31, y_bound=2**31))
+
+
+def test_group_concat_matches_pandas_reference(ray_session):
+    """Ordered string_agg parity across many blocks, interleaved keys,
+    multi-column ordering; MapGroups-free plan."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import group_concat
+
+    rng = np.random.default_rng(909)
+    n, nkeys = 3000, 87
+    keys = rng.integers(0, nkeys, n)
+    a = rng.integers(0, 50, n)
+    b = rng.permutation(n)  # tie-breaker: unique
+    vals = np.array([f"v{x}" for x in rng.integers(0, 30, n)])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "v": pa.array(vals, pa.string()),
+            }
+        )
+    ).repartition(11)
+    out = group_concat(ds, "k", "v", ["a", "b"], sep="|").materialize()
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    ref = (
+        pd.DataFrame({"k": keys, "a": a, "b": b, "v": vals})
+        .sort_values(["k", "a", "b"])
+        .groupby("k")
+        .agg(n=("v", "size"), concat=("v", lambda s: "|".join(s)))
+        .reset_index()
+    )
+    assert df["k"].tolist() == ref["k"].tolist()
+    assert df["n"].tolist() == ref["n"].tolist()
+    assert df["concat"].tolist() == ref["concat"].tolist()
+    assert "MapGroups" not in out.stats()
+    with pytest.raises(ValueError, match="order_cols"):
+        group_concat(ds, "k", "v", [])
+
+
+def test_grouped_quantiles_matches_duckdb_semantics(ray_session):
+    """ceil(n*q) 1-based rank (PERCENTILE_DISC) parity vs DuckDB's
+    quantile_disc on randomized groups, including q=0 and q=1."""
+    import duckdb
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import grouped_quantiles
+
+    rng = np.random.default_rng(31337)
+    n, nkeys = 4000, 61
+    keys = rng.integers(0, nkeys, n)
+    vals = rng.integers(-500, 500, n)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(9)
+    qs = [("q0", 0, 1), ("q25", 1, 4), ("q50", 1, 2), ("q90", 9, 10), ("q100", 1, 1)]
+    out = (
+        grouped_quantiles(ds, "k", "v", qs)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"k": keys, "v": vals}))
+    ref = con.execute(
+        "SELECT k, CAST(COUNT(*) AS BIGINT) AS n, "
+        "quantile_disc(v, 0.0) AS q0, quantile_disc(v, 0.25) AS q25, "
+        "quantile_disc(v, 0.5) AS q50, quantile_disc(v, 0.9) AS q90, "
+        "quantile_disc(v, 1.0) AS q100 FROM t GROUP BY k ORDER BY k"
+    ).df()
+    for c in ["k", "n", "q0", "q25", "q50", "q90", "q100"]:
+        assert out[c].tolist() == ref[c].tolist(), c
+    # singleton groups: every quantile is the lone value
+    one = grouped_quantiles(
+        rd.from_arrow(
+            pa.table({"k": pa.array([7], pa.int64()), "v": pa.array([42], pa.int64())})
+        ),
+        "k",
+        "v",
+        qs,
+    ).to_pandas()
+    assert one.iloc[0][["q0", "q25", "q50", "q90", "q100"]].tolist() == [42] * 5
+    with pytest.raises(ValueError, match="bad quantile"):
+        grouped_quantiles(ds, "k", "v", [("x", 3, 2)])
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles(ds, "k", "v", [])
