@@ -522,6 +522,35 @@ def _q_order_window_events(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "o_orderkey"])
 
 
+def _q_sink_jsonl(sf_dir: str):
+    """Distributed JSONL SINK end-to-end (the write-side sibling of
+    jsonl_ingest, whose export is a driver-side python loop): the
+    documents projection streams through Ray's `write_json` sink (one
+    shard per block, no driver materialization), is re-ingested through
+    the shared normalizer, and must land on the parquet oracle's
+    word_stats numbers — proving the distributed sink lossless."""
+    import pathlib
+    import shutil
+
+    import ray.data as rd
+
+    from fsst_ray.functions.textstats import word_stats_batch
+    from fsst_ray.sources.documents import read_documents_jsonl
+
+    d = pathlib.Path(f"/tmp/fsst_ray_runs/sink_jsonl_{pathlib.Path(sf_dir).name}")
+    marker = d / "_done"
+    if not marker.exists():
+        if d.exists():
+            shutil.rmtree(d)  # a crashed partial write must not double up
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).write_json(str(d))
+        marker.write_text("ok")
+    return read_documents_jsonl(str(d)).map_batches(
+        word_stats_batch, batch_format="pyarrow"
+    )
+
+
 def _q_user_event_paths(sf_dir: str):
     """Per-user ordered event-type path — SQL string_agg(event_type,
     ',' ORDER BY ts, event_id) GROUP BY user_id, via the sorted-block
@@ -2024,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_events": _q_order_window_events,
         "user_event_paths": _q_user_event_paths,
         "user_value_quantiles": _q_user_value_quantiles,
+        "sink_jsonl": _q_sink_jsonl,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -2170,6 +2200,14 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_ingest": (
             # identical to word_stats — the JSONL round trip must be
             # lossless, so the parquet oracle is the ground truth
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
+            f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
+            " AS n_stop_en FROM documents"
+        ),
+        "sink_jsonl": (
+            # the distributed write_json sink must round-trip losslessly,
+            # so the same parquet word_stats oracle is the ground truth
             "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words, "
             "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct, "
             f"CAST(len(list_filter(string_split(text,' '), w -> w IN {stop})) AS BIGINT)"
