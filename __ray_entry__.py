@@ -551,6 +551,21 @@ def _q_sink_jsonl(sf_dir: str):
     )
 
 
+def _q_props_rollup(sf_dir: str):
+    """Semi-structured extraction: the integer $.k field of the events
+    JSON props column, extracted vectorized map-side (polars JSON-path
+    kernel, no per-row json.loads) and rolled up per event_type. See
+    fsst_ray/functions/jsonx.py."""
+    import ray.data as rd
+
+    from fsst_ray.functions.jsonx import props_int_rollup
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_int_rollup(ev, "event_type", "props", "$.k")
+
+
 def _q_user_event_paths(sf_dir: str):
     """Per-user ordered event-type path — SQL string_agg(event_type,
     ',' ORDER BY ts, event_id) GROUP BY user_id, via the sorted-block
@@ -2054,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "user_value_quantiles": _q_user_value_quantiles,
         "sink_jsonl": _q_sink_jsonl,
+        "props_rollup": _q_props_rollup,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
@@ -2790,6 +2806,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY node"
         ),
         "pagerank": _pagerank_oracle(),
+        "props_rollup": (
+            "WITH x AS (SELECT event_type, "
+            "TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') "
+            "AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(k) AS BIGINT) AS n_present, "
+            "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_val, "
+            "MAX(k) AS max_val FROM x GROUP BY event_type"
+        ),
         "user_event_paths": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
             "string_agg(event_type, ',' ORDER BY ts, event_id) AS concat "

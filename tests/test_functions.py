@@ -2774,3 +2774,67 @@ def test_interval_join_guards(ray_session):
         interval_join(pts, bad, "k", "ik", "ts", "lo", "hi")
     with pytest.raises(ValueError, match="ts_col"):
         interval_join(pts, ivs, "k", "ik", "nope", "lo", "hi")
+
+
+def test_json_int_field_and_rollup(ray_session):
+    """Vectorized JSON extraction: nulls for absent/malformed paths;
+    rollup parity vs DuckDB json_extract on randomized props including
+    all-null groups."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fsst_ray.functions.jsonx import json_int_field, props_int_rollup
+
+    rng = np.random.default_rng(555)
+    n = 2000
+    groups = np.array(["a", "b", "c", "nullgrp"])[rng.integers(0, 4, n)]
+    kvals = rng.integers(-100, 10**7, n)
+    props = []
+    for g, k in zip(groups, kvals):
+        if g == "nullgrp" or k % 11 == 0:
+            props.append('{"other": 1}' if k % 2 else "not json")
+        else:
+            props.append('{"k": %d}' % k)
+    t = pa.table(
+        {
+            "grp": pa.array(groups, pa.string()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+
+    ext = json_int_field(ds, "props", "$.k", "k").to_pandas()
+    want_k = [
+        None if (g == "nullgrp" or k % 11 == 0) else k
+        for g, k in zip(groups, kvals)
+    ]
+    got_k = [None if pd.isna(x) else int(x) for x in ext["k"]]
+    assert sorted(
+        (g, x if x is not None else -(10**18)) for g, x in zip(ext["grp"], got_k)
+    ) == sorted(
+        (g, x if x is not None else -(10**18)) for g, x in zip(groups, want_k)
+    )
+
+    out = (
+        props_int_rollup(ds, "grp", "props", "$.k")
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"grp": groups, "props": props}))
+    ref = con.execute(
+        "SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS n_present, "
+        "CAST(COALESCE(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_val, "
+        "MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS max_val "
+        "FROM t GROUP BY grp ORDER BY grp"
+    ).df()
+    assert out["grp"].tolist() == ref["grp"].tolist()
+    assert out["n"].tolist() == ref["n"].tolist()
+    assert out["n_present"].tolist() == ref["n_present"].tolist()
+    assert out["sum_val"].tolist() == ref["sum_val"].tolist()
+    got_max = [None if pd.isna(x) else int(x) for x in out["max_val"]]
+    ref_max = [None if pd.isna(x) else int(x) for x in ref["max_val"]]
+    assert got_max == ref_max
