@@ -675,6 +675,23 @@ def _pagerank_oracle() -> str:
     )
 
 
+_BFS_SEEDS = [0, 128]
+
+
+def _q_hop_distance(sf_dir: str):
+    """Distributed multi-source BFS (min hop count from seeds 0/128)
+    over the DIRECTED chain+skip graph — frontier expansion with an
+    anti-join settled set, everything edge-/frontier-sized. The graph
+    is a DAG (edges strictly increase the id) so the oracle's recursive
+    CTE terminates. See fsst_ray/functions/graph.py:hop_distance."""
+    from fsst_ray.functions.graph import chain_edges, hop_distance
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    return hop_distance(
+        chain_edges(docs), _BFS_SEEDS, src="doc_a", dst="doc_b"
+    )
+
+
 def _q_simhash_recall(sf_dir: str):
     """Recall of the approximate SimHash pair set (hamming <= 6)
     against its exact sibling (hamming 0 + word-set digest), computed
@@ -2065,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "bigram_histogram": _q_bigram_histogram,
         "pagerank": _q_pagerank,
+        "hop_distance": _q_hop_distance,
         "order_window_events": _q_order_window_events,
         "user_event_paths": _q_user_event_paths,
         "user_value_quantiles": _q_user_value_quantiles,
@@ -2806,6 +2824,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY node"
         ),
         "pagerank": _pagerank_oracle(),
+        "hop_distance": (
+            # min-hop BFS over the DIRECTED chain+skip DAG from seeds
+            # 0 and 128; UNION dedups (node, hops) pairs and the DAG
+            # bounds recursion depth
+            "WITH RECURSIVE "
+            "e AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM documents "
+            "WHERE doc_id % 8 < 5 "
+            "UNION ALL SELECT doc_id, doc_id + 16 FROM documents "
+            "WHERE doc_id % 64 = 0), "
+            "r AS (SELECT CAST(node AS BIGINT) AS node, 0 AS hops FROM "
+            "(SELECT unnest([0, 128]) AS node) "
+            "UNION "
+            "SELECT e.dst AS node, r.hops + 1 AS hops FROM e "
+            "JOIN r ON e.src = r.node) "
+            "SELECT node, CAST(MIN(hops) AS BIGINT) AS hops "
+            "FROM r GROUP BY node"
+        ),
         "props_rollup": (
             "WITH x AS (SELECT event_type, "
             "TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') "

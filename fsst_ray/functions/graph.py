@@ -474,6 +474,159 @@ def pagerank(
     )
 
 
+def hop_distance(edges_ds, seeds: list[int], src: str = "src", dst: str = "dst",
+                 max_hops: int = 32):
+    """Distributed multi-source BFS over a directed edge list: minimum
+    hop count from ANY seed to each reachable node (seeds = 0).
+    Returns a (node, hops) int64 Dataset for reachable nodes only.
+
+    Shape (frontier expansion, the pagerank exchange family): per
+    round, the current frontier unions the edge list, ONE range sort on
+    the node key, one vectorized pass per block emits each frontier
+    node's out-neighbors (deduped per block); an `existence_join`
+    anti-join against the settled set keeps only strictly-NEW nodes, so
+    every node is expanded exactly once and total expand work is
+    O(edges) summed over all rounds. The settled set lives as a
+    DATASET the whole time (grown by union + per-round materialize, the
+    connected_components pacing) — the driver sees only per-round
+    counts, never node lists, so the reachable set can be corpus-sized.
+    Round count = seed eccentricity (loud error past `max_hops`).
+    Partitioning assumption: one node's out-edges fit a worker's block
+    (the connected_components bound).
+
+    Block-count hygiene (load-bearing for ANY iterative Dataset
+    algorithm): a range sort emits one output block per input block, so
+    loop-carried datasets that re-enter a sort each round MULTIPLY
+    their block count (~2.6x/round measured here) — by round 7 a
+    20-edge graph carried 1,600 near-empty blocks and each round cost
+    3x the previous one. `_bounded` re-compacts the loop-carried
+    settled/frontier sets to a size-proportional block count every
+    round, keeping per-round cost flat. (connected_components never
+    hits this: its one loop-carried dataset shrinks and is reassigned
+    through a single chain.)"""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import existence_join
+
+    if not seeds:
+        raise ValueError("hop_distance: seeds must be non-empty")
+    if max_hops < 0:
+        raise ValueError("hop_distance: max_hops must be >= 0")
+
+    def _bounded(ds):
+        # Two independent exponential hazards, both measured on a
+        # 20-edge graph before this helper existed:
+        # (1) block multiplication (above), fixed by the repartition;
+        # (2) LOGICAL-PLAN growth — a MaterializedDataset keeps its
+        #     upstream plan, and settled/fresh reference EACH OTHER, so
+        #     plan size ~3x per round and driver-side planning (not
+        #     execution) came to dominate (35 s gaps between 0.1 s
+        #     executions). from_arrow_refs re-roots the dataset at its
+        #     blocks (zero-copy — the refs are reused, nothing moves),
+        #     severing the plan.
+        m = ds.materialize()
+        target = max(1, min(64, m.count() // (1 << 18) + 1))
+        if m.num_blocks() > 2 * target:
+            m = m.repartition(target).materialize()
+        refs = m.to_arrow_refs()
+        return rd.from_arrow_refs(refs) if refs else m
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_key": batch[src].cast(pa.int64()),
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+                "dst": batch[dst].cast(pa.int64()),
+            }
+        )
+
+    tagged_edges = edges_ds.map_batches(tag_edges, batch_format="pyarrow")
+
+    seed_arr = np.unique(np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64))
+    settled = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_arr),
+                "hops": pa.array(np.zeros(len(seed_arr), np.int64)),
+            }
+        )
+    ).materialize()
+    frontier = settled
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "_key": batch["node"].cast(pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "dst": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def expand(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        empty = pa.table({"node": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        keys = block["_key"].to_numpy(zero_copy_only=False)
+        side = block["_side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, keys))
+        k, s = keys[order], side[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        gid = np.zeros(n, dtype=np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        in_frontier = np.zeros(len(starts), dtype=bool)
+        in_frontier[gid[s == 0]] = True
+        emask = (s == 1) & in_frontier[gid]
+        if not emask.any():
+            return empty
+        d = block["dst"].to_numpy(zero_copy_only=False)[order[emask]]
+        return pa.table({"node": pa.array(np.unique(d).astype(np.int64))})
+
+    for hops in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        tagged = tagged_edges.union(
+            frontier.map_batches(tag_frontier, batch_format="pyarrow")
+        )
+        cand = (
+            tagged.sort("_key")
+            .map_batches(
+                expand, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        # distinct candidates (blocks may repeat a dst across blocks)
+        this_hops = hops
+
+        def label(batch: pa.Table, h=this_hops) -> pa.Table:
+            return batch.append_column(
+                "hops", pa.array(np.full(batch.num_rows, h, dtype=np.int64))
+            )
+
+        # round-frontier-sized; materialized so existence_join can read
+        # a concrete schema (an all-empty materialized dataset reports
+        # schema None, so the empty round must break BEFORE the join)
+        cand = _bounded(min_per_key(cand.map_batches(label, batch_format="pyarrow"),
+                                    "node", "hops"))
+        if cand.count() == 0:
+            frontier = cand
+            break
+        fresh = _bounded(existence_join(cand, settled, "node", "node", how="anti"))
+        if fresh.count() == 0:
+            frontier = fresh
+            break
+        settled = _bounded(settled.union(fresh))
+        frontier = fresh
+    else:
+        if frontier.count() != 0:
+            raise RuntimeError(
+                f"hop_distance: frontier non-empty after max_hops={max_hops}"
+            )
+
+    return settled
+
+
 def chain_edges(ds, run_mod: int = 8, run_keep: int = 5, skip_mod: int = 64,
                 skip_len: int = 16):
     """Deterministic multi-hop test graph over a doc_id column:

@@ -365,3 +365,69 @@ def test_pagerank_empty_edges(ray_session):
 
     out = pagerank(_edges_ds([]).filter(lambda r: False)).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# hop_distance (multi-source BFS)
+
+
+def _ref_bfs(edges, seeds):
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {int(v): 0 for v in seeds}
+    q = deque(sorted(dist))
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+@pytest.mark.parametrize(
+    "edges,seeds",
+    [
+        ([(0, 1), (1, 2), (2, 3)], [0]),  # chain, directed
+        ([(0, 1), (1, 2), (2, 3)], [2]),  # chain, unreachable prefix
+        ([(0, 1), (1, 0)], [0]),  # cycle back to a settled node
+        ([(0, 1), (0, 2), (1, 3), (2, 3), (3, 0)], [0]),  # diamond + back edge
+        ([(i, i + 1) for i in range(20)] + [(5, 15)], [0, 19]),  # multi-seed
+        ([(0, 0)], [0]),  # self-loop only
+    ],
+    ids=["chain", "midseed", "cycle", "diamond", "multiseed", "selfloop"],
+)
+def test_hop_distance_matches_bfs(edges, seeds, ray_session):
+    from fsst_ray.functions.graph import hop_distance
+
+    out = hop_distance(_edges_ds(edges), seeds).to_pandas()
+    assert out["node"].is_unique
+    assert dict(zip(out["node"], out["hops"])) == _ref_bfs(edges, seeds)
+
+
+def test_hop_distance_random_graphs(ray_session):
+    from fsst_ray.functions.graph import hop_distance
+
+    rng = np.random.default_rng(2026)
+    for trial in range(3):
+        n = 100
+        m = int(rng.integers(60, 300))
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        ]
+        seeds = [int(x) for x in rng.integers(0, n, 3)]
+        out = hop_distance(_edges_ds(edges, nparts=6), seeds).to_pandas()
+        assert dict(zip(out["node"], out["hops"])) == _ref_bfs(edges, seeds), trial
+
+
+def test_hop_distance_guards(ray_session):
+    from fsst_ray.functions.graph import hop_distance
+
+    with pytest.raises(ValueError, match="seeds"):
+        hop_distance(_edges_ds([(0, 1)]), [])
+    with pytest.raises(RuntimeError, match="max_hops"):
+        hop_distance(_edges_ds([(i, i + 1) for i in range(10)]), [0], max_hops=3)
