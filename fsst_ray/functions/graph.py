@@ -39,6 +39,33 @@ _EDGE_SCHEMA = pa.schema([("k", pa.int64()), ("n", pa.int64())])
 _EDGE_EMPTY = pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
 
 
+def _bounded_snapshot(ds, rows_per_block: int = 1 << 18, max_blocks: int = 64):
+    """Materialize a loop-carried dataset AND neutralize the two
+    exponential hazards of iterative Dataset algorithms (both measured
+    here before this helper existed):
+
+    1. block multiplication — a range sort/groupby emits one output
+       block per input block, so a dataset that re-enters an exchange
+       every round multiplies its block count (~2.6x/round observed:
+       1,600 near-empty blocks by round 7 of a 20-edge BFS). Fixed by
+       a size-proportional repartition.
+    2. logical-plan growth — MaterializedDataset keeps its upstream
+       plan; loop-carried datasets that reference each other grow the
+       plan ~3x/round until DRIVER-SIDE PLANNING dominates (35 s gaps
+       between 0.1 s executions). Fixed by re-rooting the dataset at
+       its block refs via from_arrow_refs (zero-copy — the same refs
+       are reused, nothing moves through the store).
+    """
+    import ray.data as rd
+
+    m = ds.materialize()
+    target = max(1, min(max_blocks, m.count() // rows_per_block + 1))
+    if m.num_blocks() > 2 * target:
+        m = m.repartition(target).materialize()
+    refs = m.to_arrow_refs()
+    return rd.from_arrow_refs(refs) if refs else m
+
+
 def _canon_edges(doc_a: str, doc_b: str):
     """Batch fn: arbitrary pair rows -> canonical (k=max, n=min) int64
     edges, self-loops dropped."""
@@ -464,7 +491,11 @@ def pagerank(
                 }
             )
 
-        ranks = summed.map_batches(refresh, batch_format="pyarrow").materialize()
+        # bounded snapshot, not bare materialize: the loop-carried rank
+        # table otherwise accretes blocks and plan per iteration (see
+        # _bounded_snapshot; measured 0.49 -> 0.59 s/iter drift by
+        # iteration 32 on a 50-node graph before this)
+        ranks = _bounded_snapshot(summed.map_batches(refresh, batch_format="pyarrow"))
 
     return ranks.map_batches(
         lambda t: pa.table(
@@ -494,16 +525,12 @@ def hop_distance(edges_ds, seeds: list[int], src: str = "src", dst: str = "dst",
     Partitioning assumption: one node's out-edges fit a worker's block
     (the connected_components bound).
 
-    Block-count hygiene (load-bearing for ANY iterative Dataset
-    algorithm): a range sort emits one output block per input block, so
-    loop-carried datasets that re-enter a sort each round MULTIPLY
-    their block count (~2.6x/round measured here) — by round 7 a
-    20-edge graph carried 1,600 near-empty blocks and each round cost
-    3x the previous one. `_bounded` re-compacts the loop-carried
-    settled/frontier sets to a size-proportional block count every
-    round, keeping per-round cost flat. (connected_components never
-    hits this: its one loop-carried dataset shrinks and is reassigned
-    through a single chain.)"""
+    Loop-carried datasets go through `_bounded_snapshot` (see its
+    docstring): settled/frontier re-enter an exchange every round and
+    reference each other, the exact double-hazard (block multiplication
+    + logical-plan growth) that helper neutralizes.
+    (connected_components never hits this: its one loop-carried dataset
+    shrinks and is reassigned through a single chain.)"""
     import ray.data as rd
 
     from fsst_ray.functions.relational import existence_join
@@ -513,23 +540,7 @@ def hop_distance(edges_ds, seeds: list[int], src: str = "src", dst: str = "dst",
     if max_hops < 0:
         raise ValueError("hop_distance: max_hops must be >= 0")
 
-    def _bounded(ds):
-        # Two independent exponential hazards, both measured on a
-        # 20-edge graph before this helper existed:
-        # (1) block multiplication (above), fixed by the repartition;
-        # (2) LOGICAL-PLAN growth — a MaterializedDataset keeps its
-        #     upstream plan, and settled/fresh reference EACH OTHER, so
-        #     plan size ~3x per round and driver-side planning (not
-        #     execution) came to dominate (35 s gaps between 0.1 s
-        #     executions). from_arrow_refs re-roots the dataset at its
-        #     blocks (zero-copy — the refs are reused, nothing moves),
-        #     severing the plan.
-        m = ds.materialize()
-        target = max(1, min(64, m.count() // (1 << 18) + 1))
-        if m.num_blocks() > 2 * target:
-            m = m.repartition(target).materialize()
-        refs = m.to_arrow_refs()
-        return rd.from_arrow_refs(refs) if refs else m
+    _bounded = _bounded_snapshot
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         return pa.table(
