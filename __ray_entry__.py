@@ -626,6 +626,21 @@ def _q_user_value_quantiles(sf_dir: str):
     )
 
 
+def _q_user_event_mode(sf_dir: str):
+    """Per-user most-frequent event type with deterministic ties
+    (max count, then smallest value) — map-side pair counts, one
+    pair-cardinality aggregate, min_per_key finish. See
+    fsst_ray/functions/analytics.py:grouped_mode."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import grouped_mode
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 _PR_ITERS = 4
 _PR_SCALE = 10**9
 
@@ -2086,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_events": _q_order_window_events,
         "user_event_paths": _q_user_event_paths,
         "user_value_quantiles": _q_user_value_quantiles,
+        "user_event_mode": _q_user_event_mode,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
         # -- block 2: round-5-changed paths + family representatives --
@@ -2849,6 +2865,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(k) AS BIGINT) AS n_present, "
             "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_val, "
             "MAX(k) AS max_val FROM x GROUP BY event_type"
+        ),
+        "user_event_mode": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "
+            "FROM events GROUP BY user_id, event_type), "
+            "r AS (SELECT user_id, event_type, cnt, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk FROM c) "
+            "SELECT user_id, event_type AS mode_val, CAST(cnt AS BIGINT) AS cnt "
+            "FROM r WHERE rk = 1"
         ),
         "user_event_paths": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -998,3 +998,75 @@ def grouped_quantiles(ds, key: str, val_col: str, qs: list[tuple[str, int, int]]
     return ds.sort(key).map_batches(
         per_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_mode(ds, key: str, val_col: str):
+    """Per-key most-frequent value (SQL mode with DETERMINISTIC tie
+    semantics: highest count, then smallest value). Returns
+    (key, mode_val, cnt).
+
+    Shape: map-side (key, val) partial counts (one np.unique pass per
+    batch — duplicate-heavy batches shrink before the exchange), ONE
+    pair-cardinality hash aggregate, then the min_per_key sorted-block
+    finish ordered by (count DESC, value ASC). Shuffles are bounded by
+    distinct (key, value) pairs, never row count."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        # np.unique over a 2-column record view is fiddly across dtypes;
+        # lexsort + boundary diff is the established generic pattern
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        if n == 0:
+            return pa.table(
+                {
+                    key: batch[key],
+                    val_col: batch[val_col],
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        first = np.ones(n, dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [n]]))
+        idx = order[starts]
+        sub = batch.select([key, val_col]).take(pa.array(idx))
+        return sub.append_column("cnt", pa.array(cnt.astype(np.int64)))
+
+    paired = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby([key, val_col])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns([key, val_col, "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pick_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: block[key],
+                    "mode_val": block[val_col],
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        k = block[key].to_numpy(zero_copy_only=False)
+        v = block[val_col].to_numpy(zero_copy_only=False)
+        c = block["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -c, k))
+        ks = k[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        sub = block.take(pa.array(order[first]))
+        return pa.table(
+            {key: sub[key], "mode_val": sub[val_col], "cnt": sub["cnt"]}
+        )
+
+    return paired.sort(key).map_batches(
+        pick_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

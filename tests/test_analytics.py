@@ -569,3 +569,42 @@ def test_grouped_quantiles_matches_duckdb_semantics(ray_session):
         grouped_quantiles(ds, "k", "v", [("x", 3, 2)])
     with pytest.raises(ValueError, match="non-empty"):
         grouped_quantiles(ds, "k", "v", [])
+
+
+def test_grouped_mode_matches_reference(ray_session):
+    """Deterministic mode (max count, tie -> min value) vs a pandas
+    reference on randomized string values across many blocks, including
+    forced exact ties; MapGroups-free plan."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import grouped_mode
+
+    rng = np.random.default_rng(112)
+    n, nkeys = 5000, 73
+    keys = rng.integers(0, nkeys, n)
+    vals = np.array(["w%d" % x for x in rng.integers(0, 6, n)])
+    # force exact ties in some keys: key 0 gets one of each value
+    keys = np.concatenate([keys, np.zeros(6, np.int64) - 1])
+    vals = np.concatenate([vals, np.array(["w%d" % i for i in range(6)])])
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.string())})
+    ).repartition(13)
+    out = grouped_mode(ds, "k", "v").materialize()
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    ref = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby(["k", "v"])
+        .size()
+        .reset_index(name="cnt")
+        .sort_values(["k", "cnt", "v"], ascending=[True, False, True])
+        .groupby("k")
+        .first()
+        .reset_index()
+    )
+    assert df["k"].tolist() == ref["k"].tolist()
+    assert df["mode_val"].tolist() == ref["v"].tolist()
+    assert df["cnt"].tolist() == ref["cnt"].tolist()
+    # the forced-tie key resolves to the smallest value
+    assert df[df["k"] == -1]["mode_val"].iloc[0] == "w0"
+    assert "MapGroups" not in out.stats()
