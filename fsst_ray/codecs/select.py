@@ -28,6 +28,7 @@ DEFAULT_CODECS = (
     "zigzag",
     "delta",
     "vbyte",
+    "pfor",
 )
 
 
@@ -52,6 +53,15 @@ def chunk_stats(values: np.ndarray) -> dict:
             + np.count_nonzero(z >= (1 << 24))
         )
 
+    _BL_THRESH = np.left_shift(np.int64(1), np.arange(0, 33, dtype=np.int64))
+
+    def _bl_hist(v: np.ndarray) -> np.ndarray:
+        # bit-length histogram of (v - vmin): drives the pfor width
+        # choice (bit_length(x) = #powers-of-two <= x, vectorized)
+        d = v.astype(np.int64) - vmin
+        bl = np.searchsorted(_BL_THRESH, d, side="right")
+        return np.bincount(bl, minlength=33)[:33]
+
     if n <= _EXACT_LIMIT:
         card = len(np.unique(values))
         diffs = np.diff(values.astype(np.int64))
@@ -59,6 +69,7 @@ def chunk_stats(values: np.ndarray) -> dict:
         dmax = int(np.abs(diffs).max()) if len(diffs) else 0
         delta_zz_width = max(int(dmax * 2).bit_length(), 1)
         vbyte_bytes = _vbyte_count(values)
+        bl_hist = _bl_hist(values)
         sample_bytes = values.astype("<i4", copy=False).tobytes()[: 4 * _WINDOW]
     else:
         starts = np.linspace(0, n - _WINDOW, _N_WINDOWS).astype(np.int64)
@@ -73,6 +84,9 @@ def chunk_stats(values: np.ndarray) -> dict:
         )
         delta_zz_width = max(int(dmax * 2).bit_length(), 1)
         vbyte_bytes = int(_vbyte_count(sampled) / max(frac, 1e-9))
+        # proportions drive the width choice; PforCodec.estimate scales
+        # the exception count by n / hist.sum()
+        bl_hist = _bl_hist(sampled)
         sample_bytes = sampled[: _WINDOW].astype("<i4", copy=False).tobytes()
     return {
         "n": n,
@@ -82,6 +96,7 @@ def chunk_stats(values: np.ndarray) -> dict:
         "n_runs": n_runs,
         "delta_zz_width": delta_zz_width,
         "vbyte_bytes": vbyte_bytes,
+        "bl_hist": bl_hist,
         "sample_bytes": sample_bytes,
     }
 

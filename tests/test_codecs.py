@@ -172,3 +172,56 @@ def test_fsst_decode_big_table_via_signed_memoryview():
     out = np.empty(len(values) + 2, dtype=np.int32)
     decode_payload_into(memoryview(buf), out[: len(values)])
     assert (out[: len(values)] == values).all()
+
+
+def test_pfor_exact_estimate_and_family_win():
+    """pfor: estimate == actual on exactly-profiled chunks; beats vbyte
+    on the compact-cluster-plus-outliers family vbyte cannot win (vbyte
+    pays a 1.25 B/value floor); exceptions round-trip bit-exactly."""
+    import numpy as np
+
+    from fsst_ray.codecs import decode_payload, encode_chunk
+    from fsst_ray.codecs.simple import PforCodec
+    from fsst_ray.codecs.select import chunk_stats, select_codec
+
+    rng = np.random.default_rng(99)
+    v = np.where(
+        rng.random(50000) < 0.02,
+        rng.integers(0, 1 << 20, 50000),
+        rng.integers(0, 100, 50000),
+    ).astype(np.int32)
+    p = PforCodec()
+    body = p.encode_values(v, None)
+    assert np.array_equal(p.decode_values(body, len(v)), v)
+    st = chunk_stats(v)
+    assert p.estimate(st, None) == len(body) + 0  # exact on exact stats
+    best, ests = select_codec(v)
+    assert best == "pfor"
+    assert ests["pfor"] < ests["vbyte"] < ests["bitpack"]
+    payload, meta = encode_chunk(v)
+    assert meta["codec"] == "pfor"
+    assert np.array_equal(decode_payload(payload).astype(np.int32), v)
+
+
+def test_pfor_edge_cases_and_corruption():
+    import numpy as np
+    import pytest
+
+    from fsst_ray.codecs.simple import PforCodec
+
+    p = PforCodec()
+    for v in (
+        np.empty(0, np.int32),
+        np.array([-(2**31), 2**31 - 1, 0, 5], np.int32),  # max-range deltas
+        np.full(777, -3, np.int32),  # constant -> w=0, no exceptions
+        np.array([7], np.int32),
+    ):
+        body = p.encode_values(v, None)
+        assert np.array_equal(p.decode_values(body, len(v)), v)
+    # truncated main lane raises via the unpack_bits length guard
+    v = np.where(
+        np.arange(1000) % 50 == 0, 1 << 20, np.arange(1000) % 90
+    ).astype(np.int32)
+    body = p.encode_values(v, None)
+    with pytest.raises(ValueError):
+        p.decode_values(body[: len(body) // 3], len(v))

@@ -41,7 +41,7 @@ def test_auto_select_roundtrip(values):
 @settings(max_examples=30, deadline=None)
 @given(values=st.one_of(chunks, skewed))
 def test_each_codec_roundtrip(values):
-    for name in ("plain", "bitpack", "for", "rle", "dict", "zigzag", "delta", "vbyte"):
+    for name in ("plain", "bitpack", "for", "rle", "dict", "zigzag", "delta", "vbyte", "pfor"):
         if name == "bitpack" and len(values) and int(values.min()) < 0:
             continue  # precondition: selector never picks bitpack for negatives
         payload, meta = encode_chunk(values, forced_codec=name)
