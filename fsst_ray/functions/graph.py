@@ -428,8 +428,13 @@ def pagerank(
         gid = np.zeros(n, dtype=np.int64)
         gid[starts[1:]] = 1
         gid = np.cumsum(gid)
-        rank_all = block["rank"].to_numpy(zero_copy_only=False)
-        deg_all = block["outdeg"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as _pc
+
+        # fill_null BEFORE to_numpy: a nullable int64 column converts to
+        # float64 (NaN for nulls), silently corrupting values > 2^53 —
+        # ranks reach n*scale and dst ids can be full-width hashes
+        rank_all = _pc.fill_null(block["rank"], 0).to_numpy(zero_copy_only=False)
+        deg_all = _pc.fill_null(block["outdeg"], 0).to_numpy(zero_copy_only=False)
         # one rank row per group, first in group order
         g_rank = rank_all[order[starts]].astype(np.int64)
         g_deg = deg_all[order[starts]].astype(np.int64)
@@ -439,7 +444,8 @@ def pagerank(
             # outdeg > 0 for any group that has edge rows by construction
             contrib = (g_rank[eg] * damping_num) // (damping_den * g_deg[eg])
             e_dst = (
-                block["dst"].to_numpy(zero_copy_only=False)[order[emask]]
+                _pc.fill_null(block["dst"], 0)
+                .to_numpy(zero_copy_only=False)[order[emask]]
             ).astype(np.int64)
         else:
             contrib = np.empty(0, np.int64)
@@ -592,7 +598,14 @@ def hop_distance(edges_ds, seeds: list[int], src: str = "src", dst: str = "dst",
         emask = (s == 1) & in_frontier[gid]
         if not emask.any():
             return empty
-        d = block["dst"].to_numpy(zero_copy_only=False)[order[emask]]
+        import pyarrow.compute as _pc
+
+        # fill_null first: nullable int64 -> float64 would corrupt
+        # full-width (>2^53) node ids, e.g. hashed doc ids
+        d = (
+            _pc.fill_null(block["dst"], 0)
+            .to_numpy(zero_copy_only=False)[order[emask]]
+        )
         return pa.table({"node": pa.array(np.unique(d).astype(np.int64))})
 
     for hops in range(1, max_hops + 1):

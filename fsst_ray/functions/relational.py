@@ -389,10 +389,17 @@ def interval_join(
         nr_go = nr[go]
         li = l_rows[l_starts[go] + t // nr_go].astype(np.int64)
         ri = r_rows[r_starts[go] + t % nr_go].astype(np.int64)
-        # range mask on the raw index arrays — only matches ever take
-        ts_all = block[ts_col].to_numpy(zero_copy_only=False)
-        lo_all = block[lo_col].to_numpy(zero_copy_only=False)
-        hi_all = block[hi_col].to_numpy(zero_copy_only=False)
+        # range mask on the raw index arrays — only matches ever take.
+        # fill_null BEFORE to_numpy: these columns are null on the
+        # opposite side's rows, and a nullable int64 converts to
+        # float64, silently corrupting values > 2^53 (packed keys,
+        # full-width timestamps); the fill value is never read — ts is
+        # only indexed at point rows, lo/hi only at interval rows
+        import pyarrow.compute as _pc
+
+        ts_all = _pc.fill_null(block[ts_col], 0).to_numpy(zero_copy_only=False)
+        lo_all = _pc.fill_null(block[lo_col], 0).to_numpy(zero_copy_only=False)
+        hi_all = _pc.fill_null(block[hi_col], 0).to_numpy(zero_copy_only=False)
         ts_v = ts_all[li]
         keep = (lo_all[ri] <= ts_v) & (ts_v < hi_all[ri])
         li, ri = li[keep], ri[keep]

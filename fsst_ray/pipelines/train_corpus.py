@@ -48,11 +48,20 @@ def build_training_corpus(
     eval_mod: int = 97,
     mix_budget: int | None = None,
     resume: bool = False,
+    read_fn=None,
+    lean_exchange: bool = False,
 ) -> dict:
     """Run the full curation chain over `docs_path` (parquet with
     doc_id/text/source/n_chars) and write the surviving documents as
     source-partitioned parquet under `out_dir`. Returns (and persists)
-    a summary dict with per-stage survivor counts."""
+    a summary dict with per-stage survivor counts.
+
+    `read_fn` (optional) replaces the default parquet read with any
+    zero-argument callable returning a fresh Dataset of the same
+    schema — the re-scan-per-stage contract means it is called once per
+    stage, so it must be cheap to construct and deterministic (e.g. a
+    read + map-side column derivation). `lean_exchange` forwards to
+    `minhash_dedup` (the 16 B/row band exchange)."""
     import ray.data as rd
 
     from ..functions.curate import curate, decontaminate, mix_corpus
@@ -65,6 +74,8 @@ def build_training_corpus(
         return json.loads(marker.read_text())
 
     def read_docs():
+        if read_fn is not None:
+            return read_fn()
         return rd.read_parquet(
             docs_path, columns=["doc_id", "text", "source", "n_chars"]
         )
@@ -77,7 +88,7 @@ def build_training_corpus(
     cur_docs = existence_join(read_docs(), kept, "doc_id", "doc_id", how="semi")
 
     # 2. near-dup cluster representatives (cluster_id == min doc_id)
-    labels = minhash_dedup(cur_docs, jaccard_threshold)
+    labels = minhash_dedup(cur_docs, jaccard_threshold, lean_exchange=lean_exchange)
 
     def reps_only(batch: pa.Table) -> pa.Table:
         m = pc.equal(batch["doc_id"], batch["cluster_id"])

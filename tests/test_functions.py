@@ -2838,3 +2838,39 @@ def test_json_int_field_and_rollup(ray_session):
     got_max = [None if pd.isna(x) else int(x) for x in out["max_val"]]
     ref_max = [None if pd.isna(x) else int(x) for x in ref["max_val"]]
     assert got_max == ref_max
+
+
+def test_interval_join_survives_full_width_values(ray_session):
+    """ts/lo/hi above 2^53 (packed keys, wide timestamps): the
+    nullable-union float64 round trip would corrupt them; fill_null
+    keeps the compare exact. Regression for the session-9 review
+    find."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import interval_join
+
+    base = (1 << 60) + 987654321987654321 % (1 << 59)
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "pid": pa.array([0, 1], pa.int64()),
+                "ts": pa.array([base, base + 2], pa.int64()),
+            }
+        )
+    )
+    ivs = rd.from_arrow(
+        pa.table(
+            {
+                "ik": pa.array([1], pa.int64()),
+                "iid": pa.array([9], pa.int64()),
+                "lo": pa.array([base + 1], pa.int64()),
+                "hi": pa.array([base + 3], pa.int64()),
+            }
+        )
+    )
+    out = interval_join(pts, ivs, "k", "ik", "ts", "lo", "hi").to_pandas()
+    # only pid 1 (ts = base+2) is inside [base+1, base+3); pid 0 at
+    # base would FALSELY match if anything rounded through float64
+    assert set(zip(out["pid"], out["iid"])) == {(1, 9)}
+    assert out["ts"].tolist() == [base + 2]

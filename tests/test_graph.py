@@ -431,3 +431,20 @@ def test_hop_distance_guards(ray_session):
         hop_distance(_edges_ds([(0, 1)]), [])
     with pytest.raises(RuntimeError, match="max_hops"):
         hop_distance(_edges_ds([(i, i + 1) for i in range(10)]), [0], max_hops=3)
+
+
+def test_pagerank_and_bfs_survive_full_width_ids(ray_session):
+    """Node ids above 2^53: a nullable-int64 -> float64 numpy
+    conversion would silently round them (the tagged union makes
+    dst/rank columns nullable); fill_null-before-to_numpy keeps them
+    exact. Regression for the session-9 review find."""
+    from fsst_ray.functions.graph import hop_distance, pagerank
+
+    base = (1 << 60) + 12345678901234567  # not representable in f64
+    edges = [(base, base + 1), (base + 1, base + 3), (base + 3, base)]
+    out = hop_distance(_edges_ds(edges), [base]).to_pandas()
+    got = dict(zip(out["node"], out["hops"]))
+    assert got == {base: 0, base + 1: 1, base + 3: 2}
+
+    pr = pagerank(_edges_ds(edges), iterations=3).to_pandas()
+    assert dict(zip(pr["node"], pr["rank_fp"])) == _ref_pagerank(edges, 3)

@@ -376,6 +376,60 @@ def main() -> None:
         "spilled_mb": spill_now - spill_prev,
     }
 
+    # -- leg 7: composite build-corpus pipeline ---------------------------
+    # the end-to-end chain a user actually runs: curate -> minhash reps
+    # (lean exchange) -> decontaminate -> source-partitioned write; the
+    # bench corpus lacks source/n_chars, so read_fn derives them
+    # map-side (deterministic: source = shard of 4 by id)
+    if os.environ.get("FSST_LLMBENCH_SKIP_CORPUS", "0") != "1":
+        import shutil as _sh
+
+        spill_prev = _spilled_mb(session_dir)
+        corpus_out = "/tmp/fsst_ray_runs/llmbench_corpus"
+        _sh.rmtree(corpus_out, ignore_errors=True)
+
+        def read_docs_derived():
+            import numpy as np
+            import pyarrow as pa
+
+            def derive(batch):
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                src = np.array(["s0", "s1", "s2", "s3"])[ids % 4]
+                nch = pc.utf8_length(batch["text"])
+                return pa.table(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "text": batch["text"],
+                        "source": pa.array(src, pa.string()),
+                        "n_chars": pc.cast(nch, pa.int64()),
+                    }
+                )
+
+            return rd.read_parquet(files, columns=["doc_id", "text"]).map_batches(
+                derive, batch_format="pyarrow"
+            )
+
+        from fsst_ray.pipelines.train_corpus import build_training_corpus
+
+        t0 = time.monotonic()
+        summary = build_training_corpus(
+            path,
+            corpus_out,
+            read_fn=read_docs_derived,
+            lean_exchange=True,
+        )
+        corpus_s = time.monotonic() - t0
+        spill_now = _spilled_mb(session_dir)
+        results["build_corpus"] = {
+            "wall_sec": round(corpus_s, 2),
+            "rows_in": summary["n_in"],
+            "n_curated": summary["n_curated"],
+            "n_dedup_reps": summary["n_dedup_reps"],
+            "n_final": summary["n_final"],
+            "docs_per_sec": round(summary["n_in"] / corpus_s),
+            "spilled_mb": spill_now - spill_prev,
+        }
+
     peak_gb = sampler.stop()
     probe_after = _window_probe()
     out = {
