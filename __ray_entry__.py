@@ -626,6 +626,38 @@ def _q_user_value_quantiles(sf_dir: str):
     )
 
 
+def _q_orders_customers_right(sf_dir: str):
+    """Right-outer hash join: orders ⟗ customer from the orders side —
+    orderless customers appear once with null order columns (the
+    mirror of customer_orders_left, exercising the right-join branch).
+    See fsst_ray/functions/relational.py:hash_join."""
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    cu = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return hash_join(od, cu, "o_custkey", "c_custkey", how="right")
+
+
+_CAP_N = 30
+
+
+def _q_cap_per_source(sf_dir: str):
+    """Deterministic per-source doc cap (at most 30 docs/source by
+    smallest (hash, id) — the over-represented-domain curation step;
+    stable under reorder/rerun, caps nest). See
+    fsst_ray/functions/curate.py:cap_per_key."""
+    from fsst_ray.functions.curate import cap_per_key
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "doc_id"])
+    return cap_per_key(docs, "source", _CAP_N)
+
+
 def _q_user_event_mode(sf_dir: str):
     """Per-user most-frequent event type with deterministic ties
     (max count, then smallest value) — map-side pair counts, one
@@ -2102,6 +2134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "user_value_quantiles": _q_user_value_quantiles,
         "user_event_mode": _q_user_event_mode,
+        "cap_per_source": _q_cap_per_source,
+        "orders_customers_right": _q_orders_customers_right,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
         # -- block 2: round-5-changed paths + family representatives --
@@ -2865,6 +2899,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(k) AS BIGINT) AS n_present, "
             "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_val, "
             "MAX(k) AS max_val FROM x GROUP BY event_type"
+        ),
+        "orders_customers_right": (
+            # the engine's join key column is real on unmatched right
+            # rows (taken from the right side), so COALESCE mirrors it
+            "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "o.o_orderkey, c.c_name "
+            "FROM orders o RIGHT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey"
+        ),
+        "cap_per_source": (
+            f"SELECT source, doc_id FROM (SELECT source, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY hash(doc_id), doc_id) AS rk FROM documents) "
+            f"WHERE rk <= {_CAP_N}"
         ),
         "user_event_mode": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "

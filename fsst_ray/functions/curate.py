@@ -723,3 +723,74 @@ def quality_deciles(ds, n_buckets: int = 10):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cap_per_key(ds, key: str = "source", n: int = 100, id_col: str = "doc_id"):
+    """Deterministic per-key row cap — "at most n docs per domain", the
+    standard over-represented-source curation step. Keeps the n rows
+    with the SMALLEST (murmur64(id), id) per key, so the choice is
+    uniform-pseudorandom yet stable under reordering / repartition /
+    rerun and nests across cap changes (n1 <= n2 => cap(n1) ⊂ cap(n2),
+    the consistent_sample property per key). Returns (key, id_col)
+    survivor rows; callers re-attach payloads with
+    `existence_join(..., how="semi")` (the train_corpus pattern).
+
+    Shape (the top_n_per_group bound + the min_per_key finish, because
+    key cardinality here is UNBOUNDED — domains scale with the corpus,
+    so the per-group finalize must not be map_groups): stage 1 prunes
+    each block to <= n rows per key map-side (vectorized hash-rank),
+    bounding the exchange to n x keys x blocks rows; stage 2 is ONE
+    range sort on the key + a vectorized per-block rank pass. Exact by
+    the top-n-of-block argument: a global top-n row is a top-n row of
+    its own block.
+    """
+    if n < 1:
+        raise ValueError("cap_per_key: n must be >= 1")
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: batch[key], id_col: batch[id_col]})
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _murmur64(ids)
+        order = np.lexsort((ids, h, keys))
+        k_sorted = keys[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(k_sorted[1:] != k_sorted[:-1]) + 1]
+        )
+        group_start = np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(k_sorted)]]))
+        )
+        rank = np.arange(len(k_sorted)) - group_start
+        keep = np.sort(order[rank < n])
+        return pa.table(
+            {key: batch[key].take(pa.array(keep)), id_col: pa.array(ids[keep])}
+        )
+
+    def finish(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({key: block[key], id_col: block[id_col]})
+        keys = block[key].to_numpy(zero_copy_only=False)
+        ids = block[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _murmur64(ids)
+        order = np.lexsort((ids, h, keys))
+        k_sorted = keys[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(k_sorted[1:] != k_sorted[:-1]) + 1]
+        )
+        group_start = np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(k_sorted)]]))
+        )
+        rank = np.arange(len(k_sorted)) - group_start
+        keep = np.sort(order[rank < n])
+        return pa.table(
+            {key: block[key].take(pa.array(keep)), id_col: pa.array(ids[keep])}
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .sort(key)
+        .map_batches(
+            finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

@@ -101,7 +101,7 @@ def dim_lookup_rollup(fact_ds, supplier: pa.Table, nation: pa.Table, region: pa.
 
 def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 1 << 20,
               how: str = "inner", max_group_rows: int = 1 << 26):
-    """Distributed equi-join (`how` = "inner" | "left" | "full"): one exchange of the two tagged
+    """Distributed equi-join (`how` = "inner" | "left" | "right" | "full"): one exchange of the two tagged
     projections (a range sort on the key — equal keys never straddle a
     block boundary, the same property ngram_jaccard's streaming group
     map relies on), then ONE vectorized pass per sorted block that
@@ -127,8 +127,8 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
     with a known-hot key should pre-aggregate or salt/split it.
     """
 
-    if how not in ("inner", "left", "full"):
-        raise ValueError(f"hash_join: how must be inner|left|full, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"hash_join: how must be inner|left|right|full, got {how!r}")
 
     def _tag(side: int, key_name: str, other_schema: pa.Schema):
         def fn(batch: pa.Table) -> pa.Table:
@@ -194,10 +194,10 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, chunk_rows: int = 
         nl = np.bincount(gid[lmask], minlength=g_count)
         nr = np.bincount(gid[~lmask], minlength=g_count)
         # left join: a group with no right rows still emits its left
-        # rows once (right columns null); full join additionally emits
-        # right rows of a group with no left rows (left columns null)
+        # rows once (right columns null); right join mirrors that for
+        # left-empty groups; full join does both
         nr_eff = np.maximum(nr, 1) if how in ("left", "full") else nr
-        nl_eff = np.maximum(nl, 1) if how == "full" else nl
+        nl_eff = np.maximum(nl, 1) if how in ("right", "full") else nl
         m = nl_eff * nr_eff  # out rows per group
         if m.size and int(m.max()) > max_group_rows:
             g = int(np.argmax(m))

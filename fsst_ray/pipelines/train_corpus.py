@@ -46,6 +46,7 @@ def build_training_corpus(
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.7,
     eval_mod: int = 97,
+    decon_min_hits: int = 1,
     mix_budget: int | None = None,
     resume: bool = False,
     read_fn=None,
@@ -104,8 +105,12 @@ def build_training_corpus(
         how="semi",
     )
 
-    # 3. decontamination vs the held-out eval slice
-    dec = decontaminate(dd_docs, eval_mod=eval_mod)
+    # 3. decontamination vs the held-out eval slice. min_hits is a real
+    # knob: on small-vocabulary corpora a single shared shingle is
+    # ubiquitous (the llm_bench synthetic corpus drops to 0 survivors
+    # at min_hits=1) while true contamination (near-copies of eval
+    # docs) shares MANY shingles
+    dec = decontaminate(dd_docs, eval_mod=eval_mod, min_hits=decon_min_hits)
 
     def keep_only(batch: pa.Table) -> pa.Table:
         return batch.filter(batch["keep"]).select(["doc_id"])

@@ -2874,3 +2874,96 @@ def test_interval_join_survives_full_width_values(ray_session):
     # base would FALSELY match if anything rounded through float64
     assert set(zip(out["pid"], out["iid"])) == {(1, 9)}
     assert out["ts"].tolist() == [base + 2]
+
+
+def test_cap_per_key_deterministic_and_nested(ray_session):
+    """Per-key hash-rank cap: parity vs a python reference on the same
+    murmur64 order; stable under repartition; caps nest (n=5 ⊂ n=20);
+    keys under the cap keep every row; MapGroups-free plan."""
+    import ray.data as rd
+
+    from fsst_ray.functions.curate import _murmur64, cap_per_key
+
+    rng = np.random.default_rng(808)
+    nrows = 4000
+    keys = np.array(["d%d" % x for x in rng.integers(0, 37, nrows)])
+    ids = rng.permutation(10**6)[:nrows].astype(np.int64)
+    t = pa.table({"source": pa.array(keys, pa.string()), "doc_id": pa.array(ids)})
+
+    def ref_cap(n):
+        h = _murmur64(ids)
+        order = np.lexsort((ids, h, keys))
+        out = set()
+        seen: dict[str, int] = {}
+        for i in order:
+            k = keys[i]
+            c = seen.get(k, 0)
+            if c < n:
+                out.add(int(ids[i]))
+                seen[k] = c + 1
+        return out
+
+    ds = rd.from_arrow(t).repartition(11)
+    got5 = cap_per_key(ds, "source", 5).materialize()
+    ids5 = set(got5.to_pandas()["doc_id"])
+    assert ids5 == ref_cap(5)
+    assert "MapGroups" not in got5.stats()
+    ids20 = set(cap_per_key(ds, "source", 20).to_pandas()["doc_id"])
+    assert ids20 == ref_cap(20)
+    assert ids5 <= ids20  # caps nest
+    # repartition-stable
+    ids5b = set(
+        cap_per_key(rd.from_arrow(t).repartition(3), "source", 5)
+        .to_pandas()["doc_id"]
+    )
+    assert ids5b == ids5
+    # a cap larger than every group keeps everything
+    assert len(set(cap_per_key(ds, "source", 10**6).to_pandas()["doc_id"])) == nrows
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_key(ds, "source", 0)
+
+
+def test_hash_join_right_outer(ray_session):
+    """Right join = mirror of left: left-empty key groups emit their
+    right rows once with null left columns; randomized set-logic
+    parity across blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fsst_ray.functions.relational import hash_join
+
+    rng = np.random.default_rng(314)
+    lk = rng.integers(0, 30, 200)
+    rk = rng.integers(10, 40, 150)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(lk, pa.int64()),
+                "lv": pa.array(np.arange(200), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(rk, pa.int64()),
+                "rv": pa.array(np.arange(150) + 1000, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = hash_join(left, right, "k", "rk", how="right").to_pandas()
+    ldf = pd.DataFrame({"k": lk, "lv": np.arange(200)})
+    rdf = pd.DataFrame({"k": rk, "rv": np.arange(150) + 1000})
+    ref = ldf.merge(rdf, on="k", how="right")
+    got = set(
+        (int(k), None if pd.isna(l) else int(l), int(r))
+        for k, l, r in zip(out["k"], out["lv"], out["rv"])
+    )
+    want = set(
+        (int(k), None if pd.isna(l) else int(l), int(r))
+        for k, l, r in zip(ref["k"], ref["lv"], ref["rv"])
+    )
+    assert got == want
+    assert len(out) == len(ref)
+    with pytest.raises(ValueError, match="how must be"):
+        hash_join(left, right, "k", "rk", how="outer")

@@ -412,11 +412,19 @@ def main() -> None:
         from fsst_ray.pipelines.train_corpus import build_training_corpus
 
         t0 = time.monotonic()
+        # min_hits=64: the synthetic corpus draws from a small shared
+        # vocabulary, so the 1/97 eval slice's shingle union saturates —
+        # measured on this corpus, 100% of docs share >= 4 shingles and
+        # 75% share >= 32 (min_hits=1 left 0 survivors). 64 drops ~12%,
+        # including every planted exact copy of a >=66-word eval doc,
+        # keeping the stage's exchange + broadcast plumbing fully
+        # exercised without degenerating
         summary = build_training_corpus(
             path,
             corpus_out,
             read_fn=read_docs_derived,
             lean_exchange=True,
+            decon_min_hits=64,
         )
         corpus_s = time.monotonic() - t0
         spill_now = _spilled_mb(session_dir)
