@@ -626,6 +626,34 @@ def _q_user_value_quantiles(sf_dir: str):
     )
 
 
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source"]
+
+
+def _q_profile_documents(sf_dir: str):
+    """Exact column profiler over the documents table: per column
+    (n, n_null, n_distinct, min/max repr) in one streaming pass —
+    distinct exchanged as (column, value) rows bounded by per-column
+    cardinality (the EXACT sibling of the hll/kmv sketches). See
+    fsst_ray/functions/profile.py."""
+    from fsst_ray.functions.profile import profile_table
+
+    docs = _read(sf_dir, "documents").select_columns(_PROFILE_COLS)
+    return profile_table(docs, _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_repr, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_repr FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _q_orders_customers_right(sf_dir: str):
     """Right-outer hash join: orders ⟗ customer from the orders side —
     orderless customers appear once with null order columns (the
@@ -2136,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_mode": _q_user_event_mode,
         "cap_per_source": _q_cap_per_source,
         "orders_customers_right": _q_orders_customers_right,
+        "profile_documents": _q_profile_documents,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
         # -- block 2: round-5-changed paths + family representatives --
@@ -2900,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_val, "
             "MAX(k) AS max_val FROM x GROUP BY event_type"
         ),
+        "profile_documents": _profile_oracle(),
         "orders_customers_right": (
             # the engine's join key column is real on unmatched right
             # rows (taken from the right side), so COALESCE mirrors it

@@ -2967,3 +2967,48 @@ def test_hash_join_right_outer(ray_session):
     assert len(out) == len(ref)
     with pytest.raises(ValueError, match="how must be"):
         hash_join(left, right, "k", "rk", how="outer")
+
+
+def test_profile_table_exact(ray_session):
+    """Column profiler vs direct computation: nulls, distinct counts,
+    native-type min/max rendering, multi-block dedup, type guard."""
+    import ray.data as rd
+
+    from fsst_ray.functions.profile import profile_table
+
+    rng = np.random.default_rng(606)
+    n = 3000
+    ints = rng.integers(-500, 500, n)
+    int_null_mask = rng.random(n) < 0.1
+    strs = np.array(["w%03d" % x for x in rng.integers(0, 150, n)])
+    t = pa.table(
+        {
+            "a": pa.array(
+                [None if m else int(v) for v, m in zip(ints, int_null_mask)],
+                pa.int64(),
+            ),
+            "b": pa.array(strs, pa.string()),
+            "f": pa.array(rng.random(n), pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    out = (
+        profile_table(ds, ["a", "b"])
+        .to_pandas()
+        .set_index("column")
+        .to_dict("index")
+    )
+    valid = ints[~int_null_mask]
+    assert out["a"]["n"] == n
+    assert out["a"]["n_null"] == int(int_null_mask.sum())
+    assert out["a"]["n_distinct"] == len(np.unique(valid))
+    assert out["a"]["min_repr"] == str(valid.min())
+    assert out["a"]["max_repr"] == str(valid.max())
+    assert out["b"]["n"] == n and out["b"]["n_null"] == 0
+    assert out["b"]["n_distinct"] == len(np.unique(strs))
+    assert out["b"]["min_repr"] == min(strs.tolist())
+    assert out["b"]["max_repr"] == max(strs.tolist())
+    with pytest.raises(ValueError, match="float"):
+        profile_table(ds, ["f"])
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_table(ds, [])
