@@ -2531,7 +2531,7 @@ def test_hash_join_full_outer(ray_session):
     ).to_pandas()
     assert len(eout) == 250 and eout["lv"].isna().all()
     with pytest.raises(ValueError, match="how must be"):
-        hash_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "rk", how="right")
+        hash_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "rk", how="cross")
 
 
 def test_tumbling_distinct_and_value_histogram_reference(ray_session):
