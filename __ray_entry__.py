@@ -626,6 +626,71 @@ def _q_user_value_quantiles(sf_dir: str):
     )
 
 
+_BPE_MERGES = 12
+
+
+def _q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich 2016): ONE corpus
+    pass of word-count partials + a vocab-sized groupby, then the
+    merge loop over the (word, cnt) table — vocabulary-bounded, fully
+    vectorized, deterministic (string tie-break). The oracle replays
+    all 12 merges with nested window-function CTEs. See
+    fsst_ray/functions/bpe.py."""
+    from fsst_ray.functions.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    return bpe_train(docs, n_merges=_BPE_MERGES)
+
+
+def _bpe_oracle() -> str:
+    """SQL mirror of the merge loop: per iteration, weighted adjacent
+    pair counts, (count DESC, l, r) argmax, and the greedy
+    non-overlapping rewrite via run-boundary + offset parity windows."""
+    k = _BPE_MERGES
+    parts = [
+        "WITH wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word), "
+        "st0 AS MATERIALIZED (SELECT word, cnt, "
+        "list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms "
+        "FROM wc)"
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"p{i} AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS i "
+            f"FROM st{p}), "
+            f"pc{i} AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS c "
+            f"FROM p{i} GROUP BY l, r), "
+            f"b{i} AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pc{i} "
+            "ORDER BY c DESC, l, r LIMIT 1), "
+            f"q{i} AS (SELECT word, cnt, syms, "
+            f"unnest(range(1, len(syms) + 1)) AS i FROM st{p}), "
+            f"m{i} AS (SELECT word, cnt, i, syms[i] AS s, "
+            f"(i < len(syms) AND syms[i] = (SELECT l FROM b{i}) "
+            f"AND syms[i+1] = (SELECT r FROM b{i})) AS hit FROM q{i}), "
+            f"r{i} AS (SELECT *, CASE WHEN hit AND NOT COALESCE("
+            "LAG(hit) OVER (PARTITION BY word ORDER BY i), FALSE) "
+            f"THEN i END AS rs FROM m{i}), "
+            f"r2{i} AS (SELECT *, MAX(rs) OVER (PARTITION BY word ORDER BY i "
+            f"ROWS UNBOUNDED PRECEDING) AS runstart FROM r{i}), "
+            f"r3{i} AS (SELECT *, (hit AND (i - runstart) % 2 = 0) AS keep "
+            f"FROM r2{i}), "
+            f"r4{i} AS (SELECT *, COALESCE(LAG(keep) OVER "
+            "(PARTITION BY word ORDER BY i), FALSE) AS consumed, "
+            f"LEAD(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM r3{i}), "
+            f"st{i} AS MATERIALIZED (SELECT word, cnt, "
+            "list(CASE WHEN keep THEN s || nxt ELSE s END ORDER BY i) "
+            f"FILTER (WHERE NOT consumed) AS syms FROM r4{i} GROUP BY word, cnt)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS l_sym, r AS r_sym, "
+        f"l || r AS new_token, c AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return ", ".join(parts) + " " + finals
+
+
 _PROFILE_COLS = ["doc_id", "lang", "n_chars", "source"]
 
 
@@ -2165,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "orders_customers_right": _q_orders_customers_right,
         "profile_documents": _q_profile_documents,
+        "bpe_train": _q_bpe_train,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
         # -- block 2: round-5-changed paths + family representatives --
@@ -2930,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
             "MAX(k) AS max_val FROM x GROUP BY event_type"
         ),
         "profile_documents": _profile_oracle(),
+        "bpe_train": _bpe_oracle(),
         "orders_customers_right": (
             # the engine's join key column is real on unmatched right
             # rows (taken from the right side), so COALESCE mirrors it

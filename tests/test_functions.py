@@ -3012,3 +3012,69 @@ def test_profile_table_exact(ray_session):
         profile_table(ds, ["f"])
     with pytest.raises(ValueError, match="non-empty"):
         profile_table(ds, [])
+
+
+def _ref_bpe(word_cnt: dict, n_merges: int):
+    """Pure-python Sennrich BPE over a word-count table: overlapping
+    pair counts, string tie-break, greedy left-to-right rewrite."""
+    seqs = {w: list(w) for w in word_cnt}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, c in word_cnt.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(
+            (rank + 1, best[0], best[1], best[0] + best[1], counts[best])
+        )
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.bpe import bpe_train
+
+    rng = np.random.default_rng(2222)
+    vocab = ["aaa", "aaaa", "abab", "banana", "bandana", "low", "lower",
+             "lowest", "newer", "wider", "xyzzy"]
+    docs = [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), 30))
+        for _ in range(80)
+    ]
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})
+    ).repartition(6)
+    got = bpe_train(ds, n_merges=12)
+    wc: dict = {}
+    for d in docs:
+        for w in d.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = _ref_bpe(wc, 12)
+    rows = list(
+        zip(
+            got["rank"].to_pylist(),
+            got["l_sym"].to_pylist(),
+            got["r_sym"].to_pylist(),
+            got["new_token"].to_pylist(),
+            got["pair_count"].to_pylist(),
+        )
+    )
+    assert rows == want
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(ds, n_merges=0)
