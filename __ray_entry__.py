@@ -2188,8 +2188,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "token_histogram": _q_token_histogram,
-        # new in round 5 — never driver-verified, so it joins block 1
-        # (displacing one r4-green sibling from the ~50-query window)
+        # session-9 additions — the NEWEST never-driver-verified code,
+        # placed directly after the lifecycle block so they land inside
+        # the driver's ~50-query window (the session 1-8 additions
+        # below have had more rounds of pytest+oracle-mirror hardening)
+        "pagerank": _q_pagerank,
+        "hop_distance": _q_hop_distance,
+        "order_window_events": _q_order_window_events,
+        "user_event_paths": _q_user_event_paths,
+        "user_value_quantiles": _q_user_value_quantiles,
+        "user_event_mode": _q_user_event_mode,
+        "cap_per_source": _q_cap_per_source,
+        "orders_customers_right": _q_orders_customers_right,
+        "profile_documents": _q_profile_documents,
+        "bpe_train": _q_bpe_train,
+        "sink_jsonl": _q_sink_jsonl,
+        "props_rollup": _q_props_rollup,
+        # round-5 sessions 1-8 — never driver-verified
         "segment_dedup": _q_segment_dedup,
         "score_documents": _q_score_documents,
         "heavy_hitters": _q_heavy_hitters,
@@ -2221,18 +2236,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_distinct": _q_tumbling_distinct,
         "value_histogram": _q_value_histogram,
         "bigram_histogram": _q_bigram_histogram,
-        "pagerank": _q_pagerank,
-        "hop_distance": _q_hop_distance,
-        "order_window_events": _q_order_window_events,
-        "user_event_paths": _q_user_event_paths,
-        "user_value_quantiles": _q_user_value_quantiles,
-        "user_event_mode": _q_user_event_mode,
-        "cap_per_source": _q_cap_per_source,
-        "orders_customers_right": _q_orders_customers_right,
-        "profile_documents": _q_profile_documents,
-        "bpe_train": _q_bpe_train,
-        "sink_jsonl": _q_sink_jsonl,
-        "props_rollup": _q_props_rollup,
         # -- block 2: round-5-changed paths + family representatives --
         "session_windows": _q_session_windows,
         "minhash_exact_clusters": _q_minhash_exact_clusters,
