@@ -737,13 +737,14 @@ def _q_orders_customers_right(sf_dir: str):
     return hash_join(od, cu, "o_custkey", "c_custkey", how="right")
 
 
-_CAP_N = 30
+_CAP_N = 10
 
 
 def _q_cap_per_source(sf_dir: str):
-    """Deterministic per-source doc cap (at most 30 docs/source by
+    """Deterministic per-source doc cap (at most 10 docs/source by
     smallest (hash, id) — the over-represented-domain curation step;
-    stable under reorder/rerun, caps nest). See
+    stable under reorder/rerun, caps nest; NON-VACUOUS: every sf0.01
+    source has 25 docs, so the cap selects 10 of 25 everywhere). See
     fsst_ray/functions/curate.py:cap_per_key."""
     from fsst_ray.functions.curate import cap_per_key
 
