@@ -1875,6 +1875,44 @@ def _q_append_roundtrip(sf_dir: str):
     return tokens_summary(decode_dataset(out))
 
 
+def _q_decode_generation(sf_dir: str):
+    """Generation time travel: encode the even half (generation 0),
+    APPEND the odd half (generation 1), then decode AS OF generation 0
+    — the summary must equal the even half alone, proving appended
+    files are pruned at the manifest level (pruning asserted). See
+    fsst_ray/pipelines/decode_job.py:decode_generation."""
+    import pyarrow.compute as pc
+
+    from fsst_ray import (
+        append_dataset,
+        decode_generation,
+        encode_dataset,
+        read_tokens_dataset,
+    )
+    from fsst_ray.stages.decoder import tokens_summary
+
+    scale = _scale_for(sf_dir)
+    ds = read_tokens_dataset(scale=scale)
+
+    def _half(odd: bool):
+        def pick(batch):
+            m = None
+            for d in "13579":
+                e = pc.ends_with(batch["doc_id"], pattern=d)
+                m = e if m is None else pc.or_(m, e)
+            return batch.filter(m if odd else pc.invert(m))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    out = _tmp_out("gen_tt")
+    encode_dataset(_half(False), out, chunk_tokens=1 << 17, bucket_tokens=1 << 19)
+    append_dataset(_half(True), out)
+    stats: dict = {}
+    summary = tokens_summary(decode_generation(out, 0, stats=stats))
+    assert stats["files_read"] < stats["files_total"], stats
+    return summary
+
+
 def _q_decode_point_lookup(sf_dir: str):
     """Selective decode (point lookup): encode the corpus, then decode
     ONLY the docs whose id ends in '00' through the two-phase pruned
@@ -2205,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
+        "decode_generation": _q_decode_generation,
         # round-5 sessions 1-8 — never driver-verified
         "segment_dedup": _q_segment_dedup,
         "score_documents": _q_score_documents,
@@ -3126,6 +3165,20 @@ def oracle_sql() -> dict[str, str]:
         "tokens_roundtrip": tokens_summary_sql,
         # append path must reproduce the identical full-corpus summary
         "append_roundtrip": tokens_summary_sql,
+        "decode_generation": (
+            # the even half alone: as-of generation 0 must exclude every
+            # appended (odd) row
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+            # COALESCE: a group whose surviving docs are ALL zero-token
+            # sums only NULL list_sums (the full-corpus oracle never
+            # hits this; the even-half 'empty' group does)
+            "CAST(COALESCE(SUM(list_sum(list_transform(tokens, "
+            "(x, i) -> (CAST(x AS BIGINT) + 1) * i))), 0) AS BIGINT) AS checksum "
+            f"FROM {corpus} "
+            "WHERE NOT (doc_id LIKE '%1' OR doc_id LIKE '%3' OR doc_id LIKE '%5' "
+            "OR doc_id LIKE '%7' OR doc_id LIKE '%9') GROUP BY source"
+        ),
         "split_windows": (
             "SELECT doc_id, t.d AS win_idx, t.d * 384 AS win_start, "
             "LEAST(512, n_tok - t.d * 384) AS win_len, "

@@ -14,6 +14,7 @@ from .pipelines import (
     append_dataset,
     compact_corpus,
     decode_dataset,
+    decode_generation,
     decode_ntok_range,
     decode_select,
     decode_source,
@@ -36,6 +37,7 @@ __all__ = [
     "decode_dataset",
     "decode_select",
     "decode_ntok_range",
+    "decode_generation",
     "decode_source",
     "read_encoded",
     "verify_roundtrip",

@@ -1,6 +1,6 @@
 from .encode_job import append_dataset, encode_dataset, EncodeResult
 from .compact_job import compact_corpus, repair_compaction
-from .decode_job import read_encoded, decode_dataset, decode_ntok_range, decode_select, decode_source, verify_roundtrip
+from .decode_job import read_encoded, decode_dataset, decode_generation, decode_ntok_range, decode_select, decode_source, verify_roundtrip
 
 __all__ = [
     "encode_dataset",
@@ -9,6 +9,7 @@ __all__ = [
     "read_encoded",
     "decode_dataset",
     "decode_select",
+    "decode_generation",
     "decode_ntok_range",
     "decode_source",
     "verify_roundtrip",

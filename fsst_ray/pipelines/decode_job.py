@@ -311,6 +311,57 @@ def decode_ntok_range(out_dir: str, lo: int, hi: int, stats: dict | None = None)
     return _apply_tombstones(out_dir, _phase_b_decode(path, entries, hits, stats, trim))
 
 
+def generation_of_key(part_key: str) -> int:
+    """Append generation encoded in a part key: base buckets
+    ('{source}:{bucket}') are generation 0, appended buckets
+    ('{source}:g{N}-{bucket}') are N. Compacted keys
+    ('{source}:c{gen}-{seq}') RAISE — compaction folds generations
+    into one file set, so as-of-generation reads are no longer
+    possible (the documented trade of compact_corpus)."""
+    seg = part_key.split(":", 1)[1]
+    if seg[:1] == "c":
+        raise ValueError(
+            f"part key {part_key!r} is compacted: generations were folded "
+            "by compact_corpus, so generation time travel is unavailable "
+            "on this corpus"
+        )
+    if seg[:1] == "g":
+        return int(seg[1 : seg.index("-")])
+    return 0
+
+
+def decode_generation(out_dir: str, max_gen: int, stats: dict | None = None):
+    """As-of-generation decode (time travel over incremental appends):
+    only rows ingested at append generation <= `max_gen` (base encode =
+    generation 0). Pruning is purely manifest-level, like
+    `decode_source`: generations are encoded in part keys and buckets
+    never span generations, so ONLY the selected generations' bucket
+    files are opened. Tombstones still apply (current deletes filter
+    every decode path — "as of generation g, minus rows since deleted";
+    documented). Raises on a compacted corpus (generations folded)."""
+    import ray.data as rd
+
+    from .compact_job import assert_readable
+
+    assert_readable(out_dir)
+    path = mf.chunks_dir(out_dir)
+    entries = mf.load_manifest(out_dir)
+    files = [
+        str(path / e["file"])
+        for key, e in entries.items()
+        if generation_of_key(key) <= max_gen
+    ]
+    if stats is not None:
+        stats["files_total"] = len(entries)
+        stats["files_read"] = len(files)
+    if not files:
+        return rd.from_arrow(_empty_rows_table())
+    rows = rd.read_parquet(
+        files, override_num_blocks=max(len(files), 1)
+    ).map_batches(decode_chunks_batch, batch_format="pyarrow", batch_size=None)
+    return _apply_tombstones(out_dir, rows)
+
+
 def decode_source(out_dir: str, sources, stats: dict | None = None):
     """Selective decode by SOURCE: the per-source export read ("give me
     the english split"). Buckets are per-source by construction

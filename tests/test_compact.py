@@ -362,3 +362,17 @@ def test_consolidation_preserves_concurrent_sidecars(tmp_path):
     mf.consolidate_manifest(out, entries, sidecars)
     after = mf.load_manifest(out)
     assert "a:00000" in after and "b:g1-00000" in after
+
+
+def test_generation_of_key_parsing():
+    """Part-key generation parsing: base=0, gN=N, compacted keys raise
+    (generations folded -> time travel unavailable)."""
+    import pytest
+
+    from fsst_ray.pipelines.decode_job import generation_of_key
+
+    assert generation_of_key("english:00001") == 0
+    assert generation_of_key("english:g1-00002") == 1
+    assert generation_of_key("english:g12-00000") == 12
+    with pytest.raises(ValueError, match="compacted"):
+        generation_of_key("english:c1-00003")
