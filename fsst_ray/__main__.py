@@ -61,6 +61,13 @@ def main(argv=None):
         help="LO:HI inclusive n_tok range (select): pruned length-range decode",
     )
     parser.add_argument(
+        "--max-generation",
+        type=int,
+        default=None,
+        help="select: decode rows ingested at append generation <= N "
+             "(time travel; base encode = 0; refuses compacted corpora)",
+    )
+    parser.add_argument(
         "--source",
         help="comma-separated sources (select): manifest-pruned per-source decode",
     )
@@ -165,10 +172,14 @@ def main(argv=None):
             decode_dataset(args.input).write_parquet(args.output)
             print(json.dumps({"decoded_to": args.output}))
         elif args.command == "select":
-            from fsst_ray import decode_ntok_range, decode_select
+            from fsst_ray import decode_generation, decode_ntok_range, decode_select
 
             stats: dict = {}
-            if args.source:
+            if args.max_generation is not None:
+                sel = decode_generation(
+                    args.encoded or args.input, args.max_generation, stats=stats
+                )
+            elif args.source:
                 from fsst_ray import decode_source
 
                 sel = decode_source(
