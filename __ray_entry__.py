@@ -642,10 +642,48 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
+def _q_bpe_tokenize(sf_dir: str):
+    """Apply the trained merges back to the corpus (map-side, merges
+    broadcast via ray.put, batch-vocabulary dedup + one vectorized
+    rewrite pass per merge): per doc (n_words, n_bpe_tokens). The
+    oracle joins each doc's words to the CTE chain's FINAL symbol
+    table. See fsst_ray/functions/bpe.py:bpe_apply."""
+    from fsst_ray.functions.bpe import bpe_apply, bpe_train
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    return bpe_apply(docs, merges)
+
+
+def _bpe_apply_oracle() -> str:
+    """Per-doc BPE token counts: the training CTE chain's final symbol
+    table joined back to every doc word."""
+    k = _BPE_MERGES
+    return (
+        _bpe_cte_prefix()
+        + ", dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents) "
+        "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens "
+        f"FROM dw JOIN st{k} s ON s.word = dw.word "
+        "WHERE dw.word <> '' GROUP BY dw.doc_id"
+    )
+
+
 def _bpe_oracle() -> str:
     """SQL mirror of the merge loop: per iteration, weighted adjacent
     pair counts, (count DESC, l, r) argmax, and the greedy
     non-overlapping rewrite via run-boundary + offset parity windows."""
+    k = _BPE_MERGES
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS l_sym, r AS r_sym, "
+        f"l || r AS new_token, c AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return _bpe_cte_prefix() + " " + finals
+
+
+def _bpe_cte_prefix() -> str:
     k = _BPE_MERGES
     parts = [
         "WITH wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM "
@@ -683,12 +721,7 @@ def _bpe_oracle() -> str:
             "list(CASE WHEN keep THEN s || nxt ELSE s END ORDER BY i) "
             f"FILTER (WHERE NOT consumed) AS syms FROM r4{i} GROUP BY word, cnt)"
         )
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS rank, l AS l_sym, r AS r_sym, "
-        f"l || r AS new_token, c AS pair_count FROM b{i}"
-        for i in range(1, k + 1)
-    )
-    return ", ".join(parts) + " " + finals
+    return ", ".join(parts)
 
 
 _PROFILE_COLS = ["doc_id", "lang", "n_chars", "source"]
@@ -2241,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_right": _q_orders_customers_right,
         "profile_documents": _q_profile_documents,
         "bpe_train": _q_bpe_train,
+        "bpe_tokenize": _q_bpe_tokenize,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
         "decode_generation": _q_decode_generation,
@@ -3040,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "profile_documents": _profile_oracle(),
         "bpe_train": _bpe_oracle(),
+        "bpe_tokenize": _bpe_apply_oracle(),
         "orders_customers_right": (
             # the engine's join key column is real on unmatched right
             # rows (taken from the right side), so COALESCE mirrors it

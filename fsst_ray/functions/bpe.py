@@ -151,3 +151,93 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 10):
             for i, (name, typ) in enumerate(_MERGES_SCHEMA.items())
         }
     )
+
+
+def _apply_merges(words: list[str], merge_pairs: list[tuple[str, str]]) -> np.ndarray:
+    """Token count per word after applying `merge_pairs` in rank order
+    (each merge rewritten greedily, the training-time semantics — so a
+    trained word reproduces its training segmentation). Vectorized
+    over flat symbol arrays: one masked rewrite pass per merge."""
+    if not words:
+        return np.empty(0, np.int64)
+    lengths = np.array([len(w) for w in words], dtype=np.int64)
+    chars = np.frombuffer("".join(words).encode("utf-32-le"), dtype=np.uint32)
+    word_id = np.repeat(np.arange(len(words), dtype=np.int64), lengths)
+    uniq_chars, sym = np.unique(chars, return_inverse=True)
+    sym = sym.astype(np.int64)
+    strs: list[str] = [chr(int(c)) for c in uniq_chars]
+    by_str = {s: i for i, s in enumerate(strs)}
+
+    for l_str, r_str in merge_pairs:
+        l_id = by_str.get(l_str)
+        r_id = by_str.get(r_str)
+        new_str = l_str + r_str
+        nid = by_str.get(new_str)
+        if nid is None:
+            nid = len(strs)
+            strs.append(new_str)
+            by_str[new_str] = nid
+        if l_id is None or r_id is None or len(sym) < 2:
+            continue  # merge inputs absent from this batch's alphabet
+        valid = word_id[:-1] == word_id[1:]
+        m = valid & (sym[:-1] == l_id) & (sym[1:] == r_id)
+        idx = np.flatnonzero(m)
+        if not len(idx):
+            continue
+        starts = np.ones(len(idx), dtype=bool)
+        starts[1:] = np.diff(idx) > 1
+        run_start = idx[starts][np.cumsum(starts) - 1]
+        keep_idx = idx[(idx - run_start) % 2 == 0]
+        sym[keep_idx] = nid
+        keep_pos = np.ones(len(sym), dtype=bool)
+        keep_pos[keep_idx + 1] = False
+        sym = sym[keep_pos]
+        word_id = word_id[keep_pos]
+    return np.bincount(word_id, minlength=len(words)).astype(np.int64)
+
+
+def bpe_apply(ds, merges: pa.Table, text_col: str = "text"):
+    """Tokenize with a trained merge table: per doc, the word count and
+    the BPE token count after applying every merge in rank order.
+    Returns a Dataset (doc_id, n_words, n_bpe_tokens).
+
+    Pure map-side: the merge table (n_merges rows) broadcasts via
+    ray.put; each batch deduplicates its words, applies the merges to
+    the batch vocabulary with one vectorized rewrite pass per merge,
+    and maps per-word token counts back to docs with a bincount —
+    zero shuffle, zero per-word Python in the hot path."""
+    import ray
+
+    pairs = list(zip(merges["l_sym"].to_pylist(), merges["r_sym"].to_pylist()))
+    ref = ray.put(pairs)
+
+    def apply_batch(batch: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        col = batch[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lists = pc.split_pattern(col, " ")
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        words_np = flat.filter(keep).to_numpy(zero_copy_only=False)
+        # doc index per surviving word
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(batch.num_rows), sizes)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        uniq, inv = np.unique(words_np, return_inverse=True)
+        tok_per_word = _apply_merges(uniq.tolist(), mp)
+        per_doc_tokens = np.bincount(
+            doc_idx, weights=tok_per_word[inv], minlength=batch.num_rows
+        ).astype(np.int64)
+        per_doc_words = np.bincount(doc_idx, minlength=batch.num_rows).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(per_doc_words),
+                "n_bpe_tokens": pa.array(per_doc_tokens),
+            }
+        )
+
+    return ds.map_batches(apply_batch, batch_format="pyarrow")

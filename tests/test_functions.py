@@ -3078,3 +3078,63 @@ def test_bpe_train_matches_reference(ray_session):
     assert rows == want
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(ds, n_merges=0)
+
+
+def _ref_apply(word: str, merge_pairs) -> int:
+    s = list(word)
+    for l, r in merge_pairs:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                out.append(s[i] + s[i + 1])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return len(s)
+
+
+def test_bpe_apply_matches_training_and_reference(ray_session):
+    """Applying the learned merges reproduces per-word training
+    segmentation lengths AND handles UNSEEN words exactly like a
+    python single-pass-per-merge reference."""
+    import ray.data as rd
+
+    from fsst_ray.functions.bpe import bpe_apply, bpe_train
+
+    rng = np.random.default_rng(4444)
+    vocab = ["aaa", "aaaa", "abab", "banana", "low", "lower", "newer"]
+    docs = [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), 20))
+        for _ in range(40)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    merges = bpe_train(ds, n_merges=8)
+    pairs = list(zip(merges["l_sym"].to_pylist(), merges["r_sym"].to_pylist()))
+    out = bpe_apply(ds, merges).to_pandas().sort_values("doc_id")
+    for did, text in enumerate(docs):
+        words = text.split(" ")
+        want = sum(_ref_apply(w, pairs) for w in words)
+        row = out[out["doc_id"] == did].iloc[0]
+        assert row["n_words"] == len(words)
+        assert row["n_bpe_tokens"] == want, did
+    # unseen words (new chars, new shapes) through the same merges
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["zzz banana lowest", "qq aaaa"], pa.string()),
+            }
+        )
+    )
+    out2 = bpe_apply(ds2, merges).to_pandas().sort_values("doc_id")
+    for did, text in [(0, "zzz banana lowest"), (1, "qq aaaa")]:
+        want = sum(_ref_apply(w, pairs) for w in text.split(" "))
+        assert out2[out2["doc_id"] == did].iloc[0]["n_bpe_tokens"] == want
