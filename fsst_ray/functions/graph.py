@@ -466,6 +466,35 @@ def pagerank(
             }
         )
 
+    def sum_block(block: pa.Table) -> pa.Table:
+        # per-key (contrib, outdeg) sums via ONE boundary reduceat —
+        # Ray's built-in groupby().sum() pays ~33 s at 4M groups
+        # (measured) where this sorted-block pass pays the sort alone;
+        # node count scales with the graph, so the built-in aggregate
+        # is the same high-cardinality trap token_histogram hit
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        keys = block["node"].to_numpy(zero_copy_only=False)
+        contrib = block["contrib"].to_numpy(zero_copy_only=False)
+        outdeg = block["outdeg"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        k = keys[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        return pa.table(
+            {
+                "node": pa.array(k[starts]),
+                "contrib": pa.array(np.add.reduceat(contrib[order], starts)),
+                "outdeg": pa.array(np.add.reduceat(outdeg[order], starts)),
+            }
+        )
+
     tagged_edges = edges_ds.map_batches(tag_edges, batch_format="pyarrow")
     for _ in range(iterations):
         tagged = tagged_edges.union(
@@ -479,11 +508,12 @@ def pagerank(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            .groupby("node")
-            .sum(["contrib", "outdeg"])
+            .sort("node")
             .map_batches(
-                lambda t: t.rename_columns(["node", "contrib", "outdeg"]),
+                sum_block,
+                batch_size=None,
                 batch_format="pyarrow",
+                zero_copy_batch=True,
             )
         )
 
