@@ -66,6 +66,39 @@ def _bounded_snapshot(ds, rows_per_block: int = 1 << 18, max_blocks: int = 64):
     return rd.from_arrow_refs(refs) if refs else m
 
 
+def sum_per_key(ds, key: str, value_cols: list[str]):
+    """Vectorized `groupby(key).sum(value_cols)` for UNBOUNDED key
+    cardinality: one range sort on the key (equal keys never straddle
+    a block boundary), then ONE argsort + np.add.reduceat boundary
+    pass per block. Ray's built-in hash aggregate pays ~8 µs/group
+    (measured: ~33 s at 4M groups) — the high-cardinality trap
+    token_histogram first hit; this shape pays the sort alone. Output
+    columns: key + value_cols, int64 sums."""
+
+    def fold(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: block[key],
+                    **{c: pa.array([], pa.int64()) for c in value_cols},
+                }
+            )
+        keys = block[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        k = keys[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        cols = {key: pa.array(k[starts])}
+        for c in value_cols:
+            v = block[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[c] = pa.array(np.add.reduceat(v[order], starts))
+        return pa.table(cols)
+
+    return ds.sort(key).map_batches(
+        fold, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _canon_edges(doc_a: str, doc_b: str):
     """Batch fn: arbitrary pair rows -> canonical (k=max, n=min) int64
     edges, self-loops dropped."""
@@ -348,15 +381,13 @@ def pagerank(
             }
         )
 
-    nodes = (
-        edges_ds.map_batches(degree_partials, batch_format="pyarrow")
-        .groupby("node")
-        .sum("outdeg")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "outdeg"]), batch_format="pyarrow"
-        )
-        .materialize()
-    )
+    # sum_per_key, not groupby().sum(): node cardinality scales with
+    # the graph (the high-cardinality aggregate trap, see sum_per_key)
+    nodes = sum_per_key(
+        edges_ds.map_batches(degree_partials, batch_format="pyarrow"),
+        "node",
+        ["outdeg"],
+    ).materialize()
     n_nodes = nodes.count()
     if n_nodes * scale >= 1 << 62:
         raise ValueError(
@@ -466,55 +497,23 @@ def pagerank(
             }
         )
 
-    def sum_block(block: pa.Table) -> pa.Table:
-        # per-key (contrib, outdeg) sums via ONE boundary reduceat —
-        # Ray's built-in groupby().sum() pays ~33 s at 4M groups
-        # (measured) where this sorted-block pass pays the sort alone;
-        # node count scales with the graph, so the built-in aggregate
-        # is the same high-cardinality trap token_histogram hit
-        n = block.num_rows
-        if n == 0:
-            return pa.table(
-                {
-                    "node": pa.array([], pa.int64()),
-                    "contrib": pa.array([], pa.int64()),
-                    "outdeg": pa.array([], pa.int64()),
-                }
-            )
-        keys = block["node"].to_numpy(zero_copy_only=False)
-        contrib = block["contrib"].to_numpy(zero_copy_only=False)
-        outdeg = block["outdeg"].to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        k = keys[order]
-        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
-        return pa.table(
-            {
-                "node": pa.array(k[starts]),
-                "contrib": pa.array(np.add.reduceat(contrib[order], starts)),
-                "outdeg": pa.array(np.add.reduceat(outdeg[order], starts)),
-            }
-        )
-
     tagged_edges = edges_ds.map_batches(tag_edges, batch_format="pyarrow")
     for _ in range(iterations):
         tagged = tagged_edges.union(
             ranks.map_batches(tag_ranks, batch_format="pyarrow")
         )
-        summed = (
-            tagged.sort("_key")
-            .map_batches(
+        # collect = sum_per_key (sorted-block reduceat), NOT Ray's hash
+        # aggregate: measured 501 -> 103.5 s over 3 iterations at 24M
+        # edges / 8M nodes when this was groupby().sum()
+        summed = sum_per_key(
+            tagged.sort("_key").map_batches(
                 price_block,
                 batch_size=None,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-            )
-            .sort("node")
-            .map_batches(
-                sum_block,
-                batch_size=None,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+            ),
+            "node",
+            ["contrib", "outdeg"],
         )
 
         def refresh(batch: pa.Table) -> pa.Table:
