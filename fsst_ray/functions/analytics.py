@@ -423,17 +423,14 @@ def pivot_counts(ds, key: str, pivot: str, categories: list[str]):
             }
         )
 
-    agg = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    ).groupby(key).sum(cats)
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                key: t[key],
-                **{c: pc.cast(t[f"sum({c})"], pa.int64()) for c in cats},
-            }
-        ),
-        batch_format="pyarrow",
+    # sum_per_key, not groupby().sum(): key cardinality scales with the
+    # corpus (users), the high-cardinality aggregate trap (graph.py)
+    from fsst_ray.functions.graph import sum_per_key
+
+    return sum_per_key(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        key,
+        cats,
     )
 
 

@@ -182,12 +182,13 @@ def tumbling_distinct_users(ds, hours: int = 1):
     tumbling window — the distinct-aggregate window kind
     (tumbling_counts is the plain-count sibling).
 
-    Two-level shape, both exchanges pair-sized: a map-side per-batch
-    np.unique collapses each block to its distinct (window, user)
-    pairs, ONE groupby dedups them corpus-wide, then a map-side partial
-    count per window + ONE window-cardinality groupby-sum. The corpus
-    itself never shuffles; at 10^8 users the exchange is bounded by
-    true distinct pairs, not event rows."""
+    Shape: a map-side per-batch np.unique collapses each block to its
+    distinct (window, user) pairs, then ONE pair-sized range sort on
+    window_start and a single lexsort boundary pass per block performs
+    corpus-wide pair dedup AND the per-window distinct count together.
+    The corpus never shuffles, and no Ray aggregate ever keys on the
+    pair space (distinct pairs scale with users x windows — the
+    high-cardinality trap, graph.py:sum_per_key)."""
     width = hours * 3600 * 1_000_000
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -205,26 +206,47 @@ def tumbling_distinct_users(ds, hours: int = 1):
             }
         )
 
-    distinct = (
-        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["window_start", "user_id"])
-        .count()
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        win = batch["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u, cnt = np.unique(win, return_counts=True)
+    # corpus-wide pair dedup + per-window count in ONE pass: range-sort
+    # on window_start co-locates each window, then per block a lexsort
+    # boundary pass counts distinct users per window directly — no
+    # pair-cardinality Ray aggregate (distinct pairs scale with
+    # users x windows: the high-cardinality trap, graph.py:sum_per_key)
+    def distinct_per_window(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        win = block["window_start"].to_numpy(zero_copy_only=False)
+        uid = block["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, win))
+        w, u = win[order], uid[order]
+        pair_first = np.ones(n, dtype=bool)
+        pair_first[1:] = (w[1:] != w[:-1]) | (u[1:] != u[:-1])
+        wd = w[pair_first]
+        win_starts = np.concatenate(
+            [[0], np.flatnonzero(wd[1:] != wd[:-1]) + 1]
+        )
+        cnt = np.diff(np.concatenate([win_starts, [len(wd)]]))
         return pa.table(
             {
-                "window_start": pa.array(u),
+                "window_start": pa.array(wd[win_starts].astype(np.int64)),
                 "n_users": pa.array(cnt.astype(np.int64)),
             }
         )
 
     agg = (
-        distinct.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("window_start")
-        .sum("n_users")
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .sort("window_start")
+        .map_batches(
+            distinct_per_window,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
     return agg.map_batches(
         lambda t: (
