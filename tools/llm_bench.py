@@ -438,6 +438,46 @@ def main() -> None:
             "spilled_mb": spill_now - spill_prev,
         }
 
+    # -- leg 8: BPE tokenizer train + apply ------------------------------
+    if os.environ.get("FSST_LLMBENCH_SKIP_BPE", "0") != "1":
+        from fsst_ray.functions.bpe import bpe_apply, bpe_train
+
+        spill_prev = _spilled_mb(session_dir)
+        ds8 = rd.read_parquet(files, columns=["doc_id", "text"])
+        t0 = time.monotonic()
+        merges = bpe_train(ds8, n_merges=64)
+        train_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        ds8b = rd.read_parquet(files, columns=["doc_id", "text"])
+
+        def tok_summary(batch):
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "n": pa.array([batch.num_rows]),
+                    "w": pa.array([pc.sum(batch["n_words"]).as_py() or 0]),
+                    "t": pa.array([pc.sum(batch["n_bpe_tokens"]).as_py() or 0]),
+                }
+            )
+
+        agg8 = (
+            bpe_apply(ds8b, merges)
+            .map_batches(tok_summary, batch_format="pyarrow")
+            .take_all()
+        )
+        apply_s = time.monotonic() - t0
+        results["bpe_train_apply"] = {
+            "train_wall_sec": round(train_s, 2),
+            "apply_wall_sec": round(apply_s, 2),
+            "n_merges": 64,
+            "rows_in": total_rows,
+            "words_total": sum(r["w"] for r in agg8),
+            "bpe_tokens_total": sum(r["t"] for r in agg8),
+            "apply_docs_per_sec": round(total_rows / apply_s),
+            "spilled_mb": _spilled_mb(session_dir) - spill_prev,
+        }
+
     peak_gb = sampler.stop()
     probe_after = _window_probe()
     out = {
