@@ -48,6 +48,7 @@ def props_int_rollup(ds, group_col: str, json_col: str, path: str):
     null extractions count toward n but not the aggregates (groups
     with no present value emit sum 0 / max NULL, matching the SQL
     convention COALESCE(SUM(x),0) / MAX(x))."""
+    group_type = ds.schema().base_schema.field(group_col).type
     extracted = json_int_field(ds, json_col, path, "_jx")
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -88,6 +89,18 @@ def props_int_rollup(ds, group_col: str, json_col: str, path: str):
     imin = np.iinfo(np.int64).min
 
     def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            # Ray's aggregate emits EMPTY ZERO-COLUMN blocks when output
+            # partitions outnumber groups (the session-8 rollup lesson)
+            return pa.table(
+                {
+                    group_col: pa.array([], group_type),
+                    "n": pa.array([], pa.int64()),
+                    "n_present": pa.array([], pa.int64()),
+                    "sum_val": pa.array([], pa.int64()),
+                    "max_val": pa.array([], pa.int64()),
+                }
+            )
         batch = batch.rename_columns(
             [group_col, "n", "n_present", "sum_val", "max_val"]
         )

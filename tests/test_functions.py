@@ -3138,3 +3138,25 @@ def test_bpe_apply_matches_training_and_reference(ray_session):
     for did, text in [(0, "zzz banana lowest"), (1, "qq aaaa")]:
         want = sum(_ref_apply(w, pairs) for w in text.split(" "))
         assert out2[out2["doc_id"] == did].iloc[0]["n_bpe_tokens"] == want
+
+
+def test_props_rollup_single_group_many_partitions(ray_session):
+    """More aggregate output partitions than groups: Ray emits empty
+    zero-column blocks (the session-8 rollup lesson) — finish must
+    survive them with a stable schema."""
+    import ray.data as rd
+
+    from fsst_ray.functions.jsonx import props_int_rollup
+
+    t = pa.table(
+        {
+            "grp": pa.array(["only"] * 40, pa.string()),
+            "props": pa.array(['{"k": %d}' % i for i in range(40)], pa.string()),
+        }
+    )
+    out = props_int_rollup(
+        rd.from_arrow(t).repartition(16), "grp", "props", "$.k"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n"] == 40 and out.iloc[0]["sum_val"] == sum(range(40))
+    assert out.iloc[0]["max_val"] == 39
