@@ -7,6 +7,7 @@
                                [--upsert --resume]  # finish an interrupted upsert
     python -m fsst_ray decode  --input ENCODED_DIR --output DIR
     python -m fsst_ray select  --encoded ENCODED_DIR --doc-ids ID[,ID...]
+    python -m fsst_ray bpe     --input DOCS_PARQUET --merges 64 [--output merges.json]
                                [--ntok-range LO:HI] [--source S[,S...]]
                                [--output DIR]
     python -m fsst_ray compact --encoded ENCODED_DIR [--target-mb M]
@@ -50,7 +51,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="fsst_ray")
     parser.add_argument(
         "command",
-        choices=["encode", "decode", "select", "verify", "stats", "compact",
+        choices=["encode", "decode", "select", "verify", "stats", "compact", "bpe",
                  "delete", "purge", "build-corpus"],
     )
     parser.add_argument(
@@ -113,6 +114,13 @@ def main(argv=None):
         type=int,
         default=None,
         help="build-corpus: per-source char budget (token-budget mixing)",
+    )
+    parser.add_argument(
+        "--merges", type=int, default=64,
+        help="bpe: number of merges to train",
+    )
+    parser.add_argument(
+        "--text-col", default="text", help="bpe: text column of the input parquet"
     )
     parser.add_argument("--num-cpus", type=int, default=None)
     args = parser.parse_args(argv)
@@ -241,6 +249,31 @@ def main(argv=None):
                     )
                 )
             )
+        elif args.command == "bpe":
+            import pathlib as _pl
+
+            import ray.data as _rd
+
+            from fsst_ray.functions.bpe import bpe_train
+
+            docs = _rd.read_parquet(args.input, columns=[args.text_col])
+            merges = bpe_train(docs, text_col=args.text_col, n_merges=args.merges)
+            rows = [
+                {
+                    "rank": r["rank"],
+                    "l_sym": r["l_sym"],
+                    "r_sym": r["r_sym"],
+                    "new_token": r["new_token"],
+                    "pair_count": r["pair_count"],
+                }
+                for r in merges.to_pylist()
+            ]
+            if args.output:
+                _pl.Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+                _pl.Path(args.output).write_text(json.dumps(rows))
+                print(json.dumps({"merges": len(rows), "out": args.output}))
+            else:
+                print(json.dumps(rows))
         elif args.command == "compact":
             from fsst_ray import compact_corpus
 
