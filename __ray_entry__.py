@@ -724,6 +724,18 @@ def _bpe_cte_prefix() -> str:
     return ", ".join(parts)
 
 
+def _q_lm_score(sf_dir: str):
+    """Exact integer bigram-LM scoring (the perplexity-proxy quality
+    signal, CCNet-style): corpus bigram/prefix counts folded via
+    sum_per_key and broadcast, then map-side quantized-probability
+    sums — floor(10^6 * c2/c1) per bigram, integer addition so the
+    oracle's SUM order can't matter. See fsst_ray/functions/lm.py."""
+    from fsst_ray.functions.lm import bigram_lm_score
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return bigram_lm_score(docs)
+
+
 _PROFILE_COLS = ["doc_id", "lang", "n_chars", "source"]
 
 
@@ -2275,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "bpe_train": _q_bpe_train,
         "bpe_tokenize": _q_bpe_tokenize,
+        "lm_score": _q_lm_score,
         "sink_jsonl": _q_sink_jsonl,
         "props_rollup": _q_props_rollup,
         "decode_generation": _q_decode_generation,
@@ -3075,6 +3088,19 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": _profile_oracle(),
         "bpe_train": _bpe_oracle(),
         "bpe_tokenize": _bpe_apply_oracle(),
+        "lm_score": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "p AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i "
+            "FROM w WHERE len(ws) >= 2), "
+            "g AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM p), "
+            "c1 AS (SELECT w1, COUNT(*) AS c FROM g GROUP BY w1), "
+            "c2 AS (SELECT w1, w2, COUNT(*) AS c FROM g GROUP BY w1, w2) "
+            "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(1000000 * c2.c // c1.c) AS BIGINT) AS lm_score "
+            "FROM g JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2 "
+            "JOIN c1 ON g.w1 = c1.w1 GROUP BY g.doc_id"
+        ),
         "orders_customers_right": (
             # the engine's join key column is real on unmatched right
             # rows (taken from the right side), so COALESCE mirrors it

@@ -3160,3 +3160,42 @@ def test_props_rollup_single_group_many_partitions(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["n"] == 40 and out.iloc[0]["sum_val"] == sum(range(40))
     assert out.iloc[0]["max_val"] == 39
+
+
+def test_bigram_lm_score_hand_case_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fsst_ray.functions.lm import bigram_lm_score
+
+    # corpus: "a b" x3, "a c" x1, "b" (no bigram), "a b c"
+    docs = ["a b", "a b", "a b", "a c", "b", "a b c"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    # c2: (a,b)=4, (a,c)=1, (b,c)=1 ; c1: a=5, b=1
+    want = {
+        0: (1, 1_000_000 * 4 // 5),
+        1: (1, 800_000),
+        2: (1, 800_000),
+        3: (1, 1_000_000 * 1 // 5),
+        5: (2, 800_000 + 1_000_000 * 1 // 1),
+    }
+    for nparts in (1, 4):
+        out = (
+            bigram_lm_score(rd.from_arrow(t).repartition(nparts))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        got = {
+            int(i): (int(r["n_bigrams"]), int(r["lm_score"]))
+            for i, r in out.iterrows()
+        }
+        assert got == want, nparts
+    # broadcast cap raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        bigram_lm_score(rd.from_arrow(t), max_vocab_rows=2)
