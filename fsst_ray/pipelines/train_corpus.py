@@ -48,6 +48,7 @@ def build_training_corpus(
     eval_mod: int = 97,
     decon_min_hits: int = 1,
     mix_budget: int | None = None,
+    cap_per_source_n: int | None = None,
     resume: bool = False,
     read_fn=None,
     lean_exchange: bool = False,
@@ -118,17 +119,26 @@ def build_training_corpus(
     clean = dec.map_batches(keep_only, batch_format="pyarrow").materialize()
     n_clean = clean.count()
 
-    # 4. optional per-source token-budget mixing
+    # 4. optional per-source doc cap (over-represented-domain control)
     final_ids = clean
+    if cap_per_source_n is not None:
+        from ..functions.curate import cap_per_key
+
+        capped_src = existence_join(
+            read_docs(), final_ids, "doc_id", "doc_id", how="semi"
+        ).select_columns(["source", "doc_id"])
+        final_ids = _ids_only(cap_per_key(capped_src, "source", cap_per_source_n))
+
+    # 5. optional per-source token-budget mixing
     if mix_budget is not None:
         clean_docs = existence_join(
-            read_docs(), clean, "doc_id", "doc_id", how="semi"
+            read_docs(), final_ids, "doc_id", "doc_id", how="semi"
         )
         mixed = mix_corpus(clean_docs, mix_budget)
         final_ids = _ids_only(mixed)
     n_final = final_ids.count()
 
-    # 5. source-partitioned parquet write of the surviving documents
+    # 6. source-partitioned parquet write of the surviving documents
     final_docs = existence_join(
         read_docs(), final_ids, "doc_id", "doc_id", how="semi"
     )

@@ -67,3 +67,29 @@ def test_build_training_corpus_end_to_end(ray_session, tmp_path):
     assert {k: v for k, v in s3.items() if k != "out"} == {
         k: v for k, v in s.items() if k != "out"
     }
+
+
+def test_build_corpus_cap_per_source(ray_session, tmp_path):
+    """cap_per_source_n bounds each source's survivors; summary counts
+    consistent; cap composes before mixing."""
+    import pyarrow.parquet as pq
+
+    from fsst_ray.pipelines.train_corpus import build_training_corpus
+
+    docs = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path / "corpus")
+    s = build_training_corpus(
+        src, out, min_quality=0, langs=tuple(sorted(set(docs["lang"].to_pylist()))),
+        jaccard_threshold=1.0, cap_per_source_n=5,
+    )
+    assert s["n_final"] <= 20 * 5  # 20 sources at sf0.01
+    assert s["n_final"] > 0
+    import glob
+
+    written = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(out + "/data/**/*.parquet", recursive=True)
+    )
+    assert written == s["n_final"]
