@@ -797,6 +797,33 @@ def _q_cap_per_source(sf_dir: str):
     return cap_per_key(docs, "source", _CAP_N)
 
 
+def _q_user_value_mad(sf_dir: str):
+    """Per-user robust statistics (median + median absolute deviation
+    of value-cents, both PERCENTILE_DISC-exact): two sorted-block
+    quantile passes with the group-sized median table broadcast
+    between them. See fsst_ray/functions/analytics.py:grouped_mad."""
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import grouped_mad
+
+    def project(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(project, batch_format="pyarrow")
+    return grouped_mad(ev, "user_id", "cents")
+
+
 def _q_user_event_mode(sf_dir: str):
     """Per-user most-frequent event type with deterministic ties
     (max count, then smallest value) — map-side pair counts, one
@@ -2282,6 +2309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "user_value_quantiles": _q_user_value_quantiles,
         "user_event_mode": _q_user_event_mode,
+        "user_value_mad": _q_user_value_mad,
         "cap_per_source": _q_cap_per_source,
         "orders_customers_right": _q_orders_customers_right,
         "profile_documents": _q_profile_documents,
@@ -3114,6 +3142,16 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY source "
             "ORDER BY hash(doc_id), doc_id) AS rk FROM documents) "
             f"WHERE rk <= {_CAP_N}"
+        ),
+        "user_value_mad": (
+            "WITH e AS (SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) "
+            "AS cents FROM events), "
+            "m AS (SELECT user_id, quantile_disc(cents, 0.5) AS med "
+            "FROM e GROUP BY user_id) "
+            "SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "m.med AS median, "
+            "quantile_disc(ABS(e.cents - m.med), 0.5) AS mad "
+            "FROM e JOIN m ON e.user_id = m.user_id GROUP BY e.user_id, m.med"
         ),
         "user_event_mode": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "

@@ -1079,3 +1079,68 @@ def grouped_mode(ds, key: str, val_col: str):
     return paired.sort(key).map_batches(
         pick_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_mad(ds, key: str, val_col: str, broadcast_rows: int = 50_000_000):
+    """Per-key robust statistics: (key, n, median, mad) where median =
+    PERCENTILE_DISC(0.5) and mad = PERCENTILE_DISC(0.5) of
+    |x - median| — the outlier-robust location/scale pair (Hampel's
+    median absolute deviation), exact over integer values so the
+    two-level SQL oracle matches bit-for-bit.
+
+    Shape: two sorted-block quantile passes (the grouped_quantiles
+    machinery) with the group-sized median table broadcast between
+    them via ray.put (the kmeans/decontaminate convention; loud
+    ValueError above `broadcast_rows` — at that group cardinality a
+    second key-sorted exchange carrying the median along would replace
+    the broadcast). Deviations are computed map-side; the corpus
+    streams twice and never shuffles beyond the two quantile sorts."""
+    import ray
+
+    med = grouped_quantiles(ds, key, val_col, [("med", 1, 2)]).materialize()
+    if med.count() > broadcast_rows:
+        raise ValueError(
+            f"grouped_mad: {med.count()} groups exceed broadcast_rows="
+            f"{broadcast_rows}; use a key-sorted exchange variant"
+        )
+    blocks = [t for t in ray.get(med.to_arrow_refs()) if t.num_rows]
+    if blocks:
+        mt = pa.concat_tables([t.select([key, "med"]) for t in blocks])
+        mk = mt[key].to_numpy(zero_copy_only=False)
+        mv = mt["med"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(mk, kind="stable")
+        ref = ray.put((mk[order], mv[order]))
+    else:
+        ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def deviations(batch: pa.Table) -> pa.Table:
+        mk, mv = ray.get(ref)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(mk, k)
+        med_of = mv[pos]  # every key has a median by construction
+        return pa.table(
+            {
+                key: batch[key],
+                "dev": pa.array(np.abs(v - med_of)),
+                "median": pa.array(med_of),
+            }
+        )
+
+    dev = ds.map_batches(deviations, batch_format="pyarrow")
+    out = grouped_quantiles(dev, key, "dev", [("mad", 1, 2)])
+
+    def attach_median(batch: pa.Table) -> pa.Table:
+        mk, mv = ray.get(ref)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        med_of = mv[np.searchsorted(mk, k)] if len(mk) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                key: batch[key],
+                "n": batch["n"],
+                "median": pa.array(med_of.astype(np.int64)),
+                "mad": batch["mad"],
+            }
+        )
+
+    return out.map_batches(attach_median, batch_format="pyarrow")

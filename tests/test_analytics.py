@@ -608,3 +608,37 @@ def test_grouped_mode_matches_reference(ray_session):
     # the forced-tie key resolves to the smallest value
     assert df[df["k"] == -1]["mode_val"].iloc[0] == "w0"
     assert "MapGroups" not in out.stats()
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fsst_ray.functions.analytics import grouped_mad
+
+    rng = np.random.default_rng(777)
+    n, nkeys = 4000, 41
+    keys = rng.integers(0, nkeys, n)
+    vals = rng.integers(-10_000, 10_000, n)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(9)
+    out = (
+        grouped_mad(ds, "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": keys, "v": vals}))
+    ref = con.execute(
+        "WITH m AS (SELECT k, quantile_disc(v, 0.5) AS med FROM t GROUP BY k) "
+        "SELECT t.k, CAST(COUNT(*) AS BIGINT) AS n, m.med AS median, "
+        "quantile_disc(ABS(t.v - m.med), 0.5) AS mad "
+        "FROM t JOIN m ON t.k = m.k GROUP BY t.k, m.med ORDER BY t.k"
+    ).df()
+    for c in ["k", "n", "median", "mad"]:
+        assert out[c].tolist() == ref[c].tolist(), c
+    with pytest.raises(ValueError, match="broadcast_rows"):
+        grouped_mad(ds, "k", "v", broadcast_rows=2)
