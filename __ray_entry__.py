@@ -797,6 +797,20 @@ def _q_cap_per_source(sf_dir: str):
     return cap_per_key(docs, "source", _CAP_N)
 
 
+def _q_time_of_week(sf_dir: str):
+    """Calendar seasonality: event counts by day-of-week x hour-of-day
+    — pure integer calendar arithmetic from epoch-µs (dow =
+    (epoch_days + 4) % 7, matching DuckDB's 0=Sunday), one 168-cell
+    bincount per batch. See
+    fsst_ray/functions/windows.py:time_of_week_matrix."""
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import time_of_week_matrix
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return time_of_week_matrix(ev)
+
+
 def _q_user_value_mad(sf_dir: str):
     """Per-user robust statistics (median + median absolute deviation
     of value-cents, both PERCENTILE_DISC-exact): two sorted-block
@@ -2310,6 +2324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_quantiles": _q_user_value_quantiles,
         "user_event_mode": _q_user_event_mode,
         "user_value_mad": _q_user_value_mad,
+        "time_of_week": _q_time_of_week,
         "cap_per_source": _q_cap_per_source,
         "orders_customers_right": _q_orders_customers_right,
         "profile_documents": _q_profile_documents,
@@ -3142,6 +3157,12 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY source "
             "ORDER BY hash(doc_id), doc_id) AS rk FROM documents) "
             f"WHERE rk <= {_CAP_N}"
+        ),
+        "time_of_week": (
+            "SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY dow, hour"
         ),
         "user_value_mad": (
             "WITH e AS (SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) "

@@ -307,3 +307,61 @@ def value_histogram(ds, bin_width: int = 5):
         ),
         batch_format="pyarrow",
     )
+
+
+def time_of_week_matrix(ds):
+    """Calendar seasonality matrix: (dow, hour, n) event counts by
+    day-of-week x hour-of-day — the engine's calendar-function family
+    (epoch-bucket windows cover durations; this covers CALENDAR
+    positions). Pure integer arithmetic from epoch-µs so the oracle's
+    EXTRACT(dow/hour) matches exactly: epoch day 0 (1970-01-01) was a
+    Thursday and DuckDB's dow is 0=Sunday, so
+    dow = (epoch_days + 4) % 7. Valid for non-negative timestamps
+    (pre-1970 would need floor division care — guarded loudly).
+
+    Shape: one map-side bincount over packed (dow*24 + hour) per batch
+    (168 cells), one 168-row aggregate. The corpus never shuffles."""
+    width_us = 3600 * 1_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        us = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        if len(us) and int(us.min()) < 0:
+            raise ValueError(
+                "time_of_week_matrix: pre-1970 timestamps unsupported"
+            )
+        hours_total = us // width_us
+        hour = (hours_total % 24).astype(np.int64)
+        days = hours_total // 24
+        dow = ((days + 4) % 7).astype(np.int64)
+        cell = dow * 24 + hour
+        cnt = np.bincount(cell, minlength=168).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "dow": pa.array(nz // 24),
+                "hour": pa.array(nz % 24),
+                "n": pa.array(cnt[nz]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["dow", "hour"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda t: (
+            t.rename_columns(["dow", "hour", "n"])
+            if t.num_columns == 3
+            else pa.table(
+                {
+                    "dow": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    )

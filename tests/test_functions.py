@@ -3199,3 +3199,32 @@ def test_bigram_lm_score_hand_case_and_partition_invariance(ray_session):
 
     with _pytest.raises(ValueError, match="max_vocab_rows"):
         bigram_lm_score(rd.from_arrow(t), max_vocab_rows=2)
+
+
+def test_time_of_week_matrix_calendar_arithmetic(ray_session):
+    """dow/hour integer arithmetic vs python datetime on known
+    timestamps incl. week boundaries; pre-1970 guard."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import time_of_week_matrix
+
+    stamps = [
+        dt.datetime(1970, 1, 1, 0, 0),    # Thursday, dow 4
+        dt.datetime(2024, 1, 7, 23, 59),  # Sunday, dow 0
+        dt.datetime(2024, 1, 8, 0, 0),    # Monday, dow 1
+        dt.datetime(2026, 8, 20, 13, 5),
+    ]
+    t = pa.table({"ts": pa.array(stamps, pa.timestamp("us"))})
+    out = time_of_week_matrix(rd.from_arrow(t)).to_pandas()
+    got = {(int(r["dow"]), int(r["hour"])): int(r["n"]) for _, r in out.iterrows()}
+    want: dict = {}
+    for s in stamps:
+        key = ((s.weekday() + 1) % 7, s.hour)  # python Mon=0 -> SQL Sun=0
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+    bad = pa.table({"ts": pa.array([dt.datetime(1969, 12, 31)], pa.timestamp("us"))})
+    # Ray wraps worker exceptions in RayTaskError; match the message
+    with pytest.raises(Exception, match="pre-1970"):
+        time_of_week_matrix(rd.from_arrow(bad)).materialize()
