@@ -811,6 +811,21 @@ def _q_time_of_week(sf_dir: str):
     return time_of_week_matrix(ev)
 
 
+def _q_monthly_orders(sf_dir: str):
+    """Calendar-month order rollup: real civil-date conversion
+    (Hinnant's civil_from_days, vectorized int64) so EXTRACT(year/
+    month) matches exactly; amounts in integer cents. See
+    fsst_ray/functions/windows.py:monthly_order_stats."""
+    import ray.data as rd
+
+    from fsst_ray.functions.windows import monthly_order_stats
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return monthly_order_stats(od)
+
+
 def _q_user_value_mad(sf_dir: str):
     """Per-user robust statistics (median + median absolute deviation
     of value-cents, both PERCENTILE_DISC-exact): two sorted-block
@@ -2325,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_mode": _q_user_event_mode,
         "user_value_mad": _q_user_value_mad,
         "time_of_week": _q_time_of_week,
+        "monthly_orders": _q_monthly_orders,
         "cap_per_source": _q_cap_per_source,
         "orders_customers_right": _q_orders_customers_right,
         "profile_documents": _q_profile_documents,
@@ -3157,6 +3173,13 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY source "
             "ORDER BY hash(doc_id), doc_id) AS rk FROM documents) "
             f"WHERE rk <= {_CAP_N}"
+        ),
+        "monthly_orders": (
+            "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year, "
+            "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM orders GROUP BY year, month"
         ),
         "time_of_week": (
             "SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow, "

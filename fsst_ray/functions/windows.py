@@ -365,3 +365,72 @@ def time_of_week_matrix(ds):
         ),
         batch_format="pyarrow",
     )
+
+
+def _civil_from_days(days: np.ndarray):
+    """Vectorized proleptic-Gregorian (year, month) from epoch days —
+    Howard Hinnant's published civil_from_days algorithm, pure int64
+    (valid across eras, so pre-1970 is fine here)."""
+    z = days.astype(np.int64) + 719468
+    era = np.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    m = np.where(mp < 10, mp + 3, mp - 9)
+    y = y + (m <= 2)
+    return y, m
+
+
+def monthly_order_stats(ds, ts_col: str = "o_orderdate",
+                        amount_col: str = "o_totalprice"):
+    """Calendar-month rollup: (year, month, n, sum_cents) — real civil
+    calendar conversion (variable month lengths, leap years) done
+    vectorized from epoch days, so the oracle's EXTRACT(year/month)
+    matches exactly; amounts in integer cents (the lineitem_pricing
+    convention). Map-side partials collapse each batch to its month
+    set; one month-cardinality aggregate."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        us = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.floor_divide(us, 86_400_000_000)
+        y, m = _civil_from_days(days)
+        cents = np.floor(
+            batch[amount_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        key = y * 12 + (m - 1)
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, cents)  # int64-exact scatter-add
+        return pa.table(
+            {
+                "year": pa.array(uniq // 12),
+                "month": pa.array(uniq % 12 + 1),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_cents": pa.array(sums),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["year", "month"])
+        .sum(["n", "sum_cents"])
+    )
+    return agg.map_batches(
+        lambda t: (
+            t.rename_columns(["year", "month", "n", "sum_cents"])
+            if t.num_columns == 4
+            else pa.table(
+                {
+                    "year": pa.array([], pa.int64()),
+                    "month": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    )
